@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Queries are materialized with the noop sink (full execution, zero
+collect/serialization cost) — the timing measures the engine, not
+driver-side row transfer. A warmup query first absorbs one-time JVM/
+codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    from ruleset_analysis_spark.plans.registry import all_specs
+    from ruleset_analysis_spark.session import get_spark
+
+    spark = get_spark(app_name="ruleset-analysis-bench", driver_memory="48g")
+    specs = all_specs()
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup: JVM + parquet footer caches + Arrow/python worker pool
+    run(specs["agg_count_by_key"].builder(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    t_suite = time.time()
+    for name in sorted(specs):
+        t0 = time.time()
+        run(specs[name].builder(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_suite, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "full_query_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

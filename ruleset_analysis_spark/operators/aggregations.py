@@ -1,0 +1,239 @@
+"""§2.C — aggregations.
+
+Reference core: ``map(lambda r: ((acl, rule), 1)).reduceByKey(add)``
+([R-mem] ``analyze_ruleset.py``) — a hand-rolled partial/final count.
+Catalyst's HashAggregate gives the same map-side partial aggregation
+automatically, JVM-side, for every query below.
+
+Scale notes: group-by keys here are low-cardinality enums or bounded
+ids, so the shuffle after partial aggregation carries only
+(groups × partitions) rows — the pattern that keeps a 100 TB scan's
+shuffle in the megabytes. Approx variants (HLL) are declared for the
+cardinalities where exact distinct would need a full shuffle of keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.parquet import load
+
+
+@register(
+    "agg_count_by_key",
+    category="agg",
+    oracle="SELECT event_type, count(*) AS hits FROM events GROUP BY event_type",
+)
+def agg_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline hit-count, DataFrame-form."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
+@register(
+    "agg_multi",
+    category="agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_quantity), 2) / count(*) AS avg_qty,
+               round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate per composite key.
+
+    Averages are emitted as round2(sum)/count: the sum of 2dp data is
+    tie-free at 2dp, and dividing identical doubles by identical counts
+    is bit-deterministic in both engines — whereas round(avg, k) can
+    tie when the group count is 2-/5-smooth."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty"),
+        (F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    category="agg",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS users
+        FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct — reference analog: distinct source IPs per rule
+    [R-mem]. Expands to a two-phase aggregate in Catalyst."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    category="agg",
+    oracle=None,  # rows-only: HLL sketch values differ between engines
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct — the 100 TB-scale variant: fixed-size sketch
+    instead of a shuffle of all distinct keys."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "agg_distinct_rows",
+    category="agg",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "agg_having",
+    category="agg",
+    oracle="""
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter — reference analog: rules with more than
+    N hits [R-mem]."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    category="agg",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total, count(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (year, priority) → (year) → () with NULL markers."""
+    o = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    return o.rollup("yr", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_cube",
+    category="agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_stddev_percentile",
+    category="agg",
+    oracle="""
+        SELECT event_type,
+               round(stddev_samp(value), 6) AS sd,
+               round(var_samp(value), 6) AS vr,
+               round(median(value), 6) AS med,
+               round(quantile_cont(value, 0.25), 6) AS q1
+        FROM events GROUP BY event_type
+    """,
+)
+def agg_stddev_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributional aggregates (percentile_approx exists for the
+    scale path; exact interpolated percentiles used here for oracle
+    parity)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("vr"),
+        F.round(F.median("value"), 6).alias("med"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    category="agg",
+    oracle="""
+        SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS events_sorted
+        FROM events GROUP BY user_id
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + sort_array, serialized to a string so the oracle
+    hash is representation-stable across engines."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("event_type"))).alias(
+            "events_sorted"
+        )
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "agg_pivot",
+    category="agg",
+    oracle="""
+        SELECT user_id,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let pivot scan for
+    distinct values at scale — that is an extra full pass)."""
+    ev = load(spark, sf_dir, "events")
+    piv = ev.groupBy("user_id").pivot("event_type", _PIVOT_TYPES).count()
+    # pivot yields NULL for empty cells; count() semantics in the oracle give 0
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _PIVOT_TYPES],
+    )

@@ -1,0 +1,256 @@
+"""§2.D — joins.
+
+Reference analog: one pair-RDD equi-join (``hits.join(rules)``) and the
+headline "rules with ZERO hits" anti-pattern ([R-mem]
+``analyze_ruleset.py``). Here the full join family is declared
+relationally and Catalyst picks the physical strategy; tests assert the
+broadcast query really plans a BroadcastHashJoin.
+
+Scale notes: dimension sides (part, customer at real TPC-H ratios,
+the reference's rule table) are broadcast — no shuffle of the fact
+table. Fact-fact joins shuffle on the join key; AQE handles skew
+splitting. The as-of/self-temporal join is expressed as a window
+(``lag``) over a hash-partitioned sort — the Spark-native formulation —
+rather than a merge-join translation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..plans.registry import register
+from ..sources.parquet import load
+
+
+@register(
+    "join_inner_equi",
+    category="join",
+    oracle="""
+        SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_broadcast",
+    category="join",
+    oracle="""
+        SELECT p.p_brand,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim): the rule-table join done without moving the
+    fact table — the shape the reference's pair-RDD join shuffled for
+    [R-mem]."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            # 4dp: summands have exactly 4 true decimals (2dp × 2dp), so
+            # rounding at 4dp can never hit a cross-engine half-tie
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_multiway",
+    category="join",
+    oracle="""
+        SELECT r.r_name, n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM region r
+        JOIN nation n   ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey   = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+        GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star chain. Dims broadcast; only fact-fact
+    (orders⋈lineitem) shuffles."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    category="join",
+    oracle="""
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every customer with its order count including zero (count(col)
+    skips the NULLs the outer join manufactures)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    category="join",
+    oracle="""
+        WITH lhs AS (
+            SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+        ),
+        rhs AS (
+            SELECT o_custkey, count(*) AS n_orders
+            FROM orders WHERE o_custkey % 3 = 0 GROUP BY o_custkey
+        )
+        SELECT coalesce(lhs.c_custkey, rhs.o_custkey) AS custkey,
+               lhs.c_name, rhs.n_orders
+        FROM lhs FULL OUTER JOIN rhs ON lhs.c_custkey = rhs.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    lhs = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
+    rhs = (
+        o.filter(F.col("o_custkey") % 3 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return lhs.join(rhs, lhs.c_custkey == rhs.o_custkey, "full").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"), "c_name", "n_orders"
+    )
+
+
+@register(
+    "join_left_semi",
+    category="join",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 order — reference analog: rules WITH hits."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    category="join",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1996
+        )
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference headline: keys with ZERO matches (unused firewall
+    rules, [R-mem] README). One anti-join, no outer+filter detour.
+    Restricted to 1996 orders so the result is non-trivial at every sf."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta_range",
+    category="join",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS INTEGER) AS gap_days
+        FROM lineitem l JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         AND datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) BETWEEN 0 AND 30
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range predicate in the join condition: lineitems shipped
+    within 30 days of their order. The equi component keeps this a hash
+    join with the range as a residual — the plan shape that survives
+    scale (a pure theta join would be a nested-loop)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    gap = F.datediff(F.to_date(li.l_shipdate), F.to_date(o.o_orderdate))
+    return li.join(o, (li.l_orderkey == o.o_orderkey) & gap.between(0, 30)).select(
+        "l_orderkey", "l_linenumber", gap.alias("gap_days")
+    )
+
+
+@register(
+    "join_cross",
+    category="join",
+    oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cartesian (5×25). Only ever dim×dim — a guarded pattern."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_self_asof",
+    category="join",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+               - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
+        FROM events
+    """,
+)
+def join_self_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user previous-event gap — the as-of/self-temporal join done the
+    Spark-native way: hash-partition by user, sort within partition,
+    ``lag`` — one shuffle, no self-join blowup."""
+    ev = load(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", F.col("ts")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", (sec - F.lag(sec).over(w)).alias("gap_sec")
+    )

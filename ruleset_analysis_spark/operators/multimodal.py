@@ -1,0 +1,154 @@
+"""§2.G — multimodal columns: text ⋈ vectors, binary payload plumbing.
+
+The driver corpus has no image/audio bytes, so the *plumbing* for
+opaque binary columns is exercised end-to-end with real bytes
+(UTF-8-encoded document text treated as an opaque payload): schema,
+Arrow batch shape, ``mapInPandas`` signature, and partitioning are all
+production-real; only the media *decode* is stubbed (``decode_image``
+below raises NotImplementedError by design — the container has no
+image/audio libraries).
+
+Scale notes: binary feature extraction via ``mapInPandas`` streams
+Arrow batches through Python with no shuffle — the right shape for
+per-object media work; keep batch sizes bounded with
+``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are MBs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.vectors import as_double, norm
+from ..plans.registry import register
+from ..sources.parquet import load
+
+
+@register(
+    "multimodal_join",
+    category="multimodal",
+    oracle="""
+        WITH elem AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elem GROUP BY vec_id)
+        SELECT d.doc_id, d.lang, e.label, d.n_chars,
+               CAST(len(e.embedding) AS INTEGER) AS dim,
+               round(nrm.n, 6) AS vnorm
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+        JOIN nrm ON nrm.vec_id = e.vec_id
+        WHERE d.lang = 'en' AND e.label < 5
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text + vector in one row: documents ⋈ embeddings on id, filtered
+    by both text-side (lang) and vector-side (label) predicates."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .filter((F.col("lang") == "en") & (F.col("label") < 5))
+        .select(
+            "doc_id",
+            "lang",
+            "label",
+            "n_chars",
+            F.size("embedding").alias("dim"),
+            F.round(norm(as_double("embedding")), 6).alias("vnorm"),
+        )
+    )
+
+
+@register(
+    "embed_array_stats",
+    category="multimodal",
+    oracle="""
+        WITH elem AS (
+            SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        nrm AS (
+            SELECT vec_id, label, sqrt(sum(x * x)) AS n
+            FROM elem GROUP BY vec_id, label
+        )
+        SELECT label, count(*) AS n_vecs,
+               round(avg(n), 6) AS avg_norm,
+               round(min(n), 6) AS min_norm,
+               round(max(n), 6) AS max_norm
+        FROM nrm GROUP BY label
+    """,
+)
+def embed_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm statistics (HOF norm per row, then plain
+    aggregation — array math stays JVM-side)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "label", norm(as_double("embedding")).alias("n")
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("n"), 6).alias("avg_norm"),
+        F.round(F.min("n"), 6).alias("min_norm"),
+        F.round(F.max("n"), 6).alias("max_norm"),
+    )
+
+
+def _binary_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: opaque-bytes feature extraction.
+
+    Deterministic byte-level features only — the media decode step is
+    the stubbed ``decode_image``. Arrow hands each batch as a pandas
+    DataFrame with a ``bytes`` column for BinaryType."""
+    for pdf in batches:
+        content = pdf["content"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": content.map(len).astype("int64"),
+                "first_byte": content.map(lambda b: b[0] if len(b) else -1).astype(
+                    "int64"
+                ),
+            }
+        )
+
+
+@register(
+    "multimodal_binary_features",
+    category="multimodal",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN length(text) = 0 THEN -1
+                         ELSE ascii(substring(text, 1, 1)) END AS BIGINT) AS first_byte
+        FROM documents
+    """,
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline, end-to-end: cast text payloads to an
+    opaque BinaryType column, stream Arrow batches through a
+    ``mapInPandas`` feature extractor, return typed features. The
+    oracle reproduces the byte-level features in SQL (corpus text is
+    ASCII, so ascii(first char) == first byte)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return d.mapInPandas(_binary_features, "doc_id long, n_bytes long, first_byte long")
+
+
+def decode_image(content: bytes) -> "object":
+    """STUB — media decode is intentionally not implemented.
+
+    The execution container ships no image/audio/video libraries; a
+    production deployment would replace this body with (e.g.)
+    PIL/libvips decode inside the same ``mapInPandas`` kernel — the
+    Spark-side plumbing (BinaryType column in, fixed-schema features
+    out, Arrow batching, no shuffle) is exactly what
+    ``multimodal_binary_features`` exercises and tests.
+    """
+    raise NotImplementedError(
+        "media decode requires image/audio libraries absent from this environment"
+    )

@@ -1,0 +1,88 @@
+"""§2.A — scans / sources.
+
+Reference analog: ``sc.textFile`` over gzipped syslog + schema-on-read
+regex ([R-mem] ``analyze_ruleset.py``). Here sources are declared-schema
+parquet scans; projection and predicate reach the parquet reader via
+Catalyst (verified in tests/test_plans.py by inspecting ``ReadSchema``
+and ``PushedFilters`` in the formatted plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import schemas
+from ..plans.registry import register
+from ..sources.parquet import load
+
+
+@register(
+    "scan_parquet",
+    category="scan",
+    oracle="SELECT count(*) AS n FROM lineitem",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-file scan + count. Catalyst answers this from parquet
+    row-group metadata (no row materialization)."""
+    return load(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "scan_projection_pushdown",
+    category="scan",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning: reads 2 of 11 columns; ReadSchema in the physical
+    plan shows only these two (columnar win the row-oriented reference
+    could not express)."""
+    return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@register(
+    "scan_predicate_pushdown",
+    category="scan",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+)
+def scan_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushed into the parquet reader (row-group / page skipping
+    at scale). The reference filtered line-by-line in Python after full
+    decompression [R-mem]."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("ship_date"),
+    )
+
+
+@register(
+    "scan_schema_validate",
+    category="scan",
+    oracle=None,  # rows-only: engine-internal schema introspection
+)
+def scan_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared StructType vs parquet footer for every table; one row per
+    column with an ``ok`` verdict. Fails loudly (ok=false rows) instead
+    of silently inferring — schema drift at 100 TB is an outage."""
+    rows = []
+    for name in schemas.EXPECTED:
+        actual = {
+            f.name: schemas.normalize_type(f.dataType)
+            for f in load(spark, sf_dir, name).schema.fields
+        }
+        declared = {
+            f.name: schemas.normalize_type(f.dataType)
+            for f in schemas.EXPECTED[name].fields
+        }
+        for col, dtype in declared.items():
+            rows.append(
+                (name, col, dtype, actual.get(col, "<missing>"), actual.get(col) == dtype)
+            )
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, declared string, actual string, ok boolean"
+    )

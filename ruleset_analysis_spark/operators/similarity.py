@@ -1,0 +1,193 @@
+"""§2.G — similarity search over the ``embeddings`` table.
+
+Brute-force exact cosine top-k as the correctness baseline, a
+label-blocked pairwise threshold scan, and a random-hyperplane LSH
+(bucketed ANN) variant as the scale path.
+
+Scale notes: brute-force top-k is a broadcast of one probe vector + a
+per-row HOF fold + TakeOrderedAndProject — a single pass, no shuffle of
+the embedding table. The LSH variant routes probe and candidates
+through bucket ids (equi-join on the bucket key), the IVF-style pattern
+that turns ANN into a keyed join at cluster scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.vectors import as_double, cosine, dot, norm
+from ..plans.registry import register
+from ..sources.parquet import load
+
+_PROBE_ID = 0
+_TOP_K = 10
+
+_ORACLE_ELEM = """
+    WITH elem AS (
+        SELECT vec_id, label,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elem GROUP BY vec_id)
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    category="similarity",
+    oracle=_ORACLE_ELEM
+    + f"""
+        , dots AS (
+            SELECT e.vec_id, sum(e.x * p.x) AS d
+            FROM elem e JOIN elem p ON p.i = e.i AND p.vec_id = {_PROBE_ID}
+            WHERE e.vec_id <> {_PROBE_ID}
+            GROUP BY e.vec_id
+        )
+        SELECT d.vec_id, round(d.d / (na.n * np.n), 6) AS cos
+        FROM dots d
+        JOIN nrm na ON na.vec_id = d.vec_id
+        JOIN nrm np ON np.vec_id = {_PROBE_ID}
+        ORDER BY d.d / (na.n * np.n) DESC, d.vec_id ASC
+        LIMIT {_TOP_K}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN: top-10 cosine neighbors of probe vec_id=0.
+
+    The probe row is a broadcast 1-row join; similarity is a JVM
+    higher-order fold per candidate row; top-k plans as
+    TakeOrderedAndProject (per-partition heaps)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    probe = e.filter(F.col("vec_id") == _PROBE_ID).select(
+        F.col("v").alias("probe_v")
+    )
+    cos = cosine(F.col("v"), F.col("probe_v"))
+    return (
+        e.filter(F.col("vec_id") != _PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
+@register(
+    "sim_pairwise_threshold",
+    category="similarity",
+    oracle=_ORACLE_ELEM
+    + """
+        , dots AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                   sum(a.x * b.x) AS d
+            FROM elem a JOIN elem b
+              ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+            GROUP BY a.vec_id, b.vec_id, a.label
+        )
+        SELECT d.vec_a, d.vec_b, d.label, round(d.d / (na.n * nb.n), 6) AS cos
+        FROM dots d
+        JOIN nrm na ON na.vec_id = d.vec_a
+        JOIN nrm nb ON nb.vec_id = d.vec_b
+        WHERE d.d / (na.n * nb.n) >= 0.25
+    """,
+)
+def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All same-label pairs with cosine ≥ 0.25. The label is the blocking
+    key bounding join fan-out (Σ n_label² ≪ n² — at 100 TB the block key
+    would be an LSH bucket, see sim_ann_lsh)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.25)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )
+
+
+# Deterministic random hyperplanes for LSH: fixed seed, generated once at
+# import. 4 tables × 6 bits × 64 dims.
+_LSH_TABLES = 4
+_LSH_BITS = 6
+_PLANES = np.random.RandomState(42).randn(_LSH_TABLES, _LSH_BITS, 64)
+
+
+@register(
+    "sim_ann_lsh",
+    category="similarity",
+    oracle=None,  # rows-only: ANN candidate set is algorithm-specific by design
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN via random-hyperplane LSH (4 tables × 6-bit
+    buckets): exact cosine is computed only within the probe's buckets.
+
+    Pipeline: broadcast the (tiny, deterministic) hyperplane table →
+    per-row bucket signature per table (HOF dot + sign bits, no
+    shuffle) → equi-join candidates with the probe's signatures →
+    exact top-k on the candidate set. This is the IVF/LSH routing
+    pattern: at 100 TB the bucket id becomes the partition key and a
+    query touches only matching partitions."""
+    planes = spark.createDataFrame(
+        [
+            (t, b, [float(x) for x in _PLANES[t, b]])
+            for t in range(_LSH_TABLES)
+            for b in range(_LSH_BITS)
+        ],
+        "table_id int, bit_id int, plane array<double>",
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    # bucket id per (vector, table): sign bits packed into an int
+    bits = (
+        e.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "table_id",
+            (
+                F.when(dot(F.col("v"), F.col("plane")) > 0, F.lit(1)).otherwise(F.lit(0))
+                * F.expr("shiftleft(1, bit_id)")
+            ).alias("bit"),
+        )
+        .groupBy("vec_id", "table_id")
+        .agg(F.sum("bit").cast("int").alias("bucket"))
+    )
+    probe_buckets = bits.filter(F.col("vec_id") == _PROBE_ID).select(
+        "table_id", F.col("bucket").alias("probe_bucket")
+    )
+    cand_ids = (
+        bits.join(
+            F.broadcast(probe_buckets),
+            (bits.table_id == probe_buckets.table_id)
+            & (bits.bucket == probe_buckets.probe_bucket),
+        )
+        .filter(F.col("vec_id") != _PROBE_ID)
+        .select("vec_id")
+        .distinct()
+    )
+    probe = e.filter(F.col("vec_id") == _PROBE_ID).select(F.col("v").alias("probe_v"))
+    cos = cosine(F.col("v"), F.col("probe_v"))
+    return (
+        cand_ids.join(e, "vec_id")
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos"))
+    )

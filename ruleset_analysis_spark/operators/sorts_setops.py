@@ -1,0 +1,123 @@
+"""§2.F — sorts, limits, top-k, set operations.
+
+Reference analogs: ``sortBy(count, ascending=False)`` for the hit-count
+report and ``subtractByKey`` for set difference [R-mem
+``analyze_ruleset.py``]. Spark's TakeOrderedAndProject turns global
+top-k into a per-partition heap + tiny merge — no full sort at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.parquet import load
+
+
+@register(
+    "sort_multi_key",
+    category="sort",
+    oracle="""
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_custkey
+        ORDER BY revenue DESC, o_custkey ASC
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort (range-partitioned exchange at scale)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_custkey"))
+    )
+
+
+@register(
+    "limit_topk",
+    category="sort",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 — planned as TakeOrderedAndProject (per-partition
+    heaps, no global sort), the scale-correct top-k."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "setop_union_all",
+    category="setop",
+    oracle="""
+        SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr
+        FROM orders WHERE year(o_orderdate) = 1996
+        UNION ALL
+        SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr
+        FROM orders WHERE year(o_orderdate) = 1998
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+
+    def year_slice(yr: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == yr).select(
+            "o_orderkey", F.year("o_orderdate").alias("yr")
+        )
+
+    return year_slice(1996).unionByName(year_slice(1998))
+
+
+@register(
+    "setop_union_distinct",
+    category="setop",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        UNION
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "setop_intersect",
+    category="setop",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "setop_except",
+    category="setop",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference — the reference's ``subtractByKey`` analog [R-mem]."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return a.subtract(b)

@@ -1,0 +1,302 @@
+"""§2.G — text analysis over the ``documents`` table.
+
+LLM-data-pipeline operators (BASELINE.json north star): tokenization,
+TF-IDF, language stats, a language-ID heuristic, quality scoring, token
+counting, and document fingerprinting. All tokenization is JVM
+``split``/HOF — per-document work with no Python row path.
+
+Scale notes: per-document features (quality, fingerprint, token counts)
+are computed with higher-order functions on the token array — zero
+shuffles, embarrassingly parallel over 100 TB. Corpus-level statistics
+(TF-IDF document frequencies) are partial-aggregated groupBys keyed on
+the term — the classic word-count shuffle, whose reduce-side input is
+bounded by vocabulary size, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..functions.text import ALL_STOPWORDS, STOPWORDS, tokens
+from ..plans.registry import register
+from ..sources.parquet import load
+
+
+def _tokens_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(tokens("text")).alias("term"))
+
+
+@register(
+    "text_tokenize_counts",
+    category="text",
+    oracle="""
+        SELECT term, count(*) AS cnt FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+        ) WHERE term <> '' GROUP BY term
+    """,
+)
+def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency — the canonical word-count (and the shape
+    of the reference's hit-count [R-mem])."""
+    return (
+        _tokens_exploded(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    category="text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks WHERE term <> '' GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf_raw,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) DESC,
+                                tf.term
+                   ) AS rnk
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, round(tfidf_raw, 6) AS tfidf, CAST(rnk AS INTEGER) AS rnk
+        FROM scored WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with idf = ln(N/df); top-3 terms per document.
+
+    N is carried as a broadcast 1-row aggregate (no driver-side
+    ``collect`` — operators never act)."""
+    tf = (
+        _tokens_exploded(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = load(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf_raw = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(tfidf_raw.desc(), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            tfidf_raw.alias("tfidf_raw"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"), "rnk")
+    )
+
+
+@register(
+    "text_lang_stats",
+    category="text",
+    oracle="""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg emitted as exact-int-sum / count — both engines divide the
+    identical integers, so the double is bit-identical with no rounding."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_LANG_ORDER = ("en", "fr", "es", "de", "zh")
+
+
+def _score_expr(lang: str) -> Column:
+    """#distinct function words of ``lang`` present in the doc's tokens."""
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tokens("text")),
+            F.array(*[F.lit(w) for w in STOPWORDS[lang]]),
+        )
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    category="text",
+    oracle="""
+        SELECT doc_id, lang, {scores},
+               CASE {cases} ELSE 'und' END AS pred_lang
+        FROM documents
+    """.format(
+        scores=", ".join(
+            "CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), "
+            f"{list(STOPWORDS[lg])})) AS INTEGER) AS s_{lg}"
+            for lg in _LANG_ORDER
+        ),
+        cases=" ".join(
+            "WHEN "
+            + " AND ".join(
+                f"len(list_intersect(list_distinct(string_split(lower(text), ' ')), "
+                f"{list(STOPWORDS[lg])})) >= "
+                f"len(list_intersect(list_distinct(string_split(lower(text), ' ')), "
+                f"{list(STOPWORDS[other])}))"
+                for other in _LANG_ORDER
+                if other != lg
+            )
+            + f" THEN '{lg}'"
+            for lg in _LANG_ORDER
+        ),
+    ),
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word language-ID heuristic: score each language by its
+    function words present, predict the argmax (ties broken by a fixed
+    language priority — spelled as the same CASE chain in both engines).
+    An n-gram-profile upgrade would follow the same blocked-join shape."""
+    d = load(spark, sf_dir, "documents")
+    scores = {lg: _score_expr(lg) for lg in _LANG_ORDER}
+    pred = F.lit("und")
+    for lg in reversed(_LANG_ORDER):
+        cond = None
+        for other in _LANG_ORDER:
+            if other == lg:
+                continue
+            c = scores[lg] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, lg).otherwise(pred)
+    return d.select(
+        "doc_id",
+        "lang",
+        *[scores[lg].alias(f"s_{lg}") for lg in _LANG_ORDER],
+        pred.alias("pred_lang"),
+    )
+
+
+@register(
+    "text_quality_score",
+    category="text",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        stats AS (
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   count(DISTINCT term) AS n_distinct,
+                   sum(length(term)) AS sum_len,
+                   count(CASE WHEN term IN {ALL_STOPWORDS} THEN 1 END) AS n_stop
+            FROM toks WHERE term <> '' GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+               CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+               0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                   + 0.3 * (1 - CAST(n_stop AS DOUBLE) / n_tokens)
+                   + 0.2 * least(1.0, n_tokens / 100.0) AS quality
+        FROM stats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length, lexical diversity, stopword
+    ratio) + a composite score — computed with HOFs on the token array:
+    no explode, no shuffle, O(doc) per doc.
+
+    Ratios are emitted UNROUNDED: both engines divide identical integers
+    and combine with the same literal weights in the same order, so the
+    doubles are bit-identical (rounding would risk half-ties for
+    power-of-two token counts)."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast(
+        "double"
+    )
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*ALL_STOPWORDS))
+    ).cast("double")
+    ttr = n_distinct / n_tokens
+    stop_ratio = n_stop / n_tokens
+    quality = (
+        0.5 * ttr
+        + 0.3 * (1 - stop_ratio)
+        + 0.2 * F.least(F.lit(1.0), n_tokens / 100.0)
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (sum_len / n_tokens).alias("avg_token_len"),
+        ttr.alias("type_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    category="text",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, regex word classes (a
+    BPE-ish pre-tokenizer split), and the chars/4 BPE estimate."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
+        .cast("bigint")
+        .alias("n_num"),
+        F.ceil(F.col("n_chars") / 4.0).alias("est_bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    category="text",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(lower(text), ' '))), ' ')) AS fingerprint
+        FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint (sorted distinct token bag →
+    md5) — the standard clustering key for template/boilerplate
+    detection in web-scale corpora."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
+        ).alias("fingerprint"),
+    )

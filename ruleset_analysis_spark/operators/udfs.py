@@ -1,0 +1,108 @@
+"""§2.H — the declared (and deliberately small) Python UDF surface.
+
+The reference ran 100% of its logic as per-record Python lambdas over
+RDDs, paying Py4J/pickle serde per record [R-mem]. This engine inverts
+that: Catalyst built-ins everywhere, and the only Python in any row
+path is below — Arrow-vectorized pandas UDFs, each with a pure-SQL
+oracle proving the semantics.
+
+``tests/test_plans.py`` asserts no other graded query contains a
+Python eval node (ArrowEvalPython/BatchEvalPython/FlatMapGroupsInPandas).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..plans.registry import register
+from ..sources.parquet import load
+
+
+def _price_tier_fn(total: pd.Series) -> pd.Series:
+    """Series→series scalar pandas UDF kernel (Arrow batches, ~10-100×
+    the row-at-a-time Python UDF). Wrapped lazily — ``pandas_udf`` with
+    a DDL-string return type needs an active session."""
+    return pd.cut(
+        total,
+        bins=[float("-inf"), 50_000.0, 150_000.0, float("inf")],
+        labels=["S", "M", "L"],
+    ).astype(str)
+
+
+@register(
+    "udf_scalar_pandas",
+    category="udf",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice <= 50000 THEN 'S'
+                    WHEN o_totalprice <= 150000 THEN 'M'
+                    ELSE 'L' END AS tier
+        FROM orders
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    tier_udf = pandas_udf(_price_tier_fn, "string")
+    return o.select("o_orderkey", tier_udf("o_totalprice").alias("tier"))
+
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    v = pdf["value"]
+    out = pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "zscore": ((v - v.mean()) / v.std(ddof=1)).round(6),
+        }
+    )
+    return out
+
+
+@register(
+    "udaf_grouped_pandas",
+    category="udf",
+    oracle="""
+        SELECT event_id, user_id,
+               round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6)
+                   AS zscore
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-user z-score — a whole
+    pandas frame per group in, a frame out. The oracle proves it equals
+    the window-function formulation. Z-score (not plain demeaning)
+    because the irrational stddev denominator makes 6dp rounding
+    tie-free across engines — demeaned 2dp values hit exact half-ties
+    for 2-/5-smooth group sizes."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        _zscore, "event_id long, user_id long, zscore double"
+    )
+
+
+@register(
+    "udtf_split_props",
+    category="udf",
+    oracle="""
+        SELECT event_id, k AS key,
+               CAST(json_extract(props, '$.' || k) AS BIGINT) AS val
+        FROM (
+            SELECT event_id, props, unnest(json_keys(props)) AS k FROM events
+        )
+    """,
+)
+def udtf_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF-shaped expansion: JSON props → one row per key/value. Plain
+    ``explode(from_json(...))`` — no Python needed for the table
+    function (Spark 3.5 Python UDTFs exist, but the built-in lateral
+    explode is the fast path)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id", F.explode(m).alias("key", "val")
+    )

@@ -1,0 +1,165 @@
+"""§2.E — window functions.
+
+Not expressible in the reference's RDD surface (it sorted whole result
+sets instead, [R-mem] ``sortBy``); required for its "top talkers per
+rule" reporting style and for modern analytics parity.
+
+Determinism: every ORDER BY carries a unique tiebreak column so frame
+contents are identical between Spark and DuckDB. Frames are spelled
+explicitly on both sides — the engines' default frames differ for
+RANGE. Running/moving accumulations happen in identical frame order, so
+doubles match bit-for-bit; rounding is belt-and-braces.
+
+Scale notes: all windows partition by a key (user, segment, customer) —
+no global single-partition window except ``window_ntile_cume``, which
+is documented as a reporting-size-only op (use approx quantiles for
+cluster-scale ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..plans.registry import register
+from ..sources.parquet import load
+
+
+@register(
+    "window_rank_topk_per_group",
+    category="window",
+    oracle="""
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (PARTITION BY c.c_mktsegment
+                                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn,
+                   rank() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ) WHERE rn <= 3
+    """,
+)
+def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per market segment ("top talkers per rule")."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_sum",
+    category="window",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    category="window",
+    oracle="""
+        SELECT event_id, user_id,
+               round(value - lag(value) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id), 6) AS delta_prev,
+               round(lead(value) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) - value, 6) AS delta_next
+        FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 6).alias("delta_next"),
+    )
+
+
+@register(
+    "window_moving_avg_range",
+    category="window",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                        AS BIGINT) AS d,
+                   CAST(o_orderdate AS DATE) AS order_date,
+                   round(sum(o_totalprice), 2) AS day_total
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT order_date, day_total,
+               round(avg(day_total) OVER (
+                   ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        FROM daily
+    """,
+)
+def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average over a RANGE frame keyed on an integer
+    day-index (Spark rangeBetween needs a numeric ORDER BY; keeping the
+    same integer key in the oracle makes the frames provably identical)."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+        F.to_date("o_orderdate").alias("order_date"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+    w = Window.orderBy("d").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "order_date",
+        "day_total",
+        F.round(F.avg("day_total").over(w), 4).alias("ma7"),
+    )
+
+
+@register(
+    "window_ntile_cume",
+    category="window",
+    oracle="""
+        SELECT c_custkey,
+               CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile,
+               round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cd,
+               round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr
+        FROM customer
+    """,
+)
+def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ranking — reporting-size data only; at cluster scale use
+    approxQuantile / percentile_approx instead of a one-partition sort."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )

@@ -1,0 +1,118 @@
+"""SparkSession construction and session-level defaults.
+
+Two entry paths:
+
+* ``get_spark()`` — build our own tuned local-mode session (tests,
+  ``bench.py``, ad-hoc use).
+* ``ensure_session_defaults(spark)`` — make an *externally provided*
+  session (the grading driver's) safe for our queries. Only touches
+  runtime-settable SQL confs, never restarts the JVM.
+
+Why each conf matters:
+
+* ``spark.sql.session.timeZone=UTC`` — DuckDB (the correctness oracle)
+  uses naive/UTC timestamps; Spark TIMESTAMP is session-TZ-relative.
+  Pinning UTC makes collected datetimes bit-identical between engines.
+* ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events`` table
+  stores ``timestamp[ns]`` which Spark 4.x otherwise refuses to read
+  (PARQUET_TYPE_ILLEGAL). With this conf the column arrives as int64
+  nanoseconds and ``sources/parquet.py`` converts it with integer
+  division to microseconds — the same floor-truncation DuckDB applies.
+* ``spark.sql.shuffle.partitions`` — 200 (default) over-parallelizes
+  local-mode work; we size to ~cores. At cluster scale this would be
+  set per-job from input statistics (or left to AQE coalescing, which
+  we also enable).
+* Arrow execution — vectorized Python<->JVM transfer for the declared
+  pandas-UDF surface and fast ``collect``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Spark's Python workers.
+
+    The grading driver may import ``__spark_entry__`` from any cwd; the
+    executors' Python workers then cannot resolve
+    ``ruleset_analysis_spark`` for the pandas-UDF kernels (functions
+    pickle by reference). Shipping the package once per SparkContext
+    with ``addPyFile`` (the standard dependency-distribution API — on a
+    real cluster this would be the job's wheel/zip artifact) fixes the
+    worker import path in every launch mode."""
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.mkdtemp(prefix="ruleset_analysis_spark_"),
+        "ruleset_analysis_spark.zip",
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".pyc"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _SHIPPED_APPS.add(app_id)
+
+
+def ensure_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to any session. Idempotent, cheap."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS)
+            )
+    except Exception:  # conf unreadable — leave as-is
+        pass
+    _ship_package(spark)
+    return spark
+
+
+def get_spark(
+    app_name: str = "ruleset-analysis-spark",
+    cpus: int | None = None,
+    driver_memory: str = "16g",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a tuned local-mode session.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` then ``os.cpu_count()``.
+    Local mode is one JVM; ``spark.driver.memory`` is the only memory
+    knob that matters there.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS") or 0) or os.cpu_count() or 4
+    shuffle = shuffle_partitions or min(DEFAULT_SHUFFLE_PARTITIONS, max(8, cpus))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_session_defaults(spark)
