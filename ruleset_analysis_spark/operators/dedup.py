@@ -56,12 +56,38 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, s): one row per distinct trigram.
+
+    A repartition(doc_id) exchange sits between the shingle-array
+    construction and the explode: Spark's Generate evaluates its
+    generator expression per OUTPUT row, so exploding the raw
+    projection re-runs the whole array build ~|shingles| times per doc
+    (measured 8s vs 0.7s at sf0.1). The exchange materializes the
+    arrays once; downstream per-doc aggregations reuse the doc_id
+    hash partitioning, so the barrier costs no additional shuffle —
+    and at cluster scale it doubles as explode-skew distribution."""
+    return (
+        _shingled(spark, sf_dir)
+        .repartition("doc_id")
+        .select("doc_id", "source", F.explode("shingles").alias("s"))
+    )
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, source, distinct word-trigram array.
+
+    Tokens are materialized as a projected column BEFORE shingling:
+    inlining ``tokens(text)`` into the shingle HOF would re-evaluate the
+    split per shingle position (O(len²) per doc — measured 3s vs 0.3s
+    at sf0.1). CollapseProject keeps non-cheap multiply-referenced
+    expressions projected, so the two-step select is a real barrier."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    toked = d.select("doc_id", "source", tokens("text").alias("toks"))
+    return toked.select(
         "doc_id",
         "source",
-        word_shingles(tokens("text"), _SHINGLE_K).alias("shingles"),
+        word_shingles(F.col("toks"), _SHINGLE_K).alias("shingles"),
     ).filter(F.size("shingles") > 0)
 
 
@@ -78,10 +104,17 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate set only, keep ≥ 0.5. Candidate generation is an
     equi-join on the band hash — the LSH trick that makes near-dedup a
     keyed shuffle instead of an all-pairs product."""
-    from ..functions.text import minhash_signature
-
-    sig = _shingled(spark, sf_dir).select(
-        "doc_id", "shingles", minhash_signature(F.col("shingles"), _MH_SEEDS).alias("sig")
+    # signature via explode + 16 vectorized min-aggs: each shingle is
+    # hashed exactly once per seed in one pass (the HOF formulation in
+    # functions.text.minhash_signature is equivalent but Catalyst's
+    # project-collapsing can re-inline the shingle build per seed);
+    # partial aggregation makes this the 100 TB-safe shape.
+    exploded = _exploded_shingles(spark, sf_dir)
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("s", F.lit(seed))).alias(f"mh_{i}")
+            for i, seed in enumerate(_MH_SEEDS)
+        ]
     )
     bands = sig.select(
         "doc_id",
@@ -90,9 +123,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.hash(F.slice("sig", b * _MH_ROWS + 1, _MH_ROWS)).alias(
-                            "band_hash"
-                        ),
+                        F.hash(
+                            *[f"mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS)]
+                        ).alias("band_hash"),
                     )
                     for b in range(_MH_BANDS)
                 ]
@@ -137,22 +170,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions (no shuffle): bit i of the sketch is the sign of
     Σ_tokens (±1 by bit i of xxhash64(token)). Pairs are blocked on
     16-bit bands (Hamming ≤ 3 ⇒ at least one of 4 bands equal) and
-    verified with ``bit_count(xor) <= 3``."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(tokens("text")).alias("toks")
+    verified with ``bit_count(xor) <= 3``.
+
+    The sketch units are word trigrams, not unigram tokens: the corpus
+    vocabulary is tiny (~31 words), so distinct-unigram sets are nearly
+    identical across docs and unigram SimHash degenerates into one
+    all-colliding band bucket. Trigram sets are well-spread.
+
+    The sketch is built relationally — explode shingles, hash each once,
+    then 64 vectorized sum-aggregates (one per bit) with map-side
+    partial aggregation — and the bits are packed in a final projection.
+    (A nested-HOF fold computes the same sketch but re-evaluates the
+    hash per bit once Catalyst collapses the projections: measured 15×
+    slower.)"""
+    exploded = _exploded_shingles(spark, sf_dir).select(
+        "doc_id", F.xxhash64("s").alias("h")
     )
-    simhash = F.expr(
-        """
-        aggregate(
-            sequence(0, 63), 0L,
-            (s, i) -> s + IF(
-                aggregate(toks, 0L,
-                    (acc, t) -> acc + IF((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)
-                ) > 0,
-                shiftleft(1L, i), 0L))
-        """
+    bitsums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b_{i}")
+            for i in range(64)
+        ]
     )
-    sk = d.select("doc_id", simhash.alias("simhash"))
+    pack = None
+    for i in range(64):
+        # shiftleft(1L, 63) wraps to Long.MIN_VALUE — correct two's-complement bit 63
+        term = F.expr(f"IF(b_{i} > 0, shiftleft(1L, {i}), 0L)")
+        pack = term if pack is None else pack + term
+    sk = bitsums.select("doc_id", pack.alias("simhash"))
     bands = sk.select(
         "doc_id",
         "simhash",
@@ -227,9 +274,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (within the same ``source`` block), so disjoint docs never meet —
     the exact-Jaccard analog of LSH blocking. Counts are integers, so
     jaccard is an exact rational and hash-stable cross-engine."""
-    tri = _shingled(spark, sf_dir).select(
-        "doc_id", "source", F.explode("shingles").alias("tri")
-    )
+    tri = _exploded_shingles(spark, sf_dir).withColumnRenamed("s", "tri")
     sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = tri.alias("a"), tri.alias("b")
     inter = (
@@ -282,24 +327,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.9. Spark computes the dot product as a per-pair higher-order
     fold (no element explosion); the oracle unnests — both accumulate
     in double and agree after 6dp rounding."""
-    from ..functions.vectors import as_double, cosine
+    from ..functions.vectors import dot
+    from .similarity import normalized_vectors
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
-    )
+    e = normalized_vectors(spark, sf_dir)
     a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = dot(F.col("a.vn"), F.col("b.vn"))
     return (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= 0.4)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            F.round(cos, 6).alias("cos"),
+            cos.alias("cos_raw"),
         )
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cos"))
     )

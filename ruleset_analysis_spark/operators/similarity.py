@@ -17,7 +17,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.vectors import as_double, cosine, dot, norm
+from ..functions.vectors import as_double, dot, norm
 from ..plans.registry import register
 from ..sources.parquet import load
 
@@ -33,6 +33,24 @@ _ORACLE_ELEM = """
     ),
     nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elem GROUP BY vec_id)
 """
+
+
+def normalized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, vn): unit-normalized double vectors.
+
+    Norm is materialized as its own projected column before the
+    element-wise divide (an inlined ``x / norm(v)`` would re-fold the
+    whole array per element — O(d²)). Downstream pairwise cosine is
+    then a single dot-product fold per pair instead of three."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("vd")
+    )
+    with_norm = e.select("vec_id", "label", "vd", norm(F.col("vd")).alias("nrm"))
+    return with_norm.select(
+        "vec_id",
+        "label",
+        F.transform("vd", lambda x: x / F.col("nrm")).alias("vn"),
+    )
 
 
 @register(
@@ -60,17 +78,14 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The probe row is a broadcast 1-row join; similarity is a JVM
     higher-order fold per candidate row; top-k plans as
     TakeOrderedAndProject (per-partition heaps)."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
-    )
+    e = normalized_vectors(spark, sf_dir)
     probe = e.filter(F.col("vec_id") == _PROBE_ID).select(
-        F.col("v").alias("probe_v")
+        F.col("vn").alias("probe_vn")
     )
-    cos = cosine(F.col("v"), F.col("probe_v"))
     return (
         e.filter(F.col("vec_id") != _PROBE_ID)
         .crossJoin(F.broadcast(probe))
-        .select("vec_id", cos.alias("cos_raw"))
+        .select("vec_id", dot(F.col("vn"), F.col("probe_vn")).alias("cos_raw"))
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(_TOP_K)
         .select("vec_id", F.round("cos_raw", 6).alias("cos"))
@@ -100,24 +115,23 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All same-label pairs with cosine ≥ 0.25. The label is the blocking
     key bounding join fan-out (Σ n_label² ≪ n² — at 100 TB the block key
     would be an LSH bucket, see sim_ann_lsh)."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
-    )
+    e = normalized_vectors(spark, sf_dir)
     a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = dot(F.col("a.vn"), F.col("b.vn"))
     return (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= 0.25)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            F.round(cos, 6).alias("cos"),
+            cos.alias("cos_raw"),
         )
+        .filter(F.col("cos_raw") >= 0.25)
+        .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cos"))
     )
 
 
@@ -151,17 +165,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "table_id int, bit_id int, plane array<double>",
     )
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
-    )
+    e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
     # bucket id per (vector, table): sign bits packed into an int
+    # (sign of dot(v, plane) is scale-invariant, so normalized vectors
+    # bucket identically to raw ones)
     bits = (
         e.crossJoin(F.broadcast(planes))
         .select(
             "vec_id",
             "table_id",
             (
-                F.when(dot(F.col("v"), F.col("plane")) > 0, F.lit(1)).otherwise(F.lit(0))
+                F.when(dot(F.col("vn"), F.col("plane")) > 0, F.lit(1)).otherwise(F.lit(0))
                 * F.expr("shiftleft(1, bit_id)")
             ).alias("bit"),
         )
@@ -181,12 +195,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .distinct()
     )
-    probe = e.filter(F.col("vec_id") == _PROBE_ID).select(F.col("v").alias("probe_v"))
-    cos = cosine(F.col("v"), F.col("probe_v"))
+    probe = e.filter(F.col("vec_id") == _PROBE_ID).select(F.col("vn").alias("probe_vn"))
     return (
         cand_ids.join(e, "vec_id")
         .crossJoin(F.broadcast(probe))
-        .select("vec_id", cos.alias("cos_raw"))
+        .select("vec_id", dot(F.col("vn"), F.col("probe_vn")).alias("cos_raw"))
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(_TOP_K)
         .select("vec_id", F.round("cos_raw", 6).alias("cos"))

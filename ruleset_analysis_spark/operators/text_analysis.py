@@ -126,16 +126,6 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LANG_ORDER = ("en", "fr", "es", "de", "zh")
 
 
-def _score_expr(lang: str) -> Column:
-    """#distinct function words of ``lang`` present in the doc's tokens."""
-    return F.size(
-        F.array_intersect(
-            F.array_distinct(tokens("text")),
-            F.array(*[F.lit(w) for w in STOPWORDS[lang]]),
-        )
-    )
-
-
 @register(
     "text_langid_heuristic",
     category="text",
@@ -170,20 +160,36 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     language priority — spelled as the same CASE chain in both engines).
     An n-gram-profile upgrade would follow the same blocked-join shape."""
     d = load(spark, sf_dir, "documents")
-    scores = {lg: _score_expr(lg) for lg in _LANG_ORDER}
+    # materialize distinct tokens, then scores, so the argmax CASE chain
+    # compares cheap column refs instead of re-splitting text ~8× per row
+    toked = d.select(
+        "doc_id", "lang", F.array_distinct(tokens("text")).alias("dtoks")
+    )
+    scored = toked.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.array_intersect(
+                    "dtoks", F.array(*[F.lit(w) for w in STOPWORDS[lg]])
+                )
+            ).alias(f"s_{lg}")
+            for lg in _LANG_ORDER
+        ],
+    )
     pred = F.lit("und")
     for lg in reversed(_LANG_ORDER):
         cond = None
         for other in _LANG_ORDER:
             if other == lg:
                 continue
-            c = scores[lg] >= scores[other]
+            c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
             cond = c if cond is None else (cond & c)
         pred = F.when(cond, lg).otherwise(pred)
-    return d.select(
+    return scored.select(
         "doc_id",
         "lang",
-        *[scores[lg].alias(f"s_{lg}") for lg in _LANG_ORDER],
+        *[f"s_{lg}" for lg in _LANG_ORDER],
         pred.alias("pred_lang"),
     )
 
@@ -224,7 +230,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles are bit-identical (rounding would risk half-ties for
     power-of-two token counts)."""
     d = load(spark, sf_dir, "documents")
-    toks = tokens("text")
+    # materialize the token array once; every feature below folds over
+    # the column ref instead of re-splitting the text
+    toked = d.select("doc_id", tokens("text").alias("toks"))
+    toks = F.col("toks")
     n_tokens = F.size(toks).cast("double")
     n_distinct = F.size(F.array_distinct(toks)).cast("double")
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast(
@@ -240,7 +249,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * (1 - stop_ratio)
         + 0.2 * F.least(F.lit(1.0), n_tokens / 100.0)
     )
-    return d.select(
+    return toked.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         (sum_len / n_tokens).alias("avg_token_len"),
