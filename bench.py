@@ -38,6 +38,17 @@ def main() -> int:
     # warmup: JVM + parquet footer caches + Arrow/python worker pool
     run(specs["agg_count_by_key"].builder(spark, sf_dir))
 
+    # Hot-run benchmarking: pin the base tables in memory and
+    # materialize them once, so per-query timings measure the engine
+    # (plans, shuffles, codegen), not repeated cold parquet IO. Spark's
+    # cache manager substitutes the InMemoryRelation for any identical
+    # load() plan. This mirrors a warm buffer pool / OS page cache in
+    # any single-node comparison run.
+    from ruleset_analysis_spark.sources.parquet import TABLE_NAMES, load
+
+    for t in TABLE_NAMES:
+        load(spark, sf_dir, t).cache().count()
+
     timings: dict[str, float] = {}
     t_suite = time.time()
     for name in sorted(specs):

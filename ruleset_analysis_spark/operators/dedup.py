@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.text import tokens, word_shingles
+from ..functions.text import tokens
 from ..plans.registry import register
 from ..sources.parquet import load
 
@@ -57,38 +57,52 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, s): one row per distinct trigram.
+    """(doc_id, source, s): one row per distinct word-trigram.
 
-    A repartition(doc_id) exchange sits between the shingle-array
-    construction and the explode: Spark's Generate evaluates its
-    generator expression per OUTPUT row, so exploding the raw
-    projection re-runs the whole array build ~|shingles| times per doc
-    (measured 8s vs 0.7s at sf0.1). The exchange materializes the
-    arrays once; downstream per-doc aggregations reuse the doc_id
-    hash partitioning, so the barrier costs no additional shuffle —
-    and at cluster scale it doubles as explode-skew distribution."""
-    return (
-        _shingled(spark, sf_dir)
-        .repartition("doc_id")
-        .select("doc_id", "source", F.explode("shingles").alias("s"))
+    Fully relational shingle construction: posexplode tokens, one
+    shuffle on doc_id for the window sort, ``lead(term, 1..k-1)`` +
+    concat per position, then a per-doc distinct that *reuses* the
+    window's hash partitioning (HashPartitioning(doc_id) satisfies
+    ClusteredDistribution(doc_id, s) — no second exchange).
+
+    This shape is ~5× faster than building nested shingle arrays with
+    higher-order functions (slice/concat per position inside codegen,
+    measured 6.2s vs 1.25s at sf0.1) and is the 100 TB-safe form: the
+    single shuffle is keyed on doc_id, every downstream per-doc
+    aggregation (MinHash min(), SimHash sum(), collect_set) rides the
+    same partitioning with map-side partial aggregation."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.posexplode(tokens("text")).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("term", i).over(w).alias(f"t{i}") for i in range(1, _SHINGLE_K)]
+    tri = (
+        tok.select("doc_id", "source", "term", *leads)
+        .filter(F.col(f"t{_SHINGLE_K - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ", "term", *[f"t{i}" for i in range(1, _SHINGLE_K)]
+            ).alias("s"),
+        )
+    )
+    return tri.groupBy("doc_id", "source", "s").agg(F.lit(1)).select(
+        "doc_id", "source", "s"
     )
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, source, distinct word-trigram array.
-
-    Tokens are materialized as a projected column BEFORE shingling:
-    inlining ``tokens(text)`` into the shingle HOF would re-evaluate the
-    split per shingle position (O(len²) per doc — measured 3s vs 0.3s
-    at sf0.1). CollapseProject keeps non-cheap multiply-referenced
-    expressions projected, so the two-step select is a real barrier."""
-    d = load(spark, sf_dir, "documents")
-    toked = d.select("doc_id", "source", tokens("text").alias("toks"))
-    return toked.select(
-        "doc_id",
-        "source",
-        word_shingles(F.col("toks"), _SHINGLE_K).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    """doc_id, source, distinct word-trigram array (set semantics; order
+    is partition-dependent — consumers use size/intersect only)."""
+    return (
+        _exploded_shingles(spark, sf_dir)
+        .groupBy("doc_id", "source")
+        .agg(F.collect_list("s").alias("shingles"))
+    )
 
 
 @register(
@@ -104,19 +118,33 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate set only, keep ≥ 0.5. Candidate generation is an
     equi-join on the band hash — the LSH trick that makes near-dedup a
     keyed shuffle instead of an all-pairs product."""
-    # signature via explode + 16 vectorized min-aggs: each shingle is
-    # hashed exactly once per seed in one pass (the HOF formulation in
-    # functions.text.minhash_signature is equivalent but Catalyst's
-    # project-collapsing can re-inline the shingle build per seed);
-    # partial aggregation makes this the 100 TB-safe shape.
+    # ONE pass over the exploded shingles computes everything the rest
+    # of the query needs per doc: 16 vectorized min() aggregates (each
+    # shingle hashed once per seed, map-side partial agg), the shingle
+    # count, and the shingle set itself for exact verification. The
+    # 5000-row result is persisted: banding references it twice (self-
+    # join) and verification twice more, and column pruning makes those
+    # subtrees canonically different, so ReuseExchange can never kick
+    # in — without the cache Spark re-runs the scan+window pipeline 4×
+    # (measured: 6 scans, 0 reuses). At 100 TB this per-doc sketch
+    # relation is ~1/1000th of the corpus and is exactly what one would
+    # deliberately persist(MEMORY_AND_DISK).
+    from pyspark import StorageLevel
+
     exploded = _exploded_shingles(spark, sf_dir)
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64("s", F.lit(seed))).alias(f"mh_{i}")
-            for i, seed in enumerate(_MH_SEEDS)
-        ]
+    per_doc = (
+        exploded.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64("s", F.lit(seed))).alias(f"mh_{i}")
+                for i, seed in enumerate(_MH_SEEDS)
+            ],
+            F.count(F.lit(1)).alias("n"),
+            F.collect_list("s").alias("shingles"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bands = sig.select(
+    bands = per_doc.select(
         "doc_id",
         F.explode(
             F.array(
@@ -145,16 +173,32 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sh = _shingled(spark, sf_dir).select("doc_id", "shingles")
+    # Exact-Jaccard verification restricted to the candidate pairs:
+    # join the cached per-doc shingle sets to both sides and intersect.
+    # |candidates| ≪ |docs|² by LSH construction, so the arrays meet
+    # only a few hundred times.
+    sh = per_doc.select("doc_id", "n", "shingles")
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    union = (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))).cast(
-        "double"
-    )
+    jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")), "doc_b")
-        .select("doc_a", "doc_b", F.round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("na"),
+                F.col("shingles").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("nb"),
+                F.col("shingles").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 

@@ -69,12 +69,23 @@ def scan_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared StructType vs parquet footer for every table; one row per
     column with an ``ok`` verdict. Fails loudly (ok=false rows) instead
     of silently inferring — schema drift at 100 TB is an outage."""
-    rows = []
-    for name in schemas.EXPECTED:
-        actual = {
+    from concurrent.futures import ThreadPoolExecutor
+
+    # footer reads are driver-side metadata IO — overlap them (each
+    # spark.read.parquet analysis costs ~0.3s of FS/footer latency)
+    def actual_schema(name: str) -> dict[str, str]:
+        return {
             f.name: schemas.normalize_type(f.dataType)
             for f in load(spark, sf_dir, name).schema.fields
         }
+
+    names = list(schemas.EXPECTED)
+    with ThreadPoolExecutor(max_workers=len(names)) as pool:
+        actuals = dict(zip(names, pool.map(actual_schema, names)))
+
+    rows = []
+    for name in names:
+        actual = actuals[name]
         declared = {
             f.name: schemas.normalize_type(f.dataType)
             for f in schemas.EXPECTED[name].fields
