@@ -1,0 +1,58 @@
+"""Sinks: result materialization.
+
+The reference ended every job with ``saveAsTextFile`` ([R-mem]
+``analyze_ruleset.py``; provenance in SURVEY.md §0). Here results land
+in columnar formats with explicit layout control — the two knobs that
+matter at 100 TB are *file count* (small-files problem) and *partition
+columns* (downstream pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    sort_within_partitions: list[str] | None = None,
+) -> None:
+    """Overwrite-mode parquet sink.
+
+    * ``partition_by`` — hive-style directory partitioning; downstream
+      readers get static + dynamic partition pruning for free.
+    * ``max_records_per_file`` — bounds file size without an extra
+      repartition job.
+    * ``sort_within_partitions`` — clusters rows so parquet min/max
+      page stats become selective (poor-man's z-order for one key).
+    """
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    w = df.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV sink for human-readable exports. ``single_file`` coalesces to
+    one writer task — only for small results (a coalesce(1) on a large
+    result serializes the whole job through one task)."""
+    if single_file:
+        df = df.coalesce(1)
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_partitioned_report(df: DataFrame, path: str, date_col: str) -> None:
+    """Date-partitioned parquet — the archival layout for periodic
+    reports (the reference re-ran over month directories; this layout
+    makes 'one month' a partition-pruned scan, not a glob)."""
+    from pyspark.sql import functions as F
+
+    df.withColumn("report_date", F.to_date(date_col)).write.mode(
+        "overwrite"
+    ).partitionBy("report_date").parquet(path)
