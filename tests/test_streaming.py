@@ -1,0 +1,149 @@
+"""Structured Streaming: stream results must equal batch results.
+
+Strategy (SURVEY.md §5 differential idea, applied to streaming): drain
+a file-source stream over the sf0.001 events table with availableNow
+and compare against the equivalent batch aggregation on the same rows.
+A multi-micro-batch run (maxFilesPerTrigger=1 over split input) checks
+state carry-over between batches."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ruleset_analysis_spark.sources.parquet import load
+from ruleset_analysis_spark.streaming import event_streams as es
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(tmp_path_factory, spark):
+    """Events split into 3 files ordered by ts → 3 micro-batches with
+    maxFilesPerTrigger=1."""
+    d = tmp_path_factory.mktemp("events_split")
+    ev = load(spark, SF_DIR, "events").orderBy("ts").collect()
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n = batch.count()
+    third = n // 3
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet").orderBy("ts").collect()
+    for i in range(3):
+        rows = raw[i * third : (i + 1) * third] if i < 2 else raw[2 * third :]
+        spark.createDataFrame(rows, batch.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(d / f"chunk_{i}"))
+        # flatten: move the part file up with an ordered name
+        part = next(
+            f for f in os.listdir(d / f"chunk_{i}") if f.startswith("part-")
+        )
+        shutil.move(str(d / f"chunk_{i}" / part), str(d / f"{i:02d}.parquet"))
+        shutil.rmtree(d / f"chunk_{i}")
+        os.utime(d / f"{i:02d}.parquet", (1700000000 + i, 1700000000 + i))
+    assert len(ev) == n
+    return str(d)
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir):
+    stream = es.tumbling_counts(es.read_event_stream(spark, events_dir))
+    got = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in es.drain_to_memory(stream, "t_tumbling").collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    want = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_session_equals_batch(spark, events_dir):
+    stream = es.session_counts(es.read_event_stream(spark, events_dir))
+    got = {
+        (r["user_id"], r["sess_start"]): (r["sess_end"], r["n_events"])
+        for r in es.drain_to_memory(stream, "t_session").collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    want = {
+        (r["user_id"], r["sess_start"]): (r["sess_end"], r["n_events"])
+        for r in ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stateful_running_totals_across_batches(spark, split_events_dir):
+    """applyInPandasWithState must accumulate across micro-batches: with
+    update-mode output, the LAST emitted total per user equals the
+    user's all-time event count."""
+    stream = es.running_user_totals(
+        es.read_event_stream(spark, split_events_dir, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("t_totals")
+    # update mode appends one row per (user, batch); max() = final state
+    got = {
+        r["user_id"]: r["final"]
+        for r in emitted.groupBy("user_id")
+        .agg(F.max("total_events").alias("final"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # state really carried across >1 micro-batch: some user must appear
+    # in multiple batches with growing totals
+    multi = (
+        emitted.groupBy("user_id").agg(F.count(F.lit(1)).alias("k")).filter("k > 1")
+    )
+    assert multi.count() > 0
+
+
+def test_foreachbatch_parquet_sink_roundtrip(spark, events_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = es.read_event_stream(spark, events_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    es.write_stream_parquet(stream, out, ckpt, partition_by=["event_date"])
+    back = spark.read.parquet(out)
+    assert back.count() == load(spark, SF_DIR, "events").count()
+    assert any(p.startswith("event_date=") for p in os.listdir(out))
+
+
+def test_watermark_declared_in_plan(spark, events_dir):
+    """The watermark must appear in the analyzed streaming plan (late-
+    data policy is declared, not implied)."""
+    stream = es.tumbling_counts(es.read_event_stream(spark, events_dir))
+    assert "watermark" in stream._jdf.queryExecution().analyzed().toString().lower()
