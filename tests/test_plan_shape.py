@@ -1,0 +1,124 @@
+"""Plan-shape assertions: the optimizer properties we rely on at scale.
+
+Correctness tests prove the queries give right answers at sf0.01;
+these prove the *plans* stay scale-safe: filters reach the parquet
+scan, projections prune columns, the dimension side of the hit-count
+join broadcasts, top-k plans as TakeOrderedAndProject, and no
+registered query smuggles row-at-a-time Python outside the declared
+§2.H pandas-UDF surface. A regression here is invisible at sf0.01 and
+an outage at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ruleset_analysis_spark.plans.registry import all_specs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Queries allowed to put Python in the executor hot path: the declared
+# pandas-UDF surface (§2.H) + the multimodal feature extractors whose
+# kernels are Arrow-batched by design (§2.G stubs).
+PYTHON_ALLOWED = {
+    "udf_scalar_pandas",
+    "udaf_grouped_pandas",
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
+    "multimodal_decode_stub",
+}
+
+
+def _physical(spark, name: str) -> str:
+    df = all_specs()[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(spark, name: str) -> str:
+    df = all_specs()[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_predicate_reaches_parquet(spark):
+    plan = _physical(spark, "scan_predicate_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_projection_prunes_scan(spark):
+    plan = _physical(spark, "scan_projection_pushdown")
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    # the other 14 lineitem columns must not be read
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_small_dimension_broadcasts(spark):
+    assert "BroadcastHashJoin" in _physical(spark, "join_broadcast")
+
+
+def test_flagship_dimension_broadcasts(spark):
+    # rule_usage_report: rules dim must broadcast, hits side must not shuffle
+    # for the join itself (left side of BroadcastHashJoin)
+    assert "BroadcastHashJoin" in _physical(spark, "rule_usage_report")
+
+
+def test_topk_is_take_ordered(spark):
+    # global ORDER BY + LIMIT must not materialize a full sort
+    assert "TakeOrderedAndProject" in _physical(spark, "limit_topk")
+
+
+def test_anti_and_semi_join_strategies(spark):
+    assert "LeftAnti" in _physical(spark, "join_left_anti")
+    assert "LeftSemi" in _physical(spark, "join_left_semi")
+
+
+def test_aggregates_are_partial(spark):
+    # partial->final hash aggregation (map-side combine), not a naive
+    # shuffle-everything aggregation
+    plan = _physical(spark, "agg_count_by_key")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # AQE wraps stages lazily and only materializes codegen spans at
+    # execution; disable it for this one check so the static physical
+    # plan shows the WholeStageCodegen pipelines
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = all_specs()["agg_multi"].builder(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # '*(n)' prefixes mark operators inside WholeStageCodegen stage n;
+    # both the partial and final aggregate must be inside one
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+@pytest.mark.parametrize("name", sorted(all_specs()))
+def test_no_undeclared_python_in_plan(spark, name):
+    """Row-at-a-time Python (BatchEvalPython) is banned everywhere;
+    Arrow-batched Python (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas) only on the declared surface."""
+    plan = _physical(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    if name not in PYTHON_ALLOWED:
+        for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert node not in plan, f"{name}: undeclared Python stage {node}"
+
+
+def test_exploded_shingle_pipeline_single_shuffle(spark):
+    """The dedup shingle pipeline must stay one keyed exchange before
+    per-doc aggregation (window sort reused by groupBy)."""
+    from ruleset_analysis_spark.operators.dedup import _exploded_shingles
+
+    df = _exploded_shingles(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_filter_pushed_through_join(spark):
+    """Catalyst pushes the lang filter below the multimodal join into
+    the documents scan."""
+    plan = _physical(spark, "multimodal_join")
+    assert "PushedFilters" in plan
