@@ -139,6 +139,106 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_binary_features, "doc_id long, n_bytes long, first_byte long")
 
 
+_FRAME_BYTES = 16
+_FRAME_STRIDE = 4  # sample every 4th frame
+_RESIZE_TO = 8
+
+
+def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: video-style frame sampling over opaque bytes.
+
+    Treats each payload as a sequence of fixed-size frames and emits
+    every ``_FRAME_STRIDE``-th frame's metadata — the exact plumbing a
+    real video sampler has (explode one row into many, typed schema,
+    Arrow both ways), with the codec decode replaced by deterministic
+    byte slicing."""
+    for pdf in batches:
+        out_doc, out_idx, out_len, out_first = [], [], [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            n_frames = (len(content) + _FRAME_BYTES - 1) // _FRAME_BYTES
+            for fi in range(0, n_frames, _FRAME_STRIDE):
+                frame = content[fi * _FRAME_BYTES : (fi + 1) * _FRAME_BYTES]
+                out_doc.append(doc_id)
+                out_idx.append(fi)
+                out_len.append(len(frame))
+                out_first.append(frame[0] if frame else -1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int64"),
+                "frame_len": pd.Series(out_len, dtype="int64"),
+                "first_byte": pd.Series(out_first, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    category="multimodal",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(least({_FRAME_BYTES}, n - frame_idx * {_FRAME_BYTES}) AS BIGINT)
+                   AS frame_len,
+               CAST(ascii(substring(text, frame_idx * {_FRAME_BYTES} + 1, 1)) AS BIGINT)
+                   AS first_byte
+        FROM b,
+             unnest(range(0, CAST(ceil(n / {_FRAME_BYTES}.0) AS BIGINT),
+                          {_FRAME_STRIDE})) AS t(frame_idx)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline: one input row explodes into one row per
+    sampled frame through an Arrow-batched kernel (no shuffle; frames
+    of a payload stay in their input partition). The oracle reproduces
+    the byte arithmetic in SQL — ASCII corpus makes
+    substring-on-text == slice-on-bytes."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return d.mapInPandas(
+        _frame_sample, "doc_id long, frame_idx long, frame_len long, first_byte long"
+    )
+
+
+def _resize_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: 'resize' an opaque payload to a fixed-length
+    byte signature by stride sampling — the deterministic stand-in for
+    an image resize (real impl: decode → interpolate → re-encode in
+    this same kernel; see ``decode_image``). Output schema is a typed
+    fixed-length array column, the shape a thumbnail/patch pipeline
+    produces."""
+    for pdf in batches:
+        sigs = []
+        for content in pdf["content"]:
+            if len(content) == 0:
+                sigs.append([-1] * _RESIZE_TO)
+                continue
+            stride = max(1, len(content) // _RESIZE_TO)
+            sig = [content[i * stride] for i in range(_RESIZE_TO) if i * stride < len(content)]
+            sigs.append(sig + [-1] * (_RESIZE_TO - len(sig)))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "byte_sig": sigs})
+
+
+@register(
+    "multimodal_resize",
+    category="multimodal",
+    oracle=None,  # rows-only: fixed-length signature array, engine-side kernel
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-shaped plumbing: opaque bytes in, fixed-length
+    array<int> signature out, via the same Arrow kernel path a real
+    thumbnailer uses."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return d.mapInPandas(_resize_fake, "doc_id long, byte_sig array<int>")
+
+
 def decode_image(content: bytes) -> "object":
     """STUB — media decode is intentionally not implemented.
 

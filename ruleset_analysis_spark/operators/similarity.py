@@ -204,3 +204,60 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOP_K)
         .select("vec_id", F.round("cos_raw", 6).alias("cos"))
     )
+
+
+_IVF_NLIST = 16
+_IVF_NPROBE = 4
+
+
+@register(
+    "sim_ann_ivf",
+    category="similarity",
+    oracle=None,  # rows-only: k-means cell assignment is model-dependent
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse k-means quantizer partitions
+    the corpus into ``nlist`` cells; a probe searches only the
+    ``nprobe`` nearest cells, then ranks exactly within them.
+
+    This is the scale path beyond LSH for curated corpora: the cell id
+    becomes the partition/bucket key of the vector table, so a query
+    touches nprobe/nlist of the data — a keyed, prunable scan instead
+    of all-pairs. Training uses Spark MLlib KMeans (distributed
+    Lloyd's); cell assignment is ``model.transform`` (JVM); only the
+    16×64 centroid matrix and the single probe vector — model
+    parameters and the query, not data — come to the driver to pick
+    the probe cells.
+
+    Recall guard: unit vectors make Euclidean-nearest == cosine-nearest
+    cells (||a-b||² = 2-2cos), so IVF cell routing agrees with the
+    cosine ranking it prunes for."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = normalized_vectors(spark, sf_dir)
+    feats = e.select("vec_id", "vn", array_to_vector("vn").alias("features"))
+    model = KMeans(
+        k=_IVF_NLIST, seed=7, maxIter=10, featuresCol="features", predictionCol="cell"
+    ).fit(feats)
+    assigned = model.transform(feats).select("vec_id", "vn", "cell")
+
+    probe_vec = np.array(
+        e.filter(F.col("vec_id") == _PROBE_ID).select("vn").first()[0]
+    )
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    d2 = ((centers - probe_vec) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d2)[:_IVF_NPROBE]]
+
+    probe = assigned.filter(F.col("vec_id") == _PROBE_ID).select(
+        F.col("vn").alias("probe_vn")
+    )
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != _PROBE_ID)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", dot(F.col("vn"), F.col("probe_vn")).alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", F.round("cos_raw", 6).alias("cos"))
+    )

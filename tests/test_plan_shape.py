@@ -25,7 +25,7 @@ PYTHON_ALLOWED = {
     "udaf_grouped_pandas",
     "multimodal_binary_features",
     "multimodal_frame_sample",
-    "multimodal_decode_stub",
+    "multimodal_resize",
 }
 
 
