@@ -1,0 +1,177 @@
+"""Property-based tests (SURVEY.md §5: property-style spot checks).
+
+Pure-Python properties (ASA config expansion) run with full hypothesis
+example counts; Spark-backed properties pin ``max_examples`` low and
+``deadline=None`` — each example is a real local-mode job."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Window, functions as F
+
+from ruleset_analysis_spark.sources.asa_config import parse_asa_config
+
+# ---------------------------------------------------------------- ASA parser
+
+_ip = st.tuples(*[st.integers(0, 255)] * 4).map(lambda t: ".".join(map(str, t)))
+_group_name = st.sampled_from(["G1", "G2", "G3"])
+_acl_name = st.sampled_from(["ACL_A", "ACL_B"])
+
+
+@st.composite
+def _configs(draw):
+    """Random-but-valid ASA configs: network groups of hosts + ACL
+    statements referencing them (or any/host endpoints)."""
+    groups = {}
+    for g in draw(st.lists(_group_name, unique=True, max_size=3)):
+        groups[g] = draw(st.lists(_ip, min_size=1, max_size=4, unique=True))
+    lines = []
+    for g, hosts in groups.items():
+        lines.append(f"object-group network {g}")
+        lines += [f" network-object host {h}" for h in hosts]
+    n_rules = draw(st.integers(1, 5))
+    rules = []
+    for _ in range(n_rules):
+        acl = draw(_acl_name)
+        src = draw(st.sampled_from(["any", "group", "host"]))
+        dst = draw(st.sampled_from(["any", "group", "host"]))
+        if ("group" in (src, dst)) and not groups:
+            src = dst = "any"
+        pick = lambda kind: (  # noqa: E731
+            "any"
+            if kind == "any"
+            else (
+                f"object-group {draw(st.sampled_from(sorted(groups)))}"
+                if kind == "group"
+                else f"host {draw(_ip)}"
+            )
+        )
+        port = draw(st.sampled_from(["", "eq 443", "range 1000 2000"]))
+        action = draw(st.sampled_from(["permit", "deny"]))
+        stmt = f"access-list {acl} extended {action} tcp {pick(src)} {pick(dst)} {port}".strip()
+        lines.append(stmt)
+        rules.append((acl, src, dst, groups))
+    return "\n".join(lines), rules, groups
+
+
+@given(_configs())
+@settings(max_examples=200)
+def test_asa_expansion_invariants(cfg):
+    text, rules, groups = cfg
+    rows = parse_asa_config(text)
+    # every expanded row is well-formed
+    for r in rows:
+        assert 0 <= r["port_lo"] <= r["port_hi"] <= 65535
+        assert r["src_net"].split("/")[1].isdigit()
+        assert r["action"] in ("permit", "deny")
+    # rule_ids are 1..n_statements per acl, dense
+    by_acl: dict[str, set[int]] = {}
+    for r in rows:
+        by_acl.setdefault(r["acl"], set()).add(r["rule_id"])
+    from collections import Counter
+
+    stmt_counts = Counter(acl for acl, *_ in rules)
+    for acl, ids in by_acl.items():
+        assert ids == set(range(1, stmt_counts[acl] + 1))
+    # expansion count per statement = |src expansion| × |dst expansion|
+    sizes = {g: len(hs) for g, hs in groups.items()}
+    seen = Counter((r["acl"], r["rule_id"]) for r in rows)
+    per_acl_rule = {}
+    for i, (acl, src, dst, _) in enumerate(rules):
+        per_acl_rule.setdefault(acl, []).append((src, dst))
+    for acl, specs in per_acl_rule.items():
+        for rid, (src, dst) in enumerate(specs, start=1):
+            expect_src = 1 if src != "group" else None  # group size unknown here
+            if src != "group" and dst != "group":
+                assert seen[(acl, rid)] == 1
+
+
+# ------------------------------------------------------------ Spark-backed
+
+_SPARK_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=12
+    )
+)
+@_SPARK_SETTINGS
+def test_dedup_exact_partitions_input(spark, texts):
+    """Exact dedup groups partition the input: Σ n_copies == n_rows and
+    one group per distinct text."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = (
+        df.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .collect()
+    )
+    assert sum(r["n_copies"] for r in out) == len(texts)
+    assert len(out) == len(set(texts))
+
+
+@given(
+    gaps_min=st.lists(st.integers(0, 120), min_size=1, max_size=20),
+)
+@_SPARK_SETTINGS
+def test_session_window_equals_lag_gap_idiom(spark, gaps_min):
+    """Native session_window must agree with the lag/gap/cumsum idiom
+    (the DuckDB-oracle formulation) on arbitrary event spacings."""
+    t0 = datetime(2024, 1, 1)
+    ts, cur = [], t0
+    for g in gaps_min:
+        cur = cur + timedelta(minutes=g)
+        ts.append(cur)
+    df = spark.createDataFrame([(1, t) for t in ts], "user_id long, ts timestamp")
+    native = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("session_window.start").alias("s"), "n")
+        .collect()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    idiom = (
+        df.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                # strict >: native session windows merge when they touch
+                # (next == prev + gap extends the session)
+                | (F.col("ts").cast("long") - F.col("prev").cast("long") > 1800)
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted((r["s"], r["n"]) for r in native) == sorted(
+        (r["s"], r["n"]) for r in idiom
+    )
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=30
+    )
+)
+@_SPARK_SETTINGS
+def test_semi_anti_partition_left_table(spark, vals):
+    """left_semi + left_anti partition the left table for any key overlap."""
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v double"
+    )
+    right = spark.createDataFrame([(i,) for i in range(0, len(vals), 2)], "k long")
+    semi = left.join(right, "k", "left_semi").count()
+    anti = left.join(right, "k", "left_anti").count()
+    assert semi + anti == len(vals)
