@@ -36,7 +36,10 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
 
     # warmup: JVM + parquet footer caches + Arrow/python worker pool
+    # (one JVM-only query, one Arrow/pandas-UDF query so the Python
+    # worker daemons exist before any timed query needs them)
     run(specs["agg_count_by_key"].builder(spark, sf_dir))
+    run(specs["udf_scalar_pandas"].builder(spark, sf_dir))
 
     # Hot-run benchmarking: pin the base tables in memory and
     # materialize them once, so per-query timings measure the engine

@@ -237,8 +237,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = normalized_vectors(spark, sf_dir)
     feats = e.select("vec_id", "vn", array_to_vector("vn").alias("features"))
+    # few Lloyd iterations: cells only need to be stable routing
+    # buckets, not converged clusters — recall is governed by nprobe
     model = KMeans(
-        k=_IVF_NLIST, seed=7, maxIter=10, featuresCol="features", predictionCol="cell"
+        k=_IVF_NLIST, seed=7, maxIter=4, featuresCol="features", predictionCol="cell"
     ).fit(feats)
     assigned = model.transform(feats).select("vec_id", "vn", "cell")
 
