@@ -309,3 +309,64 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.array_sort(F.array_distinct(tokens("text"))))
         ).alias("fingerprint"),
     )
+
+
+_POLY_B = 1000003  # polynomial base
+_POLY_M = (1 << 31) - 1  # Mersenne-prime modulus: acc*B + h < 2^51, no
+# overflow under ANSI mode (Spark 4 default throws on long overflow)
+_WINNOW_W = 4  # winnowing window: min token-hash over 4 consecutive
+
+
+@register(
+    "text_rolling_fingerprint",
+    category="text",
+    oracle=None,  # rows-only: xxhash64-derived, engine-specific values
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprints via rolling hashes.
+
+    Two sketches per doc, both pure JVM:
+
+    * ``content_hash`` — Rabin-Karp polynomial fold over the token
+      sequence: ``acc = (acc*B + h) mod M`` with ``h = xxhash64(token)
+      mod M`` and a Mersenne-prime M. Order-sensitive, so re-ordered
+      boilerplate gets a different key than ``text_fingerprint``'s
+      sorted bag.
+    * ``winnow_sig`` — winnowing: hash each token once (relational
+      explode), take the min hash of every ``_WINNOW_W``-token window
+      (lead chain over the doc_id window partitioning — same
+      single-shuffle shape as the shingle pipeline), then md5 the
+      sorted distinct window minima. Local edits perturb only nearby
+      windows, so near-identical docs share most winnow minima — the
+      MOSS/plagiarism-detection fingerprint, here as the 100 TB-safe
+      keyed pipeline."""
+    d = load(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens("text").alias("toks"))
+    content = toked.select(
+        "doc_id",
+        F.aggregate(
+            "toks",
+            F.lit(0).cast("long"),
+            lambda acc, t: F.pmod(acc * _POLY_B + F.pmod(F.xxhash64(t), F.lit(_POLY_M)), F.lit(_POLY_M)),
+        ).alias("content_hash"),
+    )
+
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    hashed = tok.select("doc_id", "pos", F.xxhash64("term").alias("h"))
+    leads = [F.lead("h", i).over(w).alias(f"h{i}") for i in range(1, _WINNOW_W)]
+    windows = (
+        hashed.select("doc_id", "h", *leads)
+        .filter(F.col(f"h{_WINNOW_W - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.least("h", *[f"h{i}" for i in range(1, _WINNOW_W)]).alias("wmin"),
+        )
+    )
+    winnow = (
+        windows.groupBy("doc_id")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_set("wmin")))).alias("winnow_sig"))
+    )
+    return content.join(winnow, "doc_id", "left").select(
+        "doc_id", "content_hash", F.coalesce("winnow_sig", F.lit("")).alias("winnow_sig")
+    )

@@ -175,3 +175,38 @@ def test_semi_anti_partition_left_table(spark, vals):
     semi = left.join(right, "k", "left_semi").count()
     anti = left.join(right, "k", "left_anti").count()
     assert semi + anti == len(vals)
+
+
+def test_rolling_fingerprint_invariants(spark, tmp_path):
+    """Identical texts → identical fingerprints; token reorder changes
+    the polynomial content hash (order-sensitive) while the winnow
+    signature — built from an order-insensitive min-set of local
+    window hashes over a shared vocabulary — may or may not move."""
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),  # dup of 0
+        (2, "today dog lazy the over jumps fox brown quick the"),  # reorder
+        (3, "completely different words entirely here now ok then yes"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = str(tmp_path / "documents.parquet")
+    # coalesce(1): a 4-row frame over 32 partitions writes 28 empty
+    # part files — the single moved file must be the populated one
+    df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.parquet(out)
+    import shutil
+
+    # flatten to single file layout like the driver tables
+    part = next(p for p in __import__("os").listdir(out) if p.startswith("part-"))
+    tmp2 = tmp_path / "flat"
+    tmp2.mkdir()
+    shutil.move(f"{out}/{part}", str(tmp2 / "documents.parquet"))
+
+    from ruleset_analysis_spark.operators.text_analysis import text_rolling_fingerprint
+
+    fp = {r["doc_id"]: (r["content_hash"], r["winnow_sig"])
+          for r in text_rolling_fingerprint(spark, str(tmp2)).collect()}
+    assert fp[0] == fp[1]                      # exact dup: both sketches equal
+    assert fp[0][0] != fp[2][0]                # reorder: polynomial differs
+    assert fp[0][0] != fp[3][0] and fp[0][1] != fp[3][1]  # unrelated: both differ
