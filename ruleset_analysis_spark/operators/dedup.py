@@ -70,7 +70,15 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 6.2s vs 1.25s at sf0.1) and is the 100 TB-safe form: the
     single shuffle is keyed on doc_id, every downstream per-doc
     aggregation (MinHash min(), SimHash sum(), collect_set) rides the
-    same partitioning with map-side partial aggregation."""
+    same partitioning with map-side partial aggregation.
+
+    Persisted: the jaccard/simhash queries self-join it and all three
+    near-dup queries share the identical plan, so one session-wide
+    cache entry replaces 2-3 recomputations per query. Size ≈ the
+    tokenized corpus; MEMORY_AND_DISK spills if it outgrows memory —
+    at true 100 TB scale this is the materialize-the-shingle-table
+    decision, made explicitly here."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
@@ -90,8 +98,11 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    return tri.groupBy("doc_id", "source", "s").agg(F.lit(1)).select(
-        "doc_id", "source", "s"
+    return (
+        tri.groupBy("doc_id", "source", "s")
+        .agg(F.lit(1))
+        .select("doc_id", "source", "s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -243,7 +254,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shiftleft(1L, 63) wraps to Long.MIN_VALUE — correct two's-complement bit 63
         term = F.expr(f"IF(b_{i} > 0, shiftleft(1L, {i}), 0L)")
         pack = term if pack is None else pack + term
-    sk = bitsums.select("doc_id", pack.alias("simhash"))
+    from pyspark import StorageLevel
+
+    # persisted: the band self-join references the sketch relation twice
+    # and column pruning defeats ReuseExchange (same rationale as the
+    # MinHash per_doc cache); one 64-bit long per doc
+    sk = bitsums.select("doc_id", pack.alias("simhash")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = sk.select(
         "doc_id",
         "simhash",

@@ -41,7 +41,17 @@ def normalized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Norm is materialized as its own projected column before the
     element-wise divide (an inlined ``x / norm(v)`` would re-fold the
     whole array per element — O(d²)). Downstream pairwise cosine is
-    then a single dot-product fold per pair instead of three."""
+    then a single dot-product fold per pair instead of three.
+
+    The relation is persisted: every similarity query self-joins or
+    multi-references it (pair joins, probe + candidates, KMeans fit
+    scans it maxIter times), and the plan is identical across queries,
+    so one session-wide cache entry serves them all. Size is
+    |vectors| × dim doubles — the normalized copy of a table one would
+    keep hot on a serving cluster anyway; MEMORY_AND_DISK spills
+    rather than OOMs if it ever doesn't fit."""
+    from pyspark import StorageLevel
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("vd")
     )
@@ -50,7 +60,7 @@ def normalized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.transform("vd", lambda x: x / F.col("nrm")).alias("vn"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 @register(

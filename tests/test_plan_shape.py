@@ -114,7 +114,10 @@ def test_exploded_shingle_pipeline_single_shuffle(spark):
 
     df = _exploded_shingles(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1
+    # exactly one keyed exchange computes the pipeline; once another
+    # test has materialized the (persisted) relation the plan is a pure
+    # cache scan with zero exchanges — both are the intended shape
+    assert plan.count("Exchange hashpartitioning") <= 1
 
 
 def test_filter_pushed_through_join(spark):
