@@ -102,9 +102,11 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sessions with a 30-minute inactivity gap.
 
     Spark: native ``session_window`` (merging windows, streaming-ready).
-    Oracle: the classic gaps-and-islands lag/cumsum idiom — Spark closes
-    a session when the next event is >= last + gap, which is exactly the
-    ``diff >= 30min ⇒ new session`` marker."""
+    Oracle: the classic gaps-and-islands lag/cumsum idiom. Boundary
+    semantics: native session windows merge when they *touch* (an event
+    at exactly last + gap extends the session), so the idiom's
+    new-session marker is strictly ``diff > 30min`` — found by the
+    hypothesis property in tests/test_properties.py."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -124,4 +126,73 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.unix_timestamp(F.date_trunc("second", "first_ts"))
             ).alias("duration_sec"),
         )
+    )
+
+
+@register(
+    "stream_rollup_multires",
+    category="stream",
+    oracle="""
+        WITH minute AS (
+            SELECT date_trunc('minute', ts) AS b, event_type,
+                   count(*) AS n, sum(value) AS sv
+            FROM events GROUP BY 1, 2
+        ),
+        hour AS (
+            SELECT date_trunc('hour', b) AS b, event_type,
+                   sum(n) AS n, sum(sv) AS sv
+            FROM minute GROUP BY 1, 2
+        ),
+        day AS (
+            SELECT date_trunc('day', b) AS b, event_type,
+                   sum(n) AS n, sum(sv) AS sv
+            FROM hour GROUP BY 1, 2
+        )
+        SELECT 'minute' AS resolution,
+               CAST(epoch(b) AS BIGINT) AS bucket_epoch, event_type,
+               n, round(sv, 2) AS sum_value
+        FROM minute
+        UNION ALL
+        SELECT 'hour', CAST(epoch(b) AS BIGINT), event_type,
+               n, round(sv, 2)
+        FROM hour
+        UNION ALL
+        SELECT 'day', CAST(epoch(b) AS BIGINT), event_type,
+               n, round(sv, 2)
+        FROM day
+    """,
+)
+def stream_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (continuous-aggregate
+    pattern): minute buckets from the detail scan, hour buckets
+    RE-aggregated from minute, day from hour — the raw table is read
+    exactly once and each coarser tier re-aggregates ~60× fewer rows.
+    At 100 TB the minute tier is the materialized continuous aggregate;
+    coarser tiers are cheap derivations (sum/count re-aggregate
+    losslessly; avg would be carried as sum+count).
+
+    Rounding happens only at the output edge (sum order across tiers is
+    engine-dependent; 2dp absorbs float drift on both engines)."""
+    ev = load(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("b"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", "b").alias("b"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    day = hour.groupBy(
+        F.date_trunc("day", "b").alias("b"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+
+    def tier(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("resolution"),
+            F.unix_timestamp("b").alias("bucket_epoch"),
+            "event_type",
+            "n",
+            F.round("sv", 2).alias("sum_value"),
+        )
+
+    return tier(minute, "minute").unionByName(tier(hour, "hour")).unionByName(
+        tier(day, "day")
     )

@@ -254,3 +254,66 @@ def join_self_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", (sec - F.lag(sec).over(w)).alias("gap_sec")
     )
+
+
+@register(
+    "join_asof_backward",
+    category="join",
+    oracle="""
+        SELECT e.event_id, e.user_id,
+               CAST(epoch(date_trunc('second', e.ts)) AS BIGINT) AS err_epoch,
+               c.event_id AS click_event_id,
+               CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS click_epoch
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward, inclusive) join: for every 'error' event, the
+    most recent 'click' by the same user at or before it — the canonical
+    point-in-time lookup Spark has no native operator for (DuckDB does:
+    the oracle is a literal ``ASOF LEFT JOIN``).
+
+    Spark-native formulation: tag and union both sides, sort within a
+    per-user window (clicks before errors on timestamp ties to make the
+    join inclusive), forward-fill the click columns with
+    ``last(..., ignorenulls=True)``, keep the error rows. One keyed
+    shuffle, no range-condition nested-loop join; at 100 TB both sides
+    shuffle once on user_id and the sort is per-partition.
+
+    Tie-break subtlety: multiple clicks can share one timestamp; the
+    fill takes the max event_id among them (same choice DuckDB's ASOF
+    makes ties deterministic with via its internal ordering is NOT
+    guaranteed — so the corpus guarantees per-user-type unique
+    timestamps; asserted by the hash match itself)."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_err")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_err")
+    )
+    tagged = errors.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_err")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_id = F.when(F.col("is_err") == 0, F.col("event_id"))
+    click_ts = F.when(F.col("is_err") == 0, F.col("ts"))
+    filled = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_err",
+        F.last(click_id, ignorenulls=True).over(w).alias("click_event_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return filled.filter(F.col("is_err") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("err_epoch"),
+        "click_event_id",
+        F.unix_timestamp(F.date_trunc("second", "click_ts")).alias("click_epoch"),
+    )
