@@ -106,3 +106,57 @@ def udtf_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.explode(m).alias("key", "val")
     )
+
+
+class _PropsExploder:
+    """Python UDTF (Spark 3.5+ native table function): JSON props in,
+    one (key, val, n_keys) row out per key — the genuinely-Python
+    counterpart of the explode-based ``udtf_split_props``, for the
+    cases where per-row fan-out needs imperative logic (here: emitting
+    the per-record key count alongside each row, which pure explode
+    would need a second pass or a size() column for)."""
+
+    def eval(self, event_id: int, props: str):
+        import json
+
+        kv = json.loads(props) if props else {}
+        for k in kv:
+            yield event_id, k, int(kv[k]), len(kv)
+
+
+@register(
+    "udtf_python_native",
+    category="udf",
+    oracle="""
+        SELECT event_id, k AS key,
+               CAST(json_extract(props, '$.' || k) AS BIGINT) AS val,
+               CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+        FROM (
+            SELECT event_id, props, unnest(json_keys(props)) AS k FROM events
+        )
+    """,
+)
+def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF over Arrow: lateral-joined against events.
+    Declared Python surface (see tests/test_plan_shape.py allowlist);
+    the oracle proves row-fan-out semantics against DuckDB."""
+    from pyspark.sql.functions import udtf
+
+    # load() FIRST: it runs ensure_session_defaults -> addPyFile, and
+    # PySpark snapshots the python-includes list when the function is
+    # wrapped — a UDTF created before the package ships can't be
+    # unpickled on workers (ModuleNotFoundError; see _ship_package)
+    ev = load(spark, sf_dir, "events").select("event_id", "props")
+    exploder = udtf(
+        _PropsExploder,
+        returnType="event_id bigint, key string, val bigint, n_keys int",
+    )
+    spark.udtf.register("props_exploder", exploder)
+    ev.createOrReplaceTempView("_udtf_events_in")
+    return spark.sql(
+        """
+        SELECT t.event_id, t.key, t.val, t.n_keys
+        FROM _udtf_events_in v,
+             LATERAL props_exploder(v.event_id, v.props) t
+        """
+    )

@@ -76,6 +76,8 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable defaults to any session. Idempotent, cheap."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Python UDTFs ride Arrow batches instead of pickled rows
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     try:
         if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
             spark.conf.set(

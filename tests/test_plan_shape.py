@@ -26,6 +26,7 @@ PYTHON_ALLOWED = {
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "multimodal_resize",
+    "udtf_python_native",
 }
 
 
