@@ -34,32 +34,11 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.lower(text), " "), lambda t: t != "")
 
 
-def word_shingles(toks: Column, k: int) -> Column:
-    """Distinct k-word shingles as strings ('a b c'); the unit set for
-    MinHash / Jaccard. Empty array for docs shorter than k tokens
-    (guarded: ``sequence(0, negative)`` would count *down* in Spark)."""
-    n = F.size(toks)
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
-    )
-    return F.when(n >= k, shingles).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
-def minhash_signature(shingles: Column, seeds: list[int]) -> Column:
-    """MinHash signature: for each seed, min over shingles of
-    xxhash64(shingle, seed). One array column, length len(seeds);
-    deterministic for a fixed Spark version (xxhash64 is a stable
-    published algorithm, but cross-engine unstable → rows-only grading)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
-            ).alias(f"mh_{seed}")
-            for seed in seeds
-        ]
-    )
+# NOTE: nested-HOF shingle/minhash builders used to live here
+# (array-of-shingles via transform+slice, signature via array_min over
+# transform). They were superseded by the relational formulation in
+# operators/dedup.py::_exploded_shingles — ~5× faster because Catalyst's
+# CollapseProject re-inlines multiply-referenced array builds into each
+# consumer, re-evaluating the token split per shingle position. Keep
+# shingling relational (posexplode + window lead); don't resurrect the
+# HOF form for anything hot.
