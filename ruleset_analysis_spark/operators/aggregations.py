@@ -237,3 +237,115 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in _PIVOT_TYPES],
     )
+
+
+@register(
+    "agg_histogram",
+    category="agg",
+    oracle="""
+        SELECT CAST(CASE WHEN value < 0 THEN 0
+                         WHEN value >= 1000 THEN 21
+                         ELSE floor(value / 50.0) + 1 END AS BIGINT) AS bucket,
+               count(*) AS n,
+               round(min(value), 2) AS lo,
+               round(max(value), 2) AS hi
+        FROM events GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of ``value`` (20 buckets over [0, 1000)) —
+    one partial-aggregated pass. Spark's ``width_bucket`` puts
+    below-range in bucket 0 and ≥max in bucket n+1; DuckDB 1.0 has no
+    width_bucket, so the oracle spells out the same arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.width_bucket("value", F.lit(0.0), F.lit(1000.0), F.lit(20)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_corr_covar",
+    category="agg",
+    oracle="""
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, and the regression slope — all single-pass partial-
+    aggregatable moments (sum, sum², sum of products)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(
+            F.regr_slope("l_extendedprice", "l_quantity"), 4
+        ).alias("slope"),
+    )
+
+
+@register(
+    "date_series_gapfill",
+    category="agg",
+    oracle="""
+        WITH bounds AS (
+            SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi
+            FROM events
+        ),
+        grid AS (
+            SELECT t.d AS day, et.event_type
+            FROM bounds,
+                 unnest(generate_series(bounds.lo, bounds.hi, INTERVAL 1 DAY)) AS t(d),
+                 (SELECT DISTINCT event_type FROM events) et
+        ),
+        actual AS (
+            SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(epoch(g.day) AS BIGINT) AS day_epoch, g.event_type,
+               coalesce(a.n, 0) AS n
+        FROM grid g LEFT JOIN actual a
+          ON a.day = g.day AND a.event_type = g.event_type
+    """,
+)
+def date_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense (day × event_type) grid via
+    ``sequence`` + explode, left-joined with actual daily counts so
+    missing days surface as explicit zeros (dashboards and forecasting
+    both need the zeros). The grid is bounds×types — tiny, broadcast;
+    the fact side aggregates before the join."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.select(
+        F.min(F.date_trunc("day", "ts")).alias("lo"),
+        F.max(F.date_trunc("day", "ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(types)
+    return (
+        F.broadcast(grid)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            F.unix_timestamp("day").alias("day_epoch"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )

@@ -360,3 +360,38 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_keys"),
         F.element_at(m, "k").alias("k_val"),
     )
+
+
+@register(
+    "string_distance",
+    category="scalar",
+    oracle="""
+        SELECT n_name,
+               levenshtein(n_name, 'GERMANY') AS lev_germany,
+               CAST(hamming('ABCD', substring(n_name || 'XXXX', 1, 4)) AS INTEGER)
+                   AS ham4
+        FROM nation
+    """,
+)
+def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance functions (fuzzy matching / data cleaning):
+    Levenshtein against a fixed probe and a fixed-width Hamming
+    distance — both JVM built-ins with DuckDB twins."""
+    n = load(spark, sf_dir, "nation")
+    padded = F.substring(F.concat("n_name", F.lit("XXXX")), 1, 4)
+    ham = (
+        F.aggregate(
+            F.zip_with(
+                F.split(F.lit("ABCD"), ""),
+                F.split(padded, ""),
+                lambda a, b: F.when(a != b, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return n.select(
+        "n_name",
+        F.levenshtein("n_name", F.lit("GERMANY")).alias("lev_germany"),
+        ham.cast("int").alias("ham4"),
+    )
