@@ -9,8 +9,11 @@ below raises NotImplementedError by design — the container has no
 image/audio libraries).
 
 Scale notes: binary feature extraction via ``mapInPandas`` streams
-Arrow batches through Python with no shuffle — the right shape for
-per-object media work; keep batch sizes bounded with
+Arrow batches through Python; one explicit repartition feeds the
+kernels (``_payloads``) because Python stages must be *given* real
+parallelism when the upstream scan has few partitions — on a
+partitioned 100 TB table the scan itself provides it and the exchange
+drops out. Keep batch sizes bounded with
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are MBs.
 """
 
@@ -97,6 +100,20 @@ def embed_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content): text cast to an opaque binary payload,
+    repartitioned before any Arrow kernel — a single-file scan is one
+    partition, which would funnel all per-row Python through one task;
+    Python stages must be given real parallelism explicitly when the
+    upstream scan has none."""
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
+        .repartition(n_parts)
+    )
+
+
 def _binary_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: opaque-bytes feature extraction.
 
@@ -133,9 +150,7 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mapInPandas`` feature extractor, return typed features. The
     oracle reproduces the byte-level features in SQL (corpus text is
     ASCII, so ascii(first char) == first byte)."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("content")
-    )
+    d = _payloads(spark, sf_dir)
     return d.mapInPandas(_binary_features, "doc_id long, n_bytes long, first_byte long")
 
 
@@ -197,9 +212,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a payload stay in their input partition). The oracle reproduces
     the byte arithmetic in SQL — ASCII corpus makes
     substring-on-text == slice-on-bytes."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("content")
-    )
+    d = _payloads(spark, sf_dir)
     return d.mapInPandas(
         _frame_sample, "doc_id long, frame_idx long, frame_len long, first_byte long"
     )
@@ -233,9 +246,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-shaped plumbing: opaque bytes in, fixed-length
     array<int> signature out, via the same Arrow kernel path a real
     thumbnailer uses."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("content")
-    )
+    d = _payloads(spark, sf_dir)
     return d.mapInPandas(_resize_fake, "doc_id long, byte_sig array<int>")
 
 

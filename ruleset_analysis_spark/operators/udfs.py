@@ -145,8 +145,17 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     # load() FIRST: it runs ensure_session_defaults -> addPyFile, and
     # PySpark snapshots the python-includes list when the function is
     # wrapped — a UDTF created before the package ships can't be
-    # unpickled on workers (ModuleNotFoundError; see _ship_package)
-    ev = load(spark, sf_dir, "events").select("event_id", "props")
+    # unpickled on workers (ModuleNotFoundError; see _ship_package).
+    # Repartition before the lateral join: a single-file scan is one
+    # partition, which would funnel ALL per-row Python through one
+    # task (measured 16s -> ~2s at sf0.1). Python stages must inherit
+    # real parallelism explicitly when the upstream scan has none.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "props")
+        .repartition(n_parts)
+    )
     exploder = udtf(
         _PropsExploder,
         returnType="event_id bigint, key string, val bigint, n_keys int",
