@@ -1,0 +1,43 @@
+"""Network-address expressions: IPv4/CIDR matching, JVM-side.
+
+The reference's rule matching is fundamentally "is this hit's address
+inside this rule's network" ([R-mem] expanded object-groups); here that
+predicate is a pure Catalyst expression usable inside a join condition
+— whole-stage codegen, no UDF, so a hits⋈rules join with CIDR
+containment stays a broadcast hash/NLJ entirely in the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def ipv4_to_long(ip: Column | str) -> Column:
+    """Dotted-quad string → numeric address (0..2^32-1)."""
+    ip = F.col(ip) if isinstance(ip, str) else ip
+    oct_ = F.split(ip, r"\.")
+    return (
+        F.element_at(oct_, 1).cast("long") * 16777216
+        + F.element_at(oct_, 2).cast("long") * 65536
+        + F.element_at(oct_, 3).cast("long") * 256
+        + F.element_at(oct_, 4).cast("long")
+    )
+
+
+def ip_in_cidr(ip: Column | str, cidr: Column | str) -> Column:
+    """True iff dotted-quad ``ip`` is inside ``cidr`` ('a.b.c.d/p').
+
+    Pure expression algebra: both sides reduce to
+    ``(addr & mask) == (net & mask)`` over longs — safe inside join
+    conditions and pushdown-friendly."""
+    cidr = F.col(cidr) if isinstance(cidr, str) else cidr
+    parts = F.split(cidr, "/")
+    net = ipv4_to_long(F.element_at(parts, 1))
+    prefix = F.element_at(parts, 2).cast("int")
+    # mask = high `prefix` bits set = 2^32 - 2^(32-prefix); shiftleft
+    # needs a literal shift amount, but pow is exact in double up to 2^32
+    mask = (
+        F.lit(4294967296) - F.pow(F.lit(2.0), (F.lit(32) - prefix)).cast("long")
+    ).cast("long")
+    addr = ipv4_to_long(ip)
+    return addr.bitwiseAND(mask) == net.bitwiseAND(mask)

@@ -349,3 +349,39 @@ def date_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
+
+
+@register(
+    "agg_hll_mergeable",
+    category="agg",
+    oracle=None,  # rows-only: sketch estimates are engine-specific
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (the 100 TB incremental
+    pattern): build one Datasketches HLL sketch of distinct users PER
+    DAY (``hll_sketch_agg``), then merge the daily sketches
+    (``hll_union_agg``) into a monthly estimate — the raw data is
+    touched once per day, ever; any rollup window is a cheap sketch
+    merge. A nightly pipeline materializes the per-day sketch column
+    and never rescans history.
+
+    Output: per-day exact-ish estimates plus one 'ALL' row whose
+    estimate comes from the union of the persisted daily sketches, with
+    the true distinct count alongside (the corpus is small enough to
+    verify the estimate in-row)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    per_day = daily.select(
+        F.unix_timestamp("day").alias("day_epoch"),
+        F.hll_sketch_estimate("sk").alias("est"),
+        "exact",
+    )
+    merged_row = (
+        daily.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(ev.agg(F.countDistinct("user_id").alias("exact")))
+        .select(F.lit(-1).cast("long").alias("day_epoch"), "est", "exact")
+    )
+    return per_day.unionByName(merged_row)

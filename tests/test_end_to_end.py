@@ -1,0 +1,99 @@
+"""The reference's complete workflow, end to end, on this engine:
+
+gzipped syslog archive -> parse -> hit counts -> broadcast join against
+an ASA-config-derived rule dimension -> usage report with UNUSED
+verdicts -> partitioned parquet sink -> read back. One test, the whole
+"a user of the reference switches to this repo" path (SURVEY.md §3.1
+entry points 1-3)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from ruleset_analysis_spark.sources import asa_config, sinks, text_logs
+
+CONFIG = """
+object-group network SRV
+ network-object host 10.0.1.5
+ network-object host 10.0.1.9
+access-list OUTSIDE_IN extended permit tcp any object-group SRV eq https
+access-list OUTSIDE_IN extended permit udp any object-group SRV eq domain
+access-list OUTSIDE_IN extended deny ip any any
+access-list RETIRED extended permit tcp any host 10.0.9.9 eq 8443
+"""
+
+
+@pytest.fixture(scope="module")
+def archive(tmp_path_factory):
+    d = tmp_path_factory.mktemp("archive")
+    # two "months" of gzipped logs, several rules hit, RETIRED never hit
+    lines = []
+    for i in range(200):
+        dst, port, proto = ("10.0.1.5", 443, "tcp") if i % 3 else ("10.0.1.9", 53, "udp")
+        lines.append(
+            f"%ASA-6-106100: access-list OUTSIDE_IN permitted {proto} "
+            f"outside/203.0.113.{i % 250 + 1}({40000 + i}) -> dmz/{dst}({port}) "
+            f"hit-cnt 1 300-second interval [0x{i:x}, 0x0]"
+        )
+    for m, chunk in (("01", lines[:120]), ("02", lines[120:])):
+        with gzip.open(d / f"fw-2024-{m}.log.gz", "wt") as f:
+            f.write("\n".join(chunk) + "\n")
+    return str(d)
+
+
+def test_reference_workflow_end_to_end(spark, archive, tmp_path):
+    # 1. config -> broadcastable rule dimension
+    rules = asa_config.rules_dataframe(spark, CONFIG)
+    # 2. archived gzipped syslog -> typed hit records (JVM regex)
+    hits = text_logs.parse_asa_hits(text_logs.read_log_lines(spark, archive))
+    assert hits.count() == 200
+
+    # 3. hit counts joined to rules: acl + protocol + port-range +
+    #    CIDR containment of the destination (JVM expression, no UDF)
+    from ruleset_analysis_spark.functions.net import ip_in_cidr
+
+    joined = hits.join(
+        F.broadcast(rules),
+        (hits.acl == rules.acl)
+        & ((hits.protocol == rules.protocol) | (rules.protocol == "ip"))
+        & (hits.dst_port >= rules.port_lo)
+        & (hits.dst_port <= rules.port_hi)
+        & ip_in_cidr(hits.dst_ip, rules.dst_net),
+    )
+    per_rule = (
+        joined.groupBy(rules.acl.alias("acl"), "rule_id")
+        .agg(F.sum("hit_cnt").alias("hits"), F.countDistinct("src_ip").alias("talkers"))
+    )
+    got = {(r["acl"], r["rule_id"]): r["hits"] for r in per_rule.collect()}
+    # rule 1 (tcp/https): lines with i%3 != 0; rule 2 (udp/domain): the rest
+    tcp = sum(1 for i in range(200) if i % 3)
+    udp = 200 - tcp
+    assert got[("OUTSIDE_IN", 1)] == tcp
+    assert got[("OUTSIDE_IN", 2)] == udp
+
+    # 4. full usage report incl. zero-hit rules (left join + verdict)
+    report = (
+        rules.select("acl", "rule_id").distinct()
+        .join(per_rule, ["acl", "rule_id"], "left")
+        .select(
+            "acl",
+            "rule_id",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.when(F.col("hits").isNull(), "UNUSED").otherwise("ACTIVE").alias("status"),
+        )
+    )
+    unused = {(r["acl"], r["rule_id"]) for r in report.filter("status = 'UNUSED'").collect()}
+    assert unused == {("RETIRED", 1)}
+
+    # 5. sink -> partitioned parquet -> read back intact
+    out = str(tmp_path / "report")
+    sinks.write_parquet(report, out, partition_by=["status"])
+    back = spark.read.parquet(out)
+    assert back.count() == report.count()
+    assert {r["status"] for r in back.select("status").distinct().collect()} == {
+        "ACTIVE",
+        "UNUSED",
+    }

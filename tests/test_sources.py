@@ -164,3 +164,19 @@ def test_write_csv_single_file(spark, tmp_path):
     parts = [p for p in os.listdir(out) if p.startswith("part-")]
     assert len(parts) == 1
     assert spark.read.option("header", True).csv(out).count() == 10
+
+
+def test_ip_in_cidr_edge_cases(spark):
+    from ruleset_analysis_spark.functions.net import ip_in_cidr
+
+    cases = [
+        ("10.0.1.5", "10.0.1.5/32", True), ("10.0.1.6", "10.0.1.5/32", False),
+        ("10.0.2.7", "10.0.2.0/24", True), ("10.0.3.7", "10.0.2.0/24", False),
+        ("203.0.113.9", "0.0.0.0/0", True), ("255.255.255.255", "0.0.0.0/0", True),
+        ("192.168.1.1", "192.168.0.0/16", True), ("192.169.1.1", "192.168.0.0/16", False),
+        ("10.0.1.5", "10.0.1.4/31", True), ("10.0.1.6", "10.0.1.4/31", False),
+        ("0.0.0.0", "0.0.0.0/32", True), ("128.0.0.0", "128.0.0.0/1", True),
+        ("127.255.255.255", "128.0.0.0/1", False),
+    ]
+    df = spark.createDataFrame(cases, "ip string, cidr string, want boolean")
+    assert df.filter(ip_in_cidr("ip", "cidr") != F.col("want")).count() == 0

@@ -147,3 +147,22 @@ def test_watermark_declared_in_plan(spark, events_dir):
     data policy is declared, not implied)."""
     stream = es.tumbling_counts(es.read_event_stream(spark, events_dir))
     assert "watermark" in stream._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_stream_sliding_equals_batch(spark, events_dir):
+    stream = es.sliding_counts(es.read_event_stream(spark, events_dir))
+    got = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in es.drain_to_memory(stream, "t_sliding").collect()
+    }
+    ev = load(spark, SF_DIR, "events")
+    want = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+        .collect()
+    }
+    assert got == want and len(got) > 0
