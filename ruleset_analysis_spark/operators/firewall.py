@@ -180,3 +180,101 @@ def firewall_unused_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.join(hits, on=["acl", "rule_id"], how="left_anti").select(
         "acl", "rule_id"
     )
+
+
+# Literal rule dimension for the CIDR-match query: nets chosen so the
+# synthesized addresses (10.0.<user_id%8>.<user_id%250+1>) spread
+# across them deterministically in both engines.
+_CIDR_RULES = [
+    ("acl_net", 1, "10.0.0.0/22"),   # subnets 0-3
+    ("acl_net", 2, "10.0.4.0/23"),   # subnets 4-5
+    ("acl_net", 3, "10.0.6.0/24"),   # subnet 6
+    ("acl_net", 4, "10.0.7.128/25"), # upper half of subnet 7
+    ("acl_net", 5, "192.168.0.0/16"),# never matches
+]
+
+
+@register(
+    "firewall_cidr_match",
+    category="firewall",
+    oracle=f"""
+        WITH hits AS (
+            SELECT user_id,
+                   (10 * 16777216)
+                   + ((user_id % 8) * 256)
+                   + (user_id % 250 + 1) AS addr
+            FROM events
+        ),
+        rules(acl, rule_id, net_str) AS (
+            VALUES {", ".join(f"('{a}', {r}, '{n}')" for a, r, n in _CIDR_RULES)}
+        ),
+        parsed AS (
+            SELECT acl, rule_id,
+                   (CAST(string_split(string_split(net_str, '/')[1], '.')[1] AS BIGINT) * 16777216
+                    + CAST(string_split(string_split(net_str, '/')[1], '.')[2] AS BIGINT) * 65536
+                    + CAST(string_split(string_split(net_str, '/')[1], '.')[3] AS BIGINT) * 256
+                    + CAST(string_split(string_split(net_str, '/')[1], '.')[4] AS BIGINT)) AS net,
+                   CAST(string_split(net_str, '/')[2] AS INTEGER) AS prefix
+            FROM rules
+        ),
+        masked AS (
+            SELECT acl, rule_id, net, prefix,
+                   CAST(4294967296 - power(2, 32 - prefix) AS BIGINT) AS mask
+            FROM parsed
+        )
+        SELECT m.acl, m.rule_id, count(*) AS hits,
+               count(DISTINCT h.user_id) AS n_users
+        FROM hits h JOIN masked m
+          ON (h.addr & m.mask) = (m.net & m.mask)
+        GROUP BY m.acl, m.rule_id
+    """,
+)
+def firewall_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit counting with CIDR containment in the join condition — the
+    reference's real matching semantics (expanded object-group networks,
+    [R-mem] ``convert_ruleset_to_flows.py``; SURVEY §0 provenance).
+
+    Destination addresses are synthesized deterministically from
+    user_id and the rule dimension is a broadcast literal table. Each
+    side is normalized ONCE before the join — the fact side projects a
+    numeric address (``ipv4_to_long``, one string parse per row), the
+    5-row dimension carries pre-computed net/mask longs (query
+    construction, driver-side) — so the BroadcastNestedLoopJoin
+    predicate is bare ``(addr & mask) == (net & mask)`` codegen. The
+    general string-side ``ip_in_cidr`` lives in functions/net.py;
+    normalizing before the join is the scale-correct shape (predicate
+    cost per pair, not parse cost per pair). The oracle reproduces the
+    same algebra in SQL."""
+    from ..functions.net import ipv4_to_long
+
+    ev = load(spark, sf_dir, "events")
+    hits = ev.select(
+        "user_id",
+        F.format_string(
+            "10.0.%d.%d", (F.col("user_id") % 8), (F.col("user_id") % 250 + 1)
+        ).alias("dst_ip"),
+    ).select("user_id", ipv4_to_long("dst_ip").alias("addr"))
+
+    def ip_long(s: str) -> int:
+        a, b, c, d = (int(x) for x in s.split("."))
+        return (a << 24) + (b << 16) + (c << 8) + d
+
+    rule_rows = [
+        (acl, rid, ip_long(net.split("/")[0]),
+         (0xFFFFFFFF << (32 - int(net.split("/")[1]))) & 0xFFFFFFFF)
+        for acl, rid, net in _CIDR_RULES
+    ]
+    rules = spark.createDataFrame(
+        rule_rows, "acl string, rule_id int, net bigint, mask bigint"
+    )
+    cond = F.col("addr").bitwiseAND(F.col("mask")) == F.col("net").bitwiseAND(
+        F.col("mask")
+    )
+    return (
+        hits.join(F.broadcast(rules), cond)
+        .groupBy("acl", "rule_id")
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -96,3 +96,22 @@ def test_skew_aware_counts_equals_plain(spark):
     got = {r["k"]: r["n"] for r in skew_aware_counts(df, "k", n_salts=8).collect()}
     want = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Date-partitioned layout must prune at the scan: a one-day filter
+    reads one directory (PartitionFilters in the plan, not a post-scan
+    filter)."""
+    from ruleset_analysis_spark.sources.parquet import load
+    from ruleset_analysis_spark.sources.sinks import write_partitioned_report
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "ts", "event_type")
+    out = str(tmp_path / "by_day")
+    write_partitioned_report(ev, out, "ts")
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("report_date") == "2024-01-03")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(report_date" in plan
+    # and it actually returns that day's rows
+    want = ev.filter(F.to_date("ts") == "2024-01-03").count()
+    assert one_day.count() == want and want > 0
