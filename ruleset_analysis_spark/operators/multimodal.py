@@ -240,14 +240,34 @@ def _resize_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "multimodal_resize",
     category="multimodal",
-    oracle=None,  # rows-only: fixed-length signature array, engine-side kernel
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(
+                       [0, 1, 2, 3, 4, 5, 6, 7],
+                       i -> CASE
+                            WHEN n = 0 THEN -1
+                            WHEN i * greatest(1, n // {_RESIZE_TO}) < n
+                            THEN ascii(substring(
+                                     text, i * greatest(1, n // {_RESIZE_TO}) + 1, 1))
+                            ELSE -1 END),
+                   ',') AS sig_csv
+        FROM b
+    """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize-shaped plumbing: opaque bytes in, fixed-length
-    array<int> signature out, via the same Arrow kernel path a real
-    thumbnailer uses."""
+    """Resize-shaped plumbing: opaque bytes in, fixed-length signature
+    out, via the same Arrow kernel path a real thumbnailer uses. The
+    signature is serialized to CSV so the cross-engine hash is
+    representation-stable (the oracle reproduces the stride sampling
+    with substring arithmetic — ASCII corpus makes bytes == chars)."""
     d = _payloads(spark, sf_dir)
-    return d.mapInPandas(_resize_fake, "doc_id long, byte_sig array<int>")
+    sig = d.mapInPandas(_resize_fake, "doc_id long, byte_sig array<int>")
+    return sig.select("doc_id", F.concat_ws(",", "byte_sig").alias("sig_csv"))
 
 
 def decode_image(content: bytes) -> "object":

@@ -210,3 +210,35 @@ def test_rolling_fingerprint_invariants(spark, tmp_path):
     assert fp[0] == fp[1]                      # exact dup: both sketches equal
     assert fp[0][0] != fp[2][0]                # reorder: polynomial differs
     assert fp[0][0] != fp[3][0] and fp[0][1] != fp[3][1]  # unrelated: both differ
+
+
+def test_exact_dups_are_near_dup_pairs(spark, tmp_path):
+    """SURVEY §5 invariant: exact-duplicate docs must surface as a
+    MinHash-LSH candidate pair with jaccard 1.0 (identical shingle
+    sets collide in every band)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        (0, base), (1, base),                        # exact dups
+        (2, base.replace("kappa", "lambda")),        # near dup
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.parquet(str(tmp_path / "raw"))
+    import os, shutil
+
+    part = next(p for p in os.listdir(tmp_path / "raw") if p.startswith("part-"))
+    shutil.move(str(tmp_path / "raw" / part), str(flat / "documents.parquet"))
+
+    from ruleset_analysis_spark.operators.dedup import dedup_near_minhash
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_near_minhash(spark, str(flat)).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
+    # doc 3 shares no shingles with anything — never a candidate
+    assert not any(3 in p for p in pairs)
