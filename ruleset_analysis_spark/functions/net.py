@@ -12,16 +12,28 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+_IPV4_RE = r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$"
+
+
 def ipv4_to_long(ip: Column | str) -> Column:
-    """Dotted-quad string → numeric address (0..2^32-1)."""
+    """Dotted-quad string → numeric address (0..2^32-1); NULL for
+    malformed input.
+
+    Real syslog contains truncated fields ('10.0.1', '1.2..4') and the
+    hit-parser's ``([\\d.]+)`` capture admits them; under Spark 4's
+    ANSI default an unguarded ``element_at``/``cast`` on such a value
+    ABORTS the whole job. The rlike gate makes malformed addresses
+    NULL (⇒ false in any join predicate) — one dirty line must never
+    kill a 100 TB job."""
     ip = F.col(ip) if isinstance(ip, str) else ip
     oct_ = F.split(ip, r"\.")
-    return (
+    value = (
         F.element_at(oct_, 1).cast("long") * 16777216
         + F.element_at(oct_, 2).cast("long") * 65536
         + F.element_at(oct_, 3).cast("long") * 256
         + F.element_at(oct_, 4).cast("long")
     )
+    return F.when(ip.rlike(_IPV4_RE), value)
 
 
 def ip_in_cidr(ip: Column | str, cidr: Column | str) -> Column:
@@ -32,8 +44,10 @@ def ip_in_cidr(ip: Column | str, cidr: Column | str) -> Column:
     conditions and pushdown-friendly."""
     cidr = F.col(cidr) if isinstance(cidr, str) else cidr
     parts = F.split(cidr, "/")
-    net = ipv4_to_long(F.element_at(parts, 1))
-    prefix = F.element_at(parts, 2).cast("int")
+    # try_element_at: a CIDR missing its '/prefix' yields NULL (⇒ no
+    # match) instead of an ANSI INVALID_ARRAY_INDEX abort
+    net = ipv4_to_long(F.try_element_at(parts, F.lit(1)))
+    prefix = F.try_element_at(parts, F.lit(2)).try_cast("int")
     # mask = high `prefix` bits set = 2^32 - 2^(32-prefix); shiftleft
     # needs a literal shift amount, but pow is exact in double up to 2^32
     mask = (

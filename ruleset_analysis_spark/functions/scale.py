@@ -59,7 +59,10 @@ def salted_join(
     Use when the dimension is too big to broadcast and the fact side
     has hot keys; for broadcastable dims, ``F.broadcast`` already
     avoids the skewed shuffle entirely."""
-    salt = (F.abs(F.hash(F.monotonically_increasing_id())) % n_salts).alias("_salt")
+    # pmod, NOT abs(hash(..)) % n: hash() covers the full int32 range
+    # and abs(Integer.MIN_VALUE) aborts under ANSI (or goes negative
+    # with ANSI off, silently dropping the row from the join)
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)).alias("_salt")
     fact_s = fact.withColumn("_salt", salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     dim_s = dim.select("*", salts)
@@ -75,7 +78,7 @@ def skew_aware_counts(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
     already handles *count*-like aggs well; the pattern matters for
     high-cardinality state per key, e.g. collect_set/distinct.)"""
     salted = df.withColumn(
-        "_salt", F.abs(F.hash(F.monotonically_increasing_id())) % n_salts
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
     )
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(key).agg(F.sum("_c").cast("bigint").alias("n"))

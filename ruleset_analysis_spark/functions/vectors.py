@@ -31,7 +31,9 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double arrays. NULL-safe for zero norms
-    (returns NULL rather than ±inf, like SQL division)."""
-    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+# NOTE: a cosine(a, b) = dot/(|a||b|) helper used to live here. Every
+# query now goes through similarity.normalized_vectors + dot() instead
+# (norm each vector once, single fold per pair), and the DuckDB oracles
+# use the same normalize-then-dot algebra — reintroducing the
+# divide-at-the-end form would re-open cross-engine ULP drift at
+# thresholds.

@@ -340,9 +340,14 @@ def date_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = ev.select("event_type").distinct()
     grid = days.crossJoin(types)
+    # The preserved (outer) side of a join can never be the broadcast
+    # build side — a hint there is silently ignored and both sides
+    # shuffle. Broadcast the OTHER side instead: `daily` is the
+    # already-aggregated facts (days × types rows — small by
+    # construction at any corpus size), exactly what belongs on the
+    # build side of the grid-preserving left join.
     return (
-        F.broadcast(grid)
-        .join(daily, ["day", "event_type"], "left")
+        grid.join(F.broadcast(daily), ["day", "event_type"], "left")
         .select(
             F.unix_timestamp("day").alias("day_epoch"),
             "event_type",

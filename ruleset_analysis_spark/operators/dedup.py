@@ -369,19 +369,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         ),
         nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elem GROUP BY vec_id),
+        -- normalize-then-dot: same algebra (and float rounding) as the
+        -- Spark side (see similarity._ORACLE_ELEM note)
+        nelem AS (
+            SELECT e.vec_id, e.label, e.i, e.x / n.n AS xn
+            FROM elem e JOIN nrm n ON n.vec_id = e.vec_id
+        ),
         dots AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-                   sum(a.x * b.x) AS d
-            FROM elem a JOIN elem b
+                   sum(a.xn * b.xn) AS d
+            FROM nelem a JOIN nelem b
               ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
             GROUP BY a.vec_id, b.vec_id, a.label
         )
-        SELECT d.vec_a, d.vec_b, d.label,
-               round(d.d / (na.n * nb.n), 6) AS cos
-        FROM dots d
-        JOIN nrm na ON na.vec_id = d.vec_a
-        JOIN nrm nb ON nb.vec_id = d.vec_b
-        WHERE d.d / (na.n * nb.n) >= 0.4
+        SELECT vec_a, vec_b, label, round(d, 6) AS cos
+        FROM dots
+        WHERE d >= 0.4
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,7 +31,17 @@ _ORACLE_ELEM = """
                generate_subscripts(embedding, 1) AS i
         FROM embeddings
     ),
-    nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elem GROUP BY vec_id)
+    nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elem GROUP BY vec_id),
+    -- normalize-then-dot, SAME algebra (and float rounding) as the
+    -- Spark side's normalized_vectors + dot fold: each element is
+    -- divided by its vector's norm BEFORE the multiply-accumulate.
+    -- sum(a*b)/(|a||b|) is equal only in exact arithmetic; at a
+    -- threshold or a 6dp rounding boundary the ULP difference between
+    -- the two formulations can flip a row between engines.
+    nelem AS (
+        SELECT e.vec_id, e.label, e.i, e.x / n.n AS xn
+        FROM elem e JOIN nrm n ON n.vec_id = e.vec_id
+    )
 """
 
 
@@ -69,16 +79,14 @@ def normalized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_ORACLE_ELEM
     + f"""
         , dots AS (
-            SELECT e.vec_id, sum(e.x * p.x) AS d
-            FROM elem e JOIN elem p ON p.i = e.i AND p.vec_id = {_PROBE_ID}
+            SELECT e.vec_id, sum(e.xn * p.xn) AS d
+            FROM nelem e JOIN nelem p ON p.i = e.i AND p.vec_id = {_PROBE_ID}
             WHERE e.vec_id <> {_PROBE_ID}
             GROUP BY e.vec_id
         )
-        SELECT d.vec_id, round(d.d / (na.n * np.n), 6) AS cos
-        FROM dots d
-        JOIN nrm na ON na.vec_id = d.vec_id
-        JOIN nrm np ON np.vec_id = {_PROBE_ID}
-        ORDER BY d.d / (na.n * np.n) DESC, d.vec_id ASC
+        SELECT vec_id, round(d, 6) AS cos
+        FROM dots
+        ORDER BY d DESC, vec_id ASC
         LIMIT {_TOP_K}
     """,
 )
@@ -109,16 +117,14 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
         , dots AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-                   sum(a.x * b.x) AS d
-            FROM elem a JOIN elem b
+                   sum(a.xn * b.xn) AS d
+            FROM nelem a JOIN nelem b
               ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
             GROUP BY a.vec_id, b.vec_id, a.label
         )
-        SELECT d.vec_a, d.vec_b, d.label, round(d.d / (na.n * nb.n), 6) AS cos
-        FROM dots d
-        JOIN nrm na ON na.vec_id = d.vec_a
-        JOIN nrm nb ON nb.vec_id = d.vec_b
-        WHERE d.d / (na.n * nb.n) >= 0.25
+        SELECT vec_a, vec_b, label, round(d, 6) AS cos
+        FROM dots
+        WHERE d >= 0.25
     """,
 )
 def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -119,9 +119,22 @@ class _PropsExploder:
     def eval(self, event_id: int, props: str):
         import json
 
-        kv = json.loads(props) if props else {}
+        # tolerant of dirty rows: non-JSON / 'null' / non-object props
+        # yield nothing; non-integer values yield NULL — one bad record
+        # must degrade like the oracle's CAST (to NULL), not kill the
+        # stage
+        try:
+            kv = json.loads(props) if props else None
+        except (ValueError, TypeError):
+            return
+        if not isinstance(kv, dict):
+            return
         for k in kv:
-            yield event_id, k, int(kv[k]), len(kv)
+            try:
+                val = int(kv[k])
+            except (ValueError, TypeError):
+                val = None
+            yield event_id, k, val, len(kv)
 
 
 @register(

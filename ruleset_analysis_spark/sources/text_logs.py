@@ -63,11 +63,15 @@ def parse_asa_hits(lines: DataFrame, keep_unparsed: bool = False) -> DataFrame:
     """Extract ASA 106100 access-list hit records from raw lines.
 
     Non-matching lines (other message IDs, truncated records) are
-    dropped unless ``keep_unparsed`` — then they surface with NULL
-    fields and the raw line for a quarantine/debug sink. The filter is
-    a cheap ``contains`` pre-test so the full regex only runs on
+    dropped unless ``keep_unparsed`` — then EVERY input line either
+    parses or surfaces with NULL fields and its raw text for a
+    quarantine/debug sink (the audit path must not silently drop, so
+    it skips the prefilter and regexes every line). The fast path
+    keeps a cheap ``contains`` pre-test so the full regex only runs on
     plausible lines."""
-    candidate = lines.filter(F.col("line").contains("106100"))
+    candidate = (
+        lines if keep_unparsed else lines.filter(F.col("line").contains("106100"))
+    )
     g = lambda i: F.regexp_extract("line", ASA_106100_RE, i)  # noqa: E731
     parsed = candidate.select(
         "line",

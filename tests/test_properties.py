@@ -40,20 +40,21 @@ def _configs(draw):
         dst = draw(st.sampled_from(["any", "group", "host"]))
         if ("group" in (src, dst)) and not groups:
             src = dst = "any"
-        pick = lambda kind: (  # noqa: E731
-            "any"
-            if kind == "any"
-            else (
-                f"object-group {draw(st.sampled_from(sorted(groups)))}"
-                if kind == "group"
-                else f"host {draw(_ip)}"
-            )
-        )
+        def pick(kind):
+            if kind == "any":
+                return "any", None
+            if kind == "group":
+                g = draw(st.sampled_from(sorted(groups)))
+                return f"object-group {g}", g
+            return f"host {draw(_ip)}", None
+
+        src_txt, src_grp = pick(src)
+        dst_txt, dst_grp = pick(dst)
         port = draw(st.sampled_from(["", "eq 443", "range 1000 2000"]))
         action = draw(st.sampled_from(["permit", "deny"]))
-        stmt = f"access-list {acl} extended {action} tcp {pick(src)} {pick(dst)} {port}".strip()
+        stmt = f"access-list {acl} extended {action} tcp {src_txt} {dst_txt} {port}".strip()
         lines.append(stmt)
-        rules.append((acl, src, dst, groups))
+        rules.append((acl, src_grp, dst_grp))
     return "\n".join(lines), rules, groups
 
 
@@ -77,16 +78,18 @@ def test_asa_expansion_invariants(cfg):
     for acl, ids in by_acl.items():
         assert ids == set(range(1, stmt_counts[acl] + 1))
     # expansion count per statement = |src expansion| × |dst expansion|
+    # (1 for any/host endpoints, group size for object-group endpoints)
     sizes = {g: len(hs) for g, hs in groups.items()}
     seen = Counter((r["acl"], r["rule_id"]) for r in rows)
-    per_acl_rule = {}
-    for i, (acl, src, dst, _) in enumerate(rules):
-        per_acl_rule.setdefault(acl, []).append((src, dst))
+    per_acl_rule: dict[str, list] = {}
+    for acl, src_grp, dst_grp in rules:
+        per_acl_rule.setdefault(acl, []).append((src_grp, dst_grp))
     for acl, specs in per_acl_rule.items():
-        for rid, (src, dst) in enumerate(specs, start=1):
-            expect_src = 1 if src != "group" else None  # group size unknown here
-            if src != "group" and dst != "group":
-                assert seen[(acl, rid)] == 1
+        for rid, (src_grp, dst_grp) in enumerate(specs, start=1):
+            want = (sizes[src_grp] if src_grp else 1) * (
+                sizes[dst_grp] if dst_grp else 1
+            )
+            assert seen[(acl, rid)] == want
 
 
 # ------------------------------------------------------------ Spark-backed

@@ -68,12 +68,16 @@ def test_parse_asa_hits_golden(spark, log_dir):
 
 
 def test_parse_asa_hits_quarantine(spark, log_dir):
+    """keep_unparsed must account for EVERY input line: parseable rows
+    + quarantined rows == total, and the non-106100 message id lands in
+    quarantine with its raw text intact (no silent drops on the audit
+    path)."""
     lines = text_logs.read_log_lines(spark, log_dir)
-    bad = lines.withColumn("line", F.concat(F.lit("106100 garbage "), "line"))
-    out = text_logs.parse_asa_hits(bad, keep_unparsed=True)
-    # every line matched the cheap contains() pre-filter; only real
-    # 106100 records parse, the rest keep their raw line with NULLs
-    assert out.filter(F.col("acl").isNull()).count() == 1  # the 302013 line
+    out = text_logs.parse_asa_hits(lines, keep_unparsed=True)
+    assert out.count() == lines.count()
+    bad = out.filter(F.col("acl").isNull())
+    assert bad.count() == 1
+    assert "302013" in bad.collect()[0]["line"]
 
 
 def test_hit_counts(spark, log_dir):

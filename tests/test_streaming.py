@@ -32,11 +32,10 @@ def split_events_dir(tmp_path_factory, spark):
     """Events split into 3 files ordered by ts → 3 micro-batches with
     maxFilesPerTrigger=1."""
     d = tmp_path_factory.mktemp("events_split")
-    ev = load(spark, SF_DIR, "events").orderBy("ts").collect()
     batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    n = batch.count()
+    raw = batch.orderBy("ts").collect()
+    n = len(raw)
     third = n // 3
-    raw = spark.read.parquet(f"{SF_DIR}/events.parquet").orderBy("ts").collect()
     for i in range(3):
         rows = raw[i * third : (i + 1) * third] if i < 2 else raw[2 * third :]
         spark.createDataFrame(rows, batch.schema).coalesce(1).write.mode(
@@ -49,7 +48,6 @@ def split_events_dir(tmp_path_factory, spark):
         shutil.move(str(d / f"chunk_{i}" / part), str(d / f"{i:02d}.parquet"))
         shutil.rmtree(d / f"chunk_{i}")
         os.utime(d / f"{i:02d}.parquet", (1700000000 + i, 1700000000 + i))
-    assert len(ev) == n
     return str(d)
 
 
