@@ -184,3 +184,21 @@ def test_ip_in_cidr_edge_cases(spark):
     ]
     df = spark.createDataFrame(cases, "ip string, cidr string, want boolean")
     assert df.filter(ip_in_cidr("ip", "cidr") != F.col("want")).count() == 0
+
+
+def test_ip_in_cidr_malformed_inputs_never_crash(spark):
+    """Dirty log fields (truncated/malformed IPs, CIDR without prefix)
+    must yield no-match NULLs, not an ANSI abort — one bad line cannot
+    kill the job."""
+    from ruleset_analysis_spark.functions.net import ip_in_cidr, ipv4_to_long
+
+    bad = [
+        ("10.0.1", "10.0.0.0/8"), ("1.2..4", "10.0.0.0/8"), ("", "10.0.0.0/8"),
+        ("10.0.1.5", "10.0.0.0"), ("10.0.1.5", ""), ("...", "/"),
+        ("999.1.1.1.2", "0.0.0.0/0"),
+    ]
+    df = spark.createDataFrame(bad, "ip string, cidr string")
+    out = df.select("ip", ip_in_cidr("ip", "cidr").alias("m"),
+                    ipv4_to_long("ip").alias("addr")).collect()
+    assert all(r["m"] is not True for r in out)   # NULL or False, never a match
+    assert all(r["addr"] is None for r in [x for x in out if "." not in x["ip"] or x["ip"].count(".") != 3])
