@@ -295,9 +295,12 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", F.lit(0).alias("is_err")
     )
     tagged = errors.unionByName(clicks)
+    # event_id in the sort: among clicks sharing one timestamp the fill
+    # deterministically takes the max event_id instead of relying on
+    # the corpus never having per-user-type timestamp ties
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_err")
+        .orderBy("ts", "is_err", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     click_id = F.when(F.col("is_err") == 0, F.col("event_id"))

@@ -133,18 +133,25 @@ def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar",
     oracle=r"""
         SELECT event_id,
-               CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+               CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+                    AS BIGINT) AS k
         FROM events
     """,
 )
 def string_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE core reference op: regex group extraction from a log payload
     ([R-mem] ``analyze_ruleset.py`` pulls ACL name + rule id from each
-    syslog line). JVM regex, not a Python UDF."""
+    syslog line). JVM regex, not a Python UDF.
+
+    ``regexp_extract`` returns '' on no-match, and ``CAST('' AS
+    BIGINT)`` ABORTS under ANSI mode (both engines) — nullif on both
+    sides so a payload without ``k`` degrades to NULL."""
     ev = load(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint").alias("k"),
+        F.nullif(F.regexp_extract("props", r'"k":\s*(\d+)', 1), F.lit(""))
+        .cast("bigint")
+        .alias("k"),
     )
 
 
@@ -310,7 +317,10 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
 
     def el(i: int):
-        return F.element_at("embedding", i).cast("double")
+        # try_element_at: NULL past the end (matching DuckDB's
+        # embedding[i]) instead of an ANSI INVALID_ARRAY_INDEX abort on
+        # a short/malformed vector
+        return F.try_element_at("embedding", F.lit(i)).cast("double")
 
     return e.select(
         "vec_id",

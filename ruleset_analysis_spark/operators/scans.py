@@ -94,6 +94,11 @@ def scan_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append(
                 (name, col, dtype, actual.get(col, "<missing>"), actual.get(col) == dtype)
             )
+        # drift can ADD columns too — an undeclared column is just as
+        # much an ok=false outage signal as a missing one
+        for col in actual:
+            if col not in declared:
+                rows.append((name, col, "<undeclared>", actual[col], False))
     return spark.createDataFrame(
         rows, "table_name string, column_name string, declared string, actual string, ok boolean"
     )

@@ -10,10 +10,12 @@ explicitly on both sides — the engines' default frames differ for
 RANGE. Running/moving accumulations happen in identical frame order, so
 doubles match bit-for-bit; rounding is belt-and-braces.
 
-Scale notes: all windows partition by a key (user, segment, customer) —
-no global single-partition window except ``window_ntile_cume``, which
-is documented as a reporting-size-only op (use approx quantiles for
-cluster-scale ranking).
+Scale notes: windows partition by a key (user, segment, customer)
+except two deliberate globals — ``window_ntile_cume`` (reporting-size
+ranking; use approx quantiles at cluster scale) and
+``window_moving_avg_range``, whose input is already aggregated to one
+row per day before the window, so the single partition is bounded by
+distinct days, not raw rows.
 """
 
 from __future__ import annotations
@@ -31,9 +33,7 @@ from ..sources.parquet import load
         SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
             SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
                    row_number() OVER (PARTITION BY c.c_mktsegment
-                                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn,
-                   rank() OVER (PARTITION BY c.c_mktsegment
-                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+                                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         ) WHERE rn <= 3
     """,

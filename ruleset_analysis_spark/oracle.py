@@ -46,10 +46,16 @@ def norm_val(v) -> str:
         return "true" if v else "false"
     if isinstance(v, float):
         if math.isnan(v):
-            return NULL
+            # distinct from NULL: a NULL-vs-NaN divergence between
+            # engines is a real mismatch and must not compare equal
+            return "NaN#"
         if v == 0.0:
             v = 0.0  # collapse -0.0
         return repr(v)
+    if isinstance(v, str):
+        # tag strings so a literal '∅'/'NaN#'/numeric-looking string
+        # can never collide with the NULL/NaN sentinels or numerics
+        return "s:" + v
     if isinstance(v, int):
         return str(v)
     if isinstance(v, datetime.datetime):

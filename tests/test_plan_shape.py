@@ -126,3 +126,35 @@ def test_filter_pushed_through_join(spark):
     the documents scan."""
     plan = _physical(spark, "multimodal_join")
     assert "PushedFilters" in plan
+
+
+def test_schema_validator_verdicts_are_read(spark, tmp_path):
+    """scan_schema_validate's ok column must actually gate something:
+    zero ok=false rows on the pristine corpus, and BOTH drift
+    directions (missing + undeclared column) flagged on a doctored
+    table."""
+    from ruleset_analysis_spark.operators.scans import scan_schema_validate
+    import shutil
+
+    clean = scan_schema_validate(spark, SF_DIR)
+    assert clean.filter("NOT ok").count() == 0
+
+    # doctor a copy of the corpus: region gains a column, loses another
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", tmp_path / f"{t}.parquet")
+    r = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    r.withColumn("extra_col", F.lit(1)).drop("r_name").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "doctored"))
+    import os
+
+    part = next(p for p in os.listdir(tmp_path / "doctored") if p.startswith("part-"))
+    os.remove(tmp_path / "region.parquet")
+    shutil.move(str(tmp_path / "doctored" / part), str(tmp_path / "region.parquet"))
+
+    drifted = scan_schema_validate(spark, str(tmp_path))
+    bad = {(r["column_name"], r["declared"], r["actual"])
+           for r in drifted.filter("NOT ok").collect()}
+    assert ("extra_col", "<undeclared>", "int") in bad
+    assert any(c == "r_name" and a == "<missing>" for c, _, a in bad)
