@@ -202,12 +202,15 @@ def agg_stddev_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list + sort_array, serialized to a string so the oracle
-    hash is representation-stable across engines."""
+    hash is representation-stable across engines. nullif: a group whose
+    values are all NULL collects an empty list → concat_ws '' — but
+    DuckDB's string_agg over all-NULL input returns NULL; map '' to
+    NULL so the engines agree on that edge."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.concat_ws(",", F.sort_array(F.collect_list("event_type"))).alias(
-            "events_sorted"
-        )
+        F.nullif(
+            F.concat_ws(",", F.sort_array(F.collect_list("event_type"))), F.lit("")
+        ).alias("events_sorted")
     )
 
 
@@ -323,10 +326,12 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def date_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling: a dense (day × event_type) grid via
-    ``sequence`` + explode, left-joined with actual daily counts so
+    ``sequence`` + explode, outer-joined with actual daily counts so
     missing days surface as explicit zeros (dashboards and forecasting
-    both need the zeros). The grid is bounds×types — tiny, broadcast;
-    the fact side aggregates before the join."""
+    both need the zeros). The fact side aggregates to days×types rows
+    BEFORE the join and is the broadcast build side — the grid is the
+    preserved (outer) side, which can never be broadcast (see inline
+    note)."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"

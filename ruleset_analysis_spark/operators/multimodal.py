@@ -34,25 +34,38 @@ from ..sources.parquet import load
     "multimodal_join",
     category="multimodal",
     oracle="""
-        WITH elem AS (
-            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
-            FROM embeddings
+        WITH base AS (
+            SELECT vec_id, label, embedding FROM embeddings
+            WHERE embedding IS NOT NULL
         ),
-        nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elem GROUP BY vec_id)
+        elem AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM base
+        ),
+        s AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elem GROUP BY vec_id),
+        -- LEFT JOIN + coalesce: an EMPTY vector has norm 0.0 (as the
+        -- Spark fold computes), not a silently-dropped row (unnest of
+        -- an empty list yields nothing, so an inner join loses it)
+        nrm AS (
+            SELECT b.vec_id, coalesce(s.n, 0.0) AS n
+            FROM base b LEFT JOIN s ON s.vec_id = b.vec_id
+        )
         SELECT d.doc_id, d.lang, e.label, d.n_chars,
                CAST(len(e.embedding) AS INTEGER) AS dim,
                round(nrm.n, 6) AS vnorm
         FROM documents d
-        JOIN embeddings e ON e.vec_id = d.doc_id
+        JOIN base e ON e.vec_id = d.doc_id
         JOIN nrm ON nrm.vec_id = e.vec_id
         WHERE d.lang = 'en' AND e.label < 5
     """,
 )
 def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text + vector in one row: documents ⋈ embeddings on id, filtered
-    by both text-side (lang) and vector-side (label) predicates."""
+    by both text-side (lang) and vector-side (label) predicates. NULL
+    vectors are excluded by contract on both sides (the oracle's unnest
+    would drop them asymmetrically otherwise)."""
     d = load(spark, sf_dir, "documents")
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     return (
         d.join(e, d.doc_id == e.vec_id)
         .filter((F.col("lang") == "en") & (F.col("label") < 5))
@@ -71,13 +84,18 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_array_stats",
     category="multimodal",
     oracle="""
-        WITH elem AS (
-            SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
-            FROM embeddings
+        WITH base AS (
+            SELECT vec_id, label, embedding FROM embeddings
+            WHERE embedding IS NOT NULL
         ),
+        elem AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM base
+        ),
+        s AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM elem GROUP BY vec_id),
         nrm AS (
-            SELECT vec_id, label, sqrt(sum(x * x)) AS n
-            FROM elem GROUP BY vec_id, label
+            SELECT b.vec_id, b.label, coalesce(s.n, 0.0) AS n
+            FROM base b LEFT JOIN s ON s.vec_id = b.vec_id
         )
         SELECT label, count(*) AS n_vecs,
                round(avg(n), 6) AS avg_norm,
@@ -88,9 +106,13 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embed_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector-norm statistics (HOF norm per row, then plain
-    aggregation — array math stays JVM-side)."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "label", norm(as_double("embedding")).alias("n")
+    aggregation — array math stays JVM-side). NULL vectors excluded by
+    contract; EMPTY vectors contribute norm 0.0 in both engines (the
+    oracle left-joins the unnest sums so empties aren't dropped)."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("label", norm(as_double("embedding")).alias("n"))
     )
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -106,11 +128,11 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, which would funnel all per-row Python through one task;
     Python stages must be given real parallelism explicitly when the
     upstream scan has none."""
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
-        .repartition(n_parts)
+    from ..session import shuffle_partitions
+
+    d = load(spark, sf_dir, "documents")  # load first: normalizes confs
+    return d.select("doc_id", F.encode("text", "UTF-8").alias("content")).repartition(
+        shuffle_partitions(spark)
     )
 
 
@@ -122,13 +144,18 @@ def _binary_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     DataFrame with a ``bytes`` column for BinaryType."""
     for pdf in batches:
         content = pdf["content"]
+        # NULL payloads pass through as NULL features (the oracle's
+        # octet_length(NULL)/ascii(NULL) semantics) — a dirty row must
+        # not TypeError the worker and kill the job
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": content.map(len).astype("int64"),
-                "first_byte": content.map(lambda b: b[0] if len(b) else -1).astype(
-                    "int64"
-                ),
+                "n_bytes": content.map(
+                    lambda b: None if b is None else len(b)
+                ).astype("object"),
+                "first_byte": content.map(
+                    lambda b: None if b is None else (b[0] if len(b) else -1)
+                ).astype("object"),
             }
         )
 
@@ -170,6 +197,9 @@ def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out_doc, out_idx, out_len, out_first = [], [], [], []
         for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            if content is None:
+                # NULL payload -> no frames (oracle: range(NULL) is empty)
+                continue
             n_frames = (len(content) + _FRAME_BYTES - 1) // _FRAME_BYTES
             for fi in range(0, n_frames, _FRAME_STRIDE):
                 frame = content[fi * _FRAME_BYTES : (fi + 1) * _FRAME_BYTES]
@@ -228,7 +258,9 @@ def _resize_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         sigs = []
         for content in pdf["content"]:
-            if len(content) == 0:
+            if content is None or len(content) == 0:
+                # NULL degrades like empty (oracle's CASE chain yields
+                # the all -1 signature for both)
                 sigs.append([-1] * _RESIZE_TO)
                 continue
             stride = max(1, len(content) // _RESIZE_TO)

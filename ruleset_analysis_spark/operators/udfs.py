@@ -163,11 +163,12 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition, which would funnel ALL per-row Python through one
     # task (measured 16s -> ~2s at sf0.1). Python stages must inherit
     # real parallelism explicitly when the upstream scan has none.
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from ..session import shuffle_partitions
+
     ev = (
-        load(spark, sf_dir, "events")
+        load(spark, sf_dir, "events")  # load first: normalizes confs
         .select("event_id", "props")
-        .repartition(n_parts)
+        .repartition(shuffle_partitions(spark))
     )
     exploder = udtf(
         _PropsExploder,

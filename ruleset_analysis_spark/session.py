@@ -37,6 +37,16 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 _SHIPPED_APPS: set[str] = set()
+_DEFAULTED_APPS: set[str] = set()
+
+
+def shuffle_partitions(spark: SparkSession) -> int:
+    """Current shuffle partition count, tolerating non-integer conf
+    values some platforms report (e.g. 'auto')."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return DEFAULT_SHUFFLE_PARTITIONS
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -69,11 +79,21 @@ def _ship_package(spark: SparkSession) -> None:
                 rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                 zf.write(full, rel)
     sc.addPyFile(zip_path)
+    # NOTE: the staging zip must OUTLIVE this call — executors fetch
+    # addPyFile artifacts lazily from the registered path at their
+    # first task (verified: deleting it here fails every job with
+    # Utils.fetchFile). One small tempdir per SparkContext is the cost.
     _SHIPPED_APPS.add(app_id)
 
 
 def ensure_session_defaults(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable defaults to any session. Idempotent, cheap."""
+    """Apply runtime-settable defaults to any session. Memoized per
+    application — load() calls this on every table load, and the py4j
+    conf round-trips are pure overhead after the first call."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _DEFAULTED_APPS:
+        return spark
+    _DEFAULTED_APPS.add(app_id)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Python UDTFs ride Arrow batches instead of pickled rows
@@ -101,7 +121,11 @@ def get_spark(
     Local mode is one JVM; ``spark.driver.memory`` is the only memory
     knob that matters there.
     """
-    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS") or 0) or os.cpu_count() or 4
+    try:
+        env_cpus = int((os.environ.get("SPARK_GRAFT_CPUS") or "0").strip())
+    except ValueError:  # non-numeric env value — fall back, don't die
+        env_cpus = 0
+    cpus = cpus or env_cpus or os.cpu_count() or 4
     shuffle = shuffle_partitions or min(DEFAULT_SHUFFLE_PARTITIONS, max(8, cpus))
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")

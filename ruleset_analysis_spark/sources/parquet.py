@@ -51,8 +51,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_defaults(spark)
     df = spark.read.parquet(path_for(sf_dir, name))
     if name == "events":
-        # integer division: ns -> us without double-precision loss
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # exact FLOOR division in long arithmetic: (ts - pmod(ts, 1000))
+        # div 1000. Plain `div` truncates toward zero, which differs
+        # from DuckDB's floor for pre-epoch (negative-ns) timestamps;
+        # doubles can't be used (ns magnitudes exceed 2^53).
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
     return df
 
 
