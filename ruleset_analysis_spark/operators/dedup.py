@@ -106,14 +106,6 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, source, distinct word-trigram array (set semantics; order
-    is partition-dependent — consumers use size/intersect only)."""
-    return (
-        _exploded_shingles(spark, sf_dir)
-        .groupBy("doc_id", "source")
-        .agg(F.collect_list("s").alias("shingles"))
-    )
 
 
 @register(
@@ -230,7 +222,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sketch units are word trigrams, not unigram tokens: the corpus
     vocabulary is tiny (~31 words), so distinct-unigram sets are nearly
     identical across docs and unigram SimHash degenerates into one
-    all-colliding band bucket. Trigram sets are well-spread.
+    all-colliding band bucket. Trigram sets are well-spread. Coverage
+    tradeoff: documents shorter than 3 tokens have no shingles and thus
+    no sketch — identical short docs are caught by ``dedup_exact``, not
+    here (same limitation applies to MinHash/Jaccard by construction).
 
     The sketch is built relationally — explode shingles, hash each once,
     then 64 vectorized sum-aggregates (one per bit) with map-side

@@ -66,10 +66,15 @@ def normalized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", as_double("embedding").alias("vd")
     )
     with_norm = e.select("vec_id", "label", "vd", norm(F.col("vd")).alias("nrm"))
+    # nullif: a zero-norm (all-zero) vector yields NULL components —
+    # cosine against it becomes NULL and drops at every filter/top-k —
+    # instead of an ANSI DIVIDE_BY_ZERO abort killing five queries
     return with_norm.select(
         "vec_id",
         "label",
-        F.transform("vd", lambda x: x / F.col("nrm")).alias("vn"),
+        F.transform(
+            "vd", lambda x: x / F.nullif(F.col("nrm"), F.lit(0.0))
+        ).alias("vn"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 

@@ -231,8 +231,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-of-two token counts)."""
     d = load(spark, sf_dir, "documents")
     # materialize the token array once; every feature below folds over
-    # the column ref instead of re-splitting the text
-    toked = d.select("doc_id", tokens("text").alias("toks"))
+    # the column ref instead of re-splitting the text. Zero-token docs
+    # are dropped — the oracle's unnest emits no rows for them, and
+    # keeping them would divide by zero (an ANSI abort)
+    toked = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
     toks = F.col("toks")
     n_tokens = F.size(toks).cast("double")
     n_distinct = F.size(F.array_distinct(toks)).cast("double")

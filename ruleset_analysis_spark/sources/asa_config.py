@@ -62,8 +62,12 @@ class _Groups:
     def resolve_network(self, name: str, seen: frozenset[str] = frozenset()) -> list[str]:
         if name in seen:
             raise ValueError(f"object-group cycle at {name!r}")
+        if name not in self.network:
+            # fail loud: a typo'd group silently expanding to zero
+            # tuples would drop the whole rule (and its hits) unnoticed
+            raise ValueError(f"undefined network object-group {name!r}")
         out: list[str] = []
-        for item in self.network.get(name, []):
+        for item in self.network[name]:
             if item.startswith("group:"):
                 out.extend(self.resolve_network(item[6:], seen | {name}))
             else:
@@ -75,8 +79,10 @@ class _Groups:
     ) -> list[tuple[int, int]]:
         if name in seen:
             raise ValueError(f"object-group cycle at {name!r}")
+        if name not in self.service:
+            raise ValueError(f"undefined service object-group {name!r}")
         out: list[tuple[int, int]] = []
-        for item in self.service.get(name, []):
+        for item in self.service[name]:
             if isinstance(item, str) and item.startswith("group:"):
                 out.extend(self.resolve_service(item[6:], seen | {name}))
             else:
@@ -170,8 +176,30 @@ def parse_asa_config(text: str) -> list[dict]:
     rule_counters: dict[str, int] = {}
     rows: list[dict] = []
     for acl, toks in acl_entries:
-        # access-list <name> extended <action> <proto> <src...> <dst...> [<port...>]
+        # access-list <name> [extended] <action> <proto> <src...> <dst...> [<port...>]
+        # access-list <name> standard <permit|deny> <net...>
+        # access-list <name> remark <free text>   -- annotation, skipped
         i = 2
+        if toks[i] == "remark":
+            continue
+        if toks[i] == "standard":
+            # standard ACLs match source only: action + one endpoint
+            action, proto = toks[i + 1], "ip"
+            src, _ = _parse_endpoint(toks, i + 2)
+            dst, port = "0.0.0.0/0", _ANY_PORTS
+            rule_counters[acl] = rule_counters.get(acl, 0) + 1
+            srcs = (
+                groups.resolve_network(src[6:]) if src.startswith("group:") else [src]
+            )
+            for s in srcs:
+                rows.append(
+                    {
+                        "acl": acl, "rule_id": rule_counters[acl], "action": action,
+                        "protocol": proto, "src_net": s, "dst_net": dst,
+                        "port_lo": port[0], "port_hi": port[1],
+                    }
+                )
+            continue
         if toks[i] == "extended":
             i += 1
         action, proto = toks[i], toks[i + 1]

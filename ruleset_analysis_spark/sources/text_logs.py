@@ -73,6 +73,9 @@ def parse_asa_hits(lines: DataFrame, keep_unparsed: bool = False) -> DataFrame:
         lines if keep_unparsed else lines.filter(F.col("line").contains("106100"))
     )
     g = lambda i: F.regexp_extract("line", ASA_106100_RE, i)  # noqa: E731
+    # try_cast everywhere: (\d+) is unbounded, so a corrupt line can
+    # match the regex with an out-of-int-range number — that must
+    # quarantine as NULL, not abort the scan under ANSI mode
     parsed = candidate.select(
         "line",
         g(1).alias("acl"),
@@ -80,11 +83,11 @@ def parse_asa_hits(lines: DataFrame, keep_unparsed: bool = False) -> DataFrame:
         g(3).alias("protocol"),
         g(4).alias("src_if"),
         g(5).alias("src_ip"),
-        g(6).cast("int").alias("src_port"),
+        g(6).try_cast("int").alias("src_port"),
         g(7).alias("dst_if"),
         g(8).alias("dst_ip"),
-        g(9).cast("int").alias("dst_port"),
-        g(10).cast("bigint").alias("hit_cnt"),
+        g(9).try_cast("int").alias("dst_port"),
+        g(10).try_cast("bigint").alias("hit_cnt"),
     )
     ok = parsed.filter(F.col("acl") != "")
     if keep_unparsed:
@@ -106,7 +109,15 @@ def hit_counts(hits: DataFrame) -> DataFrame:
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """CSV with declared schema; malformed rows quarantined to a
-    ``_corrupt_record`` column instead of poisoning the load."""
+    ``_corrupt_record`` column instead of poisoning the load.
+
+    PERMISSIVE mode only populates the corrupt-record column when the
+    schema DECLARES it — appended here so the quarantine contract
+    holds for any caller schema."""
+    if "_corrupt_record" not in schema.fieldNames():
+        schema = T.StructType(
+            [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
+        )
     return spark.read.csv(path, schema=schema, header=True, mode="PERMISSIVE")
 
 

@@ -65,7 +65,11 @@ def read_event_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(events_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # exact FLOOR division, identical to the batch loader — plain div
+    # truncates toward zero and would diverge for pre-epoch timestamps
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+    )
 
 
 def tumbling_counts(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:

@@ -202,3 +202,28 @@ def test_ip_in_cidr_malformed_inputs_never_crash(spark):
                     ipv4_to_long("ip").alias("addr")).collect()
     assert all(r["m"] is not True for r in out)   # NULL or False, never a match
     assert all(r["addr"] is None for r in [x for x in out if "." not in x["ip"] or x["ip"].count(".") != 3])
+
+
+def test_asa_remark_and_standard_lines():
+    cfg = """
+access-list OUT remark allow web traffic to dmz
+access-list OUT extended permit tcp any host 10.0.1.5 eq 443
+access-list LEGACY standard permit 10.1.0.0 255.255.0.0
+access-list LEGACY standard deny any
+"""
+    rows = asa_config.parse_asa_config(cfg)
+    out = [r for r in rows if r["acl"] == "OUT"]
+    # remark is an annotation: skipped AND not counted as a rule_id
+    assert [(r["rule_id"], r["dst_net"]) for r in out] == [(1, "10.0.1.5/32")]
+    legacy = [r for r in rows if r["acl"] == "LEGACY"]
+    assert [(r["rule_id"], r["action"], r["src_net"]) for r in legacy] == [
+        (1, "permit", "10.1.0.0/16"),
+        (2, "deny", "0.0.0.0/0"),
+    ]
+
+
+def test_asa_undefined_group_fails_loud():
+    with pytest.raises(ValueError, match="undefined network object-group"):
+        asa_config.parse_asa_config(
+            "access-list A extended permit tcp any object-group TYPO\n"
+        )
