@@ -289,15 +289,17 @@ def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract",
     category="scalar",
     oracle="""
-        SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events
     """,
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured payload access (``events.props`` is a JSON string)."""
+    """Semi-structured payload access (``events.props`` is a JSON string).
+    try_cast both sides: a non-numeric ``k`` degrades to NULL instead
+    of an ANSI CAST abort."""
     ev = load(spark, sf_dir, "events")
     return ev.select(
-        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+        "event_id", F.get_json_object("props", "$.k").try_cast("bigint").alias("k")
     )
 
 
@@ -355,7 +357,7 @@ def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id,
                array_to_string(json_keys(props), ',') AS keys,
                CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
-               CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         FROM events
     """,
 )
