@@ -395,3 +395,33 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(-1).cast("long").alias("day_epoch"), "est", "exact")
     )
     return per_day.unionByName(merged_row)
+
+
+@register(
+    "agg_min_max_by",
+    category="agg",
+    oracle="""
+        SELECT l_returnflag,
+               arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
+               arg_max(l_orderkey, l_extendedprice) AS priciest_order,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax per group (min_by/max_by): which order carries the
+    extreme price, in the same single pass that finds the extreme —
+    no self-join back to the detail, the classic argmax-without-rescan.
+
+    Determinism note: ties on the ordering value would make the carried
+    key engine-dependent; l_extendedprice ties within a flag group are
+    broken identically in both engines only because the corpus has
+    unique extreme prices per group (asserted by the hash match)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )

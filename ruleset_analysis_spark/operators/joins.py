@@ -320,3 +320,50 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_event_id",
         F.unix_timestamp(F.date_trunc("second", "click_ts")).alias("click_epoch"),
     )
+
+
+_RANGE_DAYS = 1  # ± window for the bucketed self range join
+
+
+@register(
+    "join_range_bucketed",
+    category="join",
+    oracle=f"""
+        SELECT a.o_orderkey,
+               count(*) - 1 AS n_nearby
+        FROM orders a JOIN orders b
+          ON b.o_orderdate BETWEEN a.o_orderdate - INTERVAL {_RANGE_DAYS} DAY
+                               AND a.o_orderdate + INTERVAL {_RANGE_DAYS} DAY
+        GROUP BY a.o_orderkey
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join done the scale-correct way: per order, count
+    orders placed within ±1 day — a pure range predicate with NO equi
+    key, which planners otherwise execute as a nested-loop cross
+    product.
+
+    The bucketing trick: floor both sides to day buckets, explode one
+    side to its 2k+1 candidate buckets, equi-join on the bucket id,
+    then apply the exact range filter. The O(n²) cross product becomes
+    a keyed shuffle join whose fan-out is bounded by rows-per-bucket —
+    at 100 TB this is the difference between a job that finishes and
+    one that doesn't. (The oracle states the plain range predicate;
+    DuckDB's IEJoin handles it at test scale.)"""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.datediff("o_orderdate", F.lit("1992-01-01")).alias("day")
+    )
+    probe = o.select(
+        "o_orderkey",
+        "day",
+        F.explode(
+            F.sequence(F.col("day") - _RANGE_DAYS, F.col("day") + _RANGE_DAYS)
+        ).alias("bucket"),
+    )
+    build = o.select(F.col("day").alias("b_day"), F.col("day").alias("bucket"))
+    return (
+        probe.join(build, "bucket")
+        .filter(F.abs(F.col("b_day") - F.col("day")) <= _RANGE_DAYS)
+        .groupBy("o_orderkey")
+        .agg((F.count(F.lit(1)) - 1).alias("n_nearby"))
+    )

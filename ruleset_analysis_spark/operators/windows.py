@@ -163,3 +163,37 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
     )
+
+
+@register(
+    "window_first_last",
+    category="window",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER w AS last_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value with an EXPLICIT full-partition
+    frame — the default frame (unbounded preceding → current row) makes
+    last_value equal the current row, the classic window-function trap;
+    spelling the frame identically on both engines is the fix and the
+    differential proves it."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
