@@ -158,3 +158,14 @@ def test_schema_validator_verdicts_are_read(spark, tmp_path):
            for r in drifted.filter("NOT ok").collect()}
     assert ("extra_col", "<undeclared>", "int") in bad
     assert any(c == "r_name" and a == "<missing>" for c, _, a in bad)
+
+
+def test_range_join_is_keyed_not_nested_loop(spark):
+    """join_range_bucketed exists to turn a keyless range predicate into
+    a keyed equi-join — its plan must contain no cross/nested-loop
+    join."""
+    plan = _physical(spark, "join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the bucket equi-join is a real join node with the bucket key
+    assert "bucket" in plan
