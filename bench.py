@@ -55,22 +55,25 @@ def main() -> int:
     for t in TABLE_NAMES:
         load(spark, sf_dir, t).cache().count()
 
-    # Each query is timed twice and the minimum reported: the first
-    # execution of a plan pays one-time codegen/JIT compilation, and
-    # this host shows large sporadic noise spikes (identical runs vary
-    # several-fold) — min-of-2 measures the engine, not the scheduler
-    # weather. Standard warm-run methodology; both runs execute fully.
+    # The graded `value` is the FIRST full sequential pass — same
+    # methodology as a plain single-run suite, comparable against any
+    # externally recorded baseline. A second pass is also timed and the
+    # per-query minima reported as supplementary data: the first run of
+    # a plan pays one-time codegen/JIT, and this host shows sporadic
+    # several-fold noise spikes, so min-of-2 shows the engine floor —
+    # but it is NOT the graded number.
     timings: dict[str, float] = {}
+    best: dict[str, float] = {}
     t_suite = time.time()
     for name in sorted(specs):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            run(specs[name].builder(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-    total = round(sum(timings.values()), 3)
-    wall = round(time.time() - t_suite, 3)
+        t0 = time.time()
+        run(specs[name].builder(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_suite, 3)
+    for name in sorted(specs):
+        t0 = time.time()
+        run(specs[name].builder(spark, sf_dir))
+        best[name] = round(min(timings[name], time.time() - t0), 3)
 
     print(
         json.dumps(
@@ -81,8 +84,8 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
-                "runs_per_query": 2,
-                "wall_seconds": wall,
+                "supplementary_min_of_2": best,
+                "supplementary_min_of_2_sum": round(sum(best.values()), 3),
             }
         )
     )

@@ -402,8 +402,8 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="agg",
     oracle="""
         SELECT l_returnflag,
-               arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
-               arg_max(l_orderkey, l_extendedprice) AS priciest_order,
+               (min({'p': l_extendedprice, 'k': l_orderkey})).k AS cheapest_order,
+               (max({'p': l_extendedprice, 'k': l_orderkey})).k AS priciest_order,
                round(min(l_extendedprice), 2) AS min_price,
                round(max(l_extendedprice), 2) AS max_price
         FROM lineitem GROUP BY l_returnflag
@@ -414,14 +414,16 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme price, in the same single pass that finds the extreme —
     no self-join back to the detail, the classic argmax-without-rescan.
 
-    Determinism note: ties on the ordering value would make the carried
-    key engine-dependent; l_extendedprice ties within a flag group are
-    broken identically in both engines only because the corpus has
-    unique extreme prices per group (asserted by the hash match)."""
+    The ordering value is the struct (price, orderkey), not price
+    alone: a tie on the extreme price would otherwise make the carried
+    key engine- and partition-order-dependent. Both engines compare
+    structs lexicographically (Spark min_by/max_by over a struct;
+    DuckDB min/max over a struct literal, key extracted after)."""
     li = load(spark, sf_dir, "lineitem")
+    tiebroken = F.struct(F.col("l_extendedprice"), F.col("l_orderkey"))
     return li.groupBy("l_returnflag").agg(
-        F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
-        F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+        F.min_by("l_orderkey", tiebroken).alias("cheapest_order"),
+        F.max_by("l_orderkey", tiebroken).alias("priciest_order"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )

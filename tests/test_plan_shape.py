@@ -167,5 +167,8 @@ def test_range_join_is_keyed_not_nested_loop(spark):
     plan = _physical(spark, "join_range_bucketed")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # the bucket equi-join is a real join node with the bucket key
-    assert "bucket" in plan
+    # a real hash/merge equi-join node must carry the plan
+    assert any(
+        node in plan
+        for node in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
