@@ -1,10 +1,20 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-    {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+Output protocol (two JSON lines; the driver captures a bounded *tail*
+of stdout, so the compact graded-metric line comes LAST where no
+truncation can reach it — round 1 lost its metric to exactly this):
+
+    line 1: full detail   {"metric", "value", "unit", "queries": {...},
+                           "sf", "n_queries", "supplementary_min_of_2",
+                           "supplementary_min_of_2_sum"}
+    line 2 (last): compact {"metric", "value", "unit", "sf",
+                           "n_queries", "supplementary_min_of_2_sum"}
+
+Both lines carry the same graded value. The full detail is also written
+to BENCH_DETAIL.json next to this script for round-over-round per-query
+regression tracking (see SCALE.md).
 
 Queries are materialized with the noop sink (full execution, zero
 collect/serialization cost) — the timing measures the engine, not
@@ -75,20 +85,30 @@ def main() -> int:
         run(specs[name].builder(spark, sf_dir))
         best[name] = round(min(timings[name], time.time() - t0), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "full_query_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "supplementary_min_of_2": best,
-                "supplementary_min_of_2_sum": round(sum(best.values()), 3),
-            }
-        )
+    summary = {
+        "metric": "full_query_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "supplementary_min_of_2_sum": round(sum(best.values()), 3),
+    }
+    detail = {
+        **summary,
+        "queries": timings,
+        "supplementary_min_of_2": best,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
+    print(json.dumps(detail))
+    # compact line LAST: survives any tail-capture of stdout
+    print(json.dumps(summary), flush=True)
     return 0
 
 

@@ -27,13 +27,16 @@ def ipv4_to_long(ip: Column | str) -> Column:
     kill a 100 TB job."""
     ip = F.col(ip) if isinstance(ip, str) else ip
     oct_ = F.split(ip, r"\.")
-    value = (
-        F.element_at(oct_, 1).cast("long") * 16777216
-        + F.element_at(oct_, 2).cast("long") * 65536
-        + F.element_at(oct_, 3).cast("long") * 256
-        + F.element_at(oct_, 4).cast("long")
-    )
-    return F.when(ip.rlike(_IPV4_RE), value)
+    o1 = F.element_at(oct_, 1).cast("long")
+    o2 = F.element_at(oct_, 2).cast("long")
+    o3 = F.element_at(oct_, 3).cast("long")
+    o4 = F.element_at(oct_, 4).cast("long")
+    value = o1 * 16777216 + o2 * 65536 + o3 * 256 + o4
+    # '999.1.1.1' passes the \d{1,3} shape gate but is not an address;
+    # an un-range-checked value >= 2^32 would spuriously match CIDRs
+    # after masking (e.g. '256.0.0.1' inside '0.0.0.0/8')
+    octets_valid = (o1 <= 255) & (o2 <= 255) & (o3 <= 255) & (o4 <= 255)
+    return F.when(ip.rlike(_IPV4_RE) & octets_valid, value)
 
 
 def ip_in_cidr(ip: Column | str, cidr: Column | str) -> Column:
@@ -47,7 +50,12 @@ def ip_in_cidr(ip: Column | str, cidr: Column | str) -> Column:
     # try_element_at: a CIDR missing its '/prefix' yields NULL (⇒ no
     # match) instead of an ANSI INVALID_ARRAY_INDEX abort
     net = ipv4_to_long(F.try_element_at(parts, F.lit(1)))
-    prefix = F.try_element_at(parts, F.lit(2)).try_cast("int")
+    # A prefix outside 0..32 (e.g. '10.0.0.0/40') would compute
+    # mask = 2^32 - 0 and then (addr & mask) == (net & mask) collapses
+    # to 0 == 0 — the malformed CIDR would match EVERY address. Gate it
+    # to NULL instead, honouring the malformed-input contract.
+    raw_prefix = F.try_element_at(parts, F.lit(2)).try_cast("int")
+    prefix = F.when(raw_prefix.between(0, 32), raw_prefix)
     # mask = high `prefix` bits set = 2^32 - 2^(32-prefix); shiftleft
     # needs a literal shift amount, but pow is exact in double up to 2^32
     mask = (

@@ -427,3 +427,35 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
     )
+
+
+@register(
+    "agg_quantiles_approx",
+    category="agg",
+    oracle=None,  # rows-only: GK-sketch quantiles are algorithm-specific;
+    # tests/test_scale_utils.py bounds |approx - exact| <= rank ε instead
+)
+def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles via ``percentile_approx`` (the
+    Greenwald-Khanna sketch): p50/p90/p99 of event value per type.
+
+    This is the scale path that ``window_ntile_cume``'s docstring
+    promises: exact percentile/ntile needs a full sort (single-
+    partition window for global ranks), while the GK sketch is a
+    bounded-memory, MERGEABLE per-partition summary — map-side partial
+    aggregation, one keyed shuffle of sketches, no sort. Accuracy
+    1/10000 on rank; the tolerance test pins the estimates against
+    exact percentiles."""
+    ev = load(spark, sf_dir, "events")
+    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
+    return (
+        ev.groupBy("event_type")
+        .agg(q.alias("qs"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.round(F.col("qs")[0], 6).alias("p50"),
+            F.round(F.col("qs")[1], 6).alias("p90"),
+            F.round(F.col("qs")[2], 6).alias("p99"),
+            "n",
+        )
+    )

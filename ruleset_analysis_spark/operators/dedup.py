@@ -121,17 +121,19 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate set only, keep ≥ 0.5. Candidate generation is an
     equi-join on the band hash — the LSH trick that makes near-dedup a
     keyed shuffle instead of an all-pairs product."""
-    # ONE pass over the exploded shingles computes everything the rest
-    # of the query needs per doc: 16 vectorized min() aggregates (each
-    # shingle hashed once per seed, map-side partial agg), the shingle
-    # count, and the shingle set itself for exact verification. The
-    # 5000-row result is persisted: banding references it twice (self-
-    # join) and verification twice more, and column pruning makes those
-    # subtrees canonically different, so ReuseExchange can never kick
-    # in — without the cache Spark re-runs the scan+window pipeline 4×
-    # (measured: 6 scans, 0 reuses). At 100 TB this per-doc sketch
-    # relation is ~1/1000th of the corpus and is exactly what one would
-    # deliberately persist(MEMORY_AND_DISK).
+    # ONE pass over the exploded shingles computes the per-doc sketch:
+    # 16 vectorized min() aggregates (each shingle hashed once per
+    # seed, map-side partial agg) plus the shingle count. The result is
+    # persisted: banding references it twice (self-join) and the size
+    # join twice more, and column pruning makes those subtrees
+    # canonically different, so ReuseExchange can never kick in —
+    # without the cache Spark re-runs the scan+window pipeline 4×
+    # (measured: 6 scans, 0 reuses). The persisted relation is 16 longs
+    # + a count per doc — genuinely ~1/1000th of the corpus at 100 TB,
+    # exactly what one would deliberately persist(MEMORY_AND_DISK).
+    # (Exact verification joins the exploded shingle relation instead
+    # of carrying collect_list arrays here — a corpus-sized payload
+    # that would have made the "sketch" cache as big as the data.)
     from pyspark import StorageLevel
 
     exploded = _exploded_shingles(spark, sf_dir)
@@ -143,7 +145,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i, seed in enumerate(_MH_SEEDS)
             ],
             F.count(F.lit(1)).alias("n"),
-            F.collect_list("s").alias("shingles"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -176,28 +177,31 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Exact-Jaccard verification restricted to the candidate pairs:
-    # join the cached per-doc shingle sets to both sides and intersect.
-    # |candidates| ≪ |docs|² by LSH construction, so the arrays meet
-    # only a few hundred times.
-    sh = per_doc.select("doc_id", "n", "shingles")
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    jac = inter / (F.col("na") + F.col("nb") - inter)
+    # Exact-Jaccard verification restricted to the candidate pairs,
+    # computed against the *exploded* shingle relation (the same
+    # equi-join-count shape dedup_ngram_jaccard uses): semi-restrict
+    # the shingle rows to candidate docs, join on the shingle itself to
+    # count intersections. No per-doc array ever materializes — the
+    # shuffle carries (doc_id, shingle) rows keyed on the shingle, and
+    # |candidates| ≪ |docs|² by LSH construction. A candidate pair with
+    # an empty intersection drops out of the inner join, which is
+    # correct: jaccard ≥ 0.5 requires a non-empty intersection.
+    ex = exploded.select("doc_id", "s")
+    inter = (
+        cand.join(ex.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = per_doc.select("doc_id", "n")
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        cand.join(
-            sh.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("n").alias("na"),
-                F.col("shingles").alias("sa"),
-            ),
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
             "doc_a",
         )
         .join(
-            sh.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("n").alias("nb"),
-                F.col("shingles").alias("sb"),
-            ),
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
             "doc_b",
         )
         .filter(jac >= 0.5)
@@ -384,7 +388,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-duplicates: label-blocked pairs with cosine
-    ≥ 0.9. Spark computes the dot product as a per-pair higher-order
+    ≥ 0.4 (the threshold in both the filter below and the oracle; low
+    because the synthetic embeddings are near-orthogonal). Spark
+    computes the dot product as a per-pair higher-order
     fold (no element explosion); the oracle unnests — both accumulate
     in double and agree after 6dp rounding."""
     from ..functions.vectors import dot

@@ -134,8 +134,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All same-label pairs with cosine ≥ 0.25. The label is the blocking
-    key bounding join fan-out (Σ n_label² ≪ n² — at 100 TB the block key
-    would be an LSH bucket, see sim_ann_lsh)."""
+    key bounding join fan-out — but with ~10 label values Σ n_label² is
+    still ~n²/10, so this form is the exact *baseline*; the 100×-scale
+    default is ``sim_pairwise_bucketed`` (LSH-bucket blocking, below),
+    verified against this one by containment + recall in
+    tests/test_properties.py."""
     e = normalized_vectors(spark, sf_dir)
     a, b = e.alias("a"), e.alias("b")
     cos = dot(F.col("a.vn"), F.col("b.vn"))
@@ -163,6 +166,45 @@ _LSH_BITS = 6
 _PLANES = np.random.RandomState(42).randn(_LSH_TABLES, _LSH_BITS, 64)
 
 
+def _lsh_buckets(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """(vec_id, table_id, bucket): sign-bit LSH signature per table.
+
+    Broadcast the (tiny, deterministic) hyperplane rows, fold a HOF dot
+    per (vector, plane), pack sign bits into an int bucket id — no
+    shuffle wider than the groupBy on (vec_id, table_id), and sign of
+    dot(v, plane) is scale-invariant so normalized vectors bucket
+    identically to raw ones.
+
+    Persisted: both pairwise blocking (self-join, two references) and
+    ANN probing (probe + candidate sides) reference the signature
+    relation more than once, and column pruning defeats ReuseExchange;
+    the relation is 3 ints per (vector, table) — a true sketch."""
+    from pyspark import StorageLevel
+
+    planes = spark.createDataFrame(
+        [
+            (t, b, [float(x) for x in _PLANES[t, b]])
+            for t in range(_LSH_TABLES)
+            for b in range(_LSH_BITS)
+        ],
+        "table_id int, bit_id int, plane array<double>",
+    )
+    return (
+        e.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "table_id",
+            (
+                F.when(dot(F.col("vn"), F.col("plane")) > 0, F.lit(1)).otherwise(F.lit(0))
+                * F.expr("shiftleft(1, bit_id)")
+            ).alias("bit"),
+        )
+        .groupBy("vec_id", "table_id")
+        .agg(F.sum("bit").cast("int").alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 @register(
     "sim_ann_lsh",
     category="similarity",
@@ -178,31 +220,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-k on the candidate set. This is the IVF/LSH routing
     pattern: at 100 TB the bucket id becomes the partition key and a
     query touches only matching partitions."""
-    planes = spark.createDataFrame(
-        [
-            (t, b, [float(x) for x in _PLANES[t, b]])
-            for t in range(_LSH_TABLES)
-            for b in range(_LSH_BITS)
-        ],
-        "table_id int, bit_id int, plane array<double>",
-    )
     e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
-    # bucket id per (vector, table): sign bits packed into an int
-    # (sign of dot(v, plane) is scale-invariant, so normalized vectors
-    # bucket identically to raw ones)
-    bits = (
-        e.crossJoin(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "table_id",
-            (
-                F.when(dot(F.col("vn"), F.col("plane")) > 0, F.lit(1)).otherwise(F.lit(0))
-                * F.expr("shiftleft(1, bit_id)")
-            ).alias("bit"),
-        )
-        .groupBy("vec_id", "table_id")
-        .agg(F.sum("bit").cast("int").alias("bucket"))
-    )
+    bits = _lsh_buckets(spark, e)
     probe_buckets = bits.filter(F.col("vec_id") == _PROBE_ID).select(
         "table_id", F.col("bucket").alias("probe_bucket")
     )
@@ -224,6 +243,49 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(_TOP_K)
         .select("vec_id", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
+@register(
+    "sim_pairwise_bucketed",
+    category="similarity",
+    oracle=None,  # rows-only: LSH candidate recall < 1 by construction;
+    # tests/test_properties.py proves bucketed ⊆ exact + recall bound
+)
+def sim_pairwise_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine ≥ 0.25 with *LSH-bucket blocking* — the
+    100×-scale path for ``sim_pairwise_threshold`` (and
+    ``dedup_embedding_cosine``), whose label blocking key has ~10
+    values and therefore still scans Σ n_label² ≈ n²/10 pairs.
+
+    Candidates are pairs sharing any (table_id, bucket) signature —
+    4 tables × 6 hyperplane bits, so the join is keyed on ~4·2⁶
+    buckets and the pair count is Σ_bucket n_bucket², bounded by
+    bucket occupancy instead of corpus size. Exact cosine verifies
+    every candidate, so false positives cost only the verify fold;
+    recall is the LSH OR-of-4-tables probability (≈ 1 - (1-p⁶)⁴,
+    p = 1 - θ/π — high for near-duplicate angles; the property test
+    measures it against the exact scan on the test corpus)."""
+    e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
+    bits = _lsh_buckets(spark, e)
+    a, b = bits.alias("a"), bits.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    cos = dot(F.col("va"), F.col("vb"))
+    return (
+        cand.join(e.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("va")), "vec_a")
+        .join(e.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("vb")), "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= 0.25)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
     )
 
 

@@ -6,7 +6,7 @@ that: Catalyst built-ins everywhere, and the only Python in any row
 path is below — Arrow-vectorized pandas UDFs, each with a pure-SQL
 oracle proving the semantics.
 
-``tests/test_plans.py`` asserts no other graded query contains a
+``tests/test_plan_shape.py`` asserts no other graded query contains a
 Python eval node (ArrowEvalPython/BatchEvalPython/FlatMapGroupsInPandas).
 """
 
@@ -50,12 +50,19 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     v = pdf["value"]
+    z = ((v - v.mean()) / v.std(ddof=1)).round(6)
+    # singleton / zero-variance groups: pandas std(ddof=1) is NaN where
+    # SQL stddev_samp is NULL — map non-finite to None so parity with
+    # the oracle holds at any scale factor, not just corpora without
+    # one-event users
     out = pd.DataFrame(
         {
             "event_id": pdf["event_id"],
             "user_id": pdf["user_id"],
-            "zscore": ((v - v.mean()) / v.std(ddof=1)).round(6),
+            "zscore": z.where(np.isfinite(z), None),
         }
     )
     return out

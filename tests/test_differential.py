@@ -50,3 +50,26 @@ def test_contract_shape():
     assert len(q) >= 60
     # every oracle references only pre-registered views (smoke: non-empty SQL)
     assert all(s.strip() for s in o.values())
+
+
+def test_driver_priority_window():
+    """The driver's correctness harness witnesses a bounded prefix of
+    ``queries()`` (round 1: exactly the first 50 dict entries), so the
+    DRIVER_PRIORITY list is a measurement channel: every name in it
+    must exist (a stale name silently shrinks the witnessed window),
+    and the registry must actually emit them first and in order."""
+    from ruleset_analysis_spark.plans.registry import DRIVER_PRIORITY
+
+    names = list(SPECS)
+    assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY)), "duplicate priority name"
+    missing = [n for n in DRIVER_PRIORITY if n not in SPECS]
+    assert not missing, f"priority names not in registry: {missing}"
+    assert names[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
+    # the 50-entry window must witness every family the round-1 window
+    # missed (flagship + LLM surface)
+    window = set(names[:50])
+    for fam in ("rule_usage_report", "dedup_near_minhash", "sim_cosine_topk",
+                "text_tfidf_topterms", "multimodal_join", "udaf_grouped_pandas",
+                "stream_session_window", "sort_multi_key", "window_lag_lead",
+                "agg_quantiles_approx", "subquery_correlated_avg"):
+        assert fam in window, f"{fam} outside the driver's 50-entry window"

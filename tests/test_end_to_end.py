@@ -97,3 +97,56 @@ def test_reference_workflow_end_to_end(spark, archive, tmp_path):
         "ACTIVE",
         "UNUSED",
     }
+
+
+def test_run_ruleset_analysis_single_call(spark, archive):
+    """The one-function composition (pipeline.run_ruleset_analysis):
+    .gz dir + raw config text in, full usage report out — with
+    FIRST-MATCH-WINS attribution: every flow here matches the trailing
+    'deny ip any any' too, but the firewall (and the report) charges
+    only the first matching rule, so the catch-all shows ZERO hits."""
+    from ruleset_analysis_spark.pipeline import run_ruleset_analysis
+
+    report = run_ruleset_analysis(spark, archive, CONFIG)
+    rows = {(r["acl"], r["rule_id"]): r for r in report.collect()}
+    # every configured statement appears exactly once
+    assert set(rows) == {
+        ("OUTSIDE_IN", 1), ("OUTSIDE_IN", 2), ("OUTSIDE_IN", 3), ("RETIRED", 1)
+    }
+    tcp = sum(1 for i in range(200) if i % 3)
+    assert rows[("OUTSIDE_IN", 1)]["hits"] == tcp
+    assert rows[("OUTSIDE_IN", 1)]["action"] == "permit"
+    assert rows[("OUTSIDE_IN", 2)]["hits"] == 200 - tcp
+    # first-match-wins: catch-all deny never charged
+    assert rows[("OUTSIDE_IN", 3)]["hits"] == 0
+    assert rows[("OUTSIDE_IN", 3)]["status"] == "UNUSED"
+    assert rows[("RETIRED", 1)]["status"] == "UNUSED"
+    # distinct talkers survive the flow pre-aggregation
+    assert rows[("OUTSIDE_IN", 1)]["n_sources"] > 1
+
+
+def test_run_ruleset_analysis_tolerates_dirty_lines(spark, tmp_path):
+    """Non-106100 lines, truncated records, and malformed IPs must be
+    quarantined (dropped), never abort the job or misattribute hits."""
+    import gzip as _gzip
+
+    from ruleset_analysis_spark.pipeline import run_ruleset_analysis
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    lines = [
+        "%ASA-6-302013: Built inbound TCP connection 12345",  # other msg id
+        "%ASA-6-106100: access-list OUTSIDE_IN permitted tcp "
+        "outside/203.0.113.7(40000) -> dmz/10.0.1.5(443) hit-cnt 3 "
+        "300-second interval [0x1, 0x0]",
+        "%ASA-6-106100: access-list OUTSIDE_IN permitted tcp truncated gibberish",
+        "%ASA-6-106100: access-list OUTSIDE_IN permitted tcp "
+        "outside/999.1.2.3(40001) -> dmz/10.0.1.5(443) hit-cnt 2 "
+        "300-second interval [0x2, 0x0]",  # malformed src ip: parses, never CIDR-matches
+        "",
+    ]
+    with _gzip.open(d / "fw.log.gz", "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    report = run_ruleset_analysis(spark, str(d), CONFIG)
+    rows = {(r["acl"], r["rule_id"]): r for r in report.collect()}
+    assert rows[("OUTSIDE_IN", 1)]["hits"] == 3  # only the clean line counts

@@ -160,6 +160,68 @@ def test_schema_validator_verdicts_are_read(spark, tmp_path):
     assert any(c == "r_name" and a == "<missing>" for c, _, a in bad)
 
 
+def test_subqueries_decorrelate_to_keyed_joins(spark):
+    """Correlated/scalar subqueries must NOT execute per outer row:
+    Catalyst decorrelates them into aggregates + hash joins. A nested
+    loop here is a scan-per-row at 100 TB."""
+    # Q17 shape: per-part avg computed once, joined back
+    plan = _physical(spark, "subquery_correlated_avg")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # per-part avg + final group
+    # EXISTS → left semi, NOT IN → null-aware left anti
+    assert "LeftSemi" in _physical(spark, "subquery_exists")
+    assert "LeftAnti" in _physical(spark, "subquery_not_in_null_safe")
+    # uncorrelated scalar subquery: evaluated once and pushed into the
+    # scan as a literal comparison — no join node anywhere in the plan
+    scalar = _physical(spark, "subquery_scalar_agg")
+    assert "ScalarSubquery" in scalar
+    assert "Join" not in scalar
+    # ... and it reaches the parquet reader as a pushed data filter
+    # (some FileScan in the plan — the subquery's own scan has none)
+    assert any(
+        "ScalarSubquery" in seg.split("ReadSchema")[0]
+        for seg in scalar.split("DataFilters:")[1:]
+    )
+
+
+def test_minhash_sketch_carries_no_shingle_arrays(spark):
+    """dedup_near_minhash's persisted per-doc relation must be 16 longs
+    + a count — exact verification joins the exploded shingle relation
+    instead of carrying collect_list arrays (a corpus-sized payload
+    masquerading as a sketch)."""
+    plan = _optimized(spark, "dedup_near_minhash")
+    assert "collect_list" not in plan
+
+
+def test_quantile_sketch_aggregates_partial(spark):
+    """agg_quantiles_approx is the promised no-sort scale path: GK
+    sketches must partial-aggregate map-side (mergeable summaries), and
+    the plan must contain no sort at all."""
+    plan = _physical(spark, "agg_quantiles_approx")
+    assert plan.count("ObjectHashAggregate") + plan.count("HashAggregate") >= 2
+    assert "Sort" not in plan
+
+
+def test_bucketed_pairwise_is_keyed_join(spark):
+    """sim_pairwise_bucketed replaces the label-blocked all-pairs scan:
+    its candidate join must be a hash join on the bucket key, never a
+    cross/nested-loop product of the vector table with itself."""
+    plan = _physical(spark, "sim_pairwise_bucketed")
+    assert "CartesianProduct" not in plan
+    # candidate generation: a real keyed join on the bucket signature
+    assert any(
+        f"{node} [table_id" in plan
+        for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    # the only nested loop anywhere is the broadcast of the tiny 24-row
+    # hyperplane dim inside the (persisted) signature relation's cached
+    # lineage — every occurrence must sit below an InMemoryRelation,
+    # i.e. it is the cache's description, not an executed product
+    exec_plan = plan.split("InMemoryRelation")[0]
+    assert "BroadcastNestedLoopJoin" not in exec_plan
+
+
 def test_range_join_is_keyed_not_nested_loop(spark):
     """join_range_bucketed exists to turn a keyless range predicate into
     a keyed equi-join — its plan must contain no cross/nested-loop

@@ -245,3 +245,99 @@ def test_exact_dups_are_near_dup_pairs(spark, tmp_path):
     assert pairs.get((0, 1)) == 1.0
     # doc 3 shares no shingles with anything — never a candidate
     assert not any(3 in p for p in pairs)
+
+
+def _write_embeddings_fixture(spark, tmp_path, n_clusters=6, per_cluster=5, n_noise=40):
+    """Synthetic embeddings with known near-dup structure: each cluster
+    is one base direction plus small perturbations (pairwise cos ≈
+    0.98+), noise vectors are iid gaussian (pairwise cos ≈ 0 in 64-d)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        base = rng.randn(64)
+        for _ in range(per_cluster):
+            v = base + 0.05 * rng.randn(64)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    for _ in range(n_noise):
+        rows.append((vid, [float(x) for x in rng.randn(64)], 99))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    import os, shutil
+
+    raw = tmp_path / "raw_emb"
+    flat = tmp_path / "flat_emb"
+    flat.mkdir()
+    df.coalesce(1).write.parquet(str(raw))
+    part = next(p for p in os.listdir(raw) if p.startswith("part-"))
+    shutil.move(str(raw / part), str(flat / "embeddings.parquet"))
+    return str(flat), rows
+
+
+def test_bucketed_pairs_subset_of_exact_with_high_recall(spark, tmp_path):
+    """VERDICT weak-list fix: sim_pairwise_bucketed (LSH blocking) must
+    (a) emit ONLY true pairs — every reported pair verifies exactly at
+    cos ≥ 0.25 (containment: bucketed ⊆ exact all-pairs), and (b) find
+    nearly all *near-duplicate* pairs (cos ≥ 0.9), where the
+    OR-of-4-tables collision probability is ≈ 0.99. Recall on barely-
+    similar pairs (cos just above threshold) is low by design — LSH
+    blocking trades them for the n² scan; the near-dup band is the
+    contract."""
+    import numpy as np
+
+    sf_dir, rows = _write_embeddings_fixture(spark, tmp_path)
+    vecs = {vid: np.array(v) / np.linalg.norm(v) for vid, v, _ in rows}
+    exact = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = float(vecs[a] @ vecs[b])
+            if c >= 0.25:
+                exact[(a, b)] = c
+
+    from ruleset_analysis_spark.operators.similarity import sim_pairwise_bucketed
+
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in sim_pairwise_bucketed(spark, sf_dir).collect()
+    }
+    # containment: every bucketed pair is a true ≥0.25 pair, cos agrees
+    for pair, cos in got.items():
+        assert pair in exact, f"false pair {pair}"
+        assert abs(cos - exact[pair]) < 1e-5
+    # recall on the near-dup band
+    near = {p for p, c in exact.items() if c >= 0.9}
+    assert near, "fixture must contain near-dup pairs"
+    found = len(near & set(got))
+    assert found / len(near) >= 0.9, f"near-dup recall {found}/{len(near)}"
+
+
+def test_quantiles_approx_within_rank_tolerance(spark):
+    """agg_quantiles_approx must bound rank error: each approx quantile
+    value, located in the group's sorted exact values, sits within
+    ±0.01 of its nominal rank (percentile_approx accuracy=10000 ⇒
+    theoretical bound 1e-4; 0.01 absorbs duplicate-value plateaus)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    pdf = t.to_pandas()
+
+    from ruleset_analysis_spark.operators.aggregations import agg_quantiles_approx
+
+    out = agg_quantiles_approx(spark, sf_dir).collect()
+    assert len(out) == pdf["event_type"].nunique()
+    for r in out:
+        vals = np.sort(pdf.loc[pdf["event_type"] == r["event_type"], "value"].dropna().values)
+        n = len(vals)
+        assert r["n"] == len(pdf[pdf["event_type"] == r["event_type"]])
+        for q, approx in ((0.5, r["p50"]), (0.9, r["p90"]), (0.99, r["p99"])):
+            lo = np.searchsorted(vals, approx - 1e-9, side="left") / n
+            hi = np.searchsorted(vals, approx + 1e-9, side="right") / n
+            assert lo - 0.01 <= q <= hi + 0.01, (
+                f"{r['event_type']} p{int(q*100)}: approx {approx} covers "
+                f"rank [{lo:.4f},{hi:.4f}], nominal {q}"
+            )

@@ -196,12 +196,20 @@ def test_ip_in_cidr_malformed_inputs_never_crash(spark):
         ("10.0.1", "10.0.0.0/8"), ("1.2..4", "10.0.0.0/8"), ("", "10.0.0.0/8"),
         ("10.0.1.5", "10.0.0.0"), ("10.0.1.5", ""), ("...", "/"),
         ("999.1.1.1.2", "0.0.0.0/0"),
+        # out-of-range prefix: /33../99 must NOT collapse to match-all
+        ("10.0.1.5", "10.0.0.0/40"), ("10.0.1.5", "10.0.0.0/33"),
+        ("10.0.1.5", "10.0.0.0/99"), ("10.0.1.5", "10.0.0.0/-1"),
+        # out-of-range octets pass the \d{1,3} shape but are not IPs
+        ("999.1.1.1", "0.0.0.0/0"), ("256.0.0.1", "0.0.0.0/8"),
+        ("10.0.1.5", "256.0.0.0/8"),
     ]
     df = spark.createDataFrame(bad, "ip string, cidr string")
     out = df.select("ip", ip_in_cidr("ip", "cidr").alias("m"),
                     ipv4_to_long("ip").alias("addr")).collect()
     assert all(r["m"] is not True for r in out)   # NULL or False, never a match
     assert all(r["addr"] is None for r in [x for x in out if "." not in x["ip"] or x["ip"].count(".") != 3])
+    # octet > 255 ⇒ whole address is NULL, not a >=2^32 value
+    assert all(r["addr"] is None for r in out if r["ip"] in ("999.1.1.1", "256.0.0.1"))
 
 
 def test_asa_remark_and_standard_lines():
