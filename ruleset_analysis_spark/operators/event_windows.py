@@ -196,3 +196,74 @@ def stream_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tier(minute, "minute").unionByName(tier(hour, "hour")).unionByName(
         tier(day, "day")
     )
+
+
+@register(
+    "funnel_ordered_steps",
+    category="stream",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click,
+               (SELECT count(*) FROM p) AS n_purchase
+    """,
+)
+def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): how many
+    users reach each stage, where a stage counts only when it happens
+    STRICTLY AFTER the previous stage's first occurrence — event
+    sequence analytics, the product-analytics workhorse.
+
+    Single-shuffle formulation: one groupBy(user) collects the user's
+    time-sorted (ts, type) sequence, then a JVM higher-order
+    ``aggregate`` scans it once with a (stage, t) accumulator — first
+    view sets stage 1, first later click stage 2, first later purchase
+    stage 3. The oracle is the equivalent three-level min-join
+    cascade; the strict '>' comparisons make both formulations agree
+    even on same-timestamp event collisions. The HOF scan is the
+    100 TB shape: the per-user state machine costs one shuffle total,
+    while the join cascade shuffles events three times (fine for an
+    oracle, wasteful as a pipeline)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+    )
+    stage = F.expr(
+        """
+        aggregate(
+            seq,
+            struct(0 AS stage, CAST(NULL AS TIMESTAMP) AS t),
+            (acc, x) -> CASE
+                WHEN acc.stage = 0 AND x.event_type = 'view'
+                    THEN struct(1 AS stage, x.ts AS t)
+                WHEN acc.stage = 1 AND x.event_type = 'click' AND x.ts > acc.t
+                    THEN struct(2 AS stage, x.ts AS t)
+                WHEN acc.stage = 2 AND x.event_type = 'purchase' AND x.ts > acc.t
+                    THEN struct(3 AS stage, x.ts AS t)
+                ELSE acc
+            END
+        ).stage
+        """
+    )
+    return seq.select(stage.alias("stage")).agg(
+        F.count(F.when(F.col("stage") >= 1, 1)).alias("n_view"),
+        F.count(F.when(F.col("stage") >= 2, 1)).alias("n_click"),
+        F.count(F.when(F.col("stage") >= 3, 1)).alias("n_purchase"),
+    )

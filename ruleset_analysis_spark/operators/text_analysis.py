@@ -374,3 +374,95 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content.join(winnow, "doc_id", "left").select(
         "doc_id", "content_hash", F.coalesce("winnow_sig", F.lit("")).alias("winnow_sig")
     )
+
+
+@register(
+    "text_normalize",
+    category="text",
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   '  +', ' ', 'g')) AS norm_text,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   '  +', ' ', 'g'))) AS norm_hash
+        FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the first stage of every corpus
+    pipeline (and the input convention the dedup operators assume):
+    lowercase, strip non-alphanumerics to spaces, collapse runs of
+    whitespace, trim. Pure JVM ``regexp_replace`` chain inside codegen
+    (Spark replaces globally by default; the oracle needs DuckDB's
+    explicit 'g' flag — a classic cross-engine trap, pinned here). The
+    md5 of the normalized form doubles as the exact-dedup key."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), "  +", " "
+        )
+    )
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.md5(norm).alias("norm_hash")
+    )
+
+
+_PII_EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PII_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@register(
+    "text_pii_redact",
+    category="text",
+    oracle=f"""
+        WITH contaminated AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN text || ' contact user' || doc_id ||
+                             '@example.com from 10.' || (doc_id % 256) ||
+                             '.0.' || (doc_id % 100)
+                        ELSE text END AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(raw, '{_PII_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(raw, '{_PII_IP_RE}')) AS n_ips,
+               md5(regexp_replace(
+                   regexp_replace(raw, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PII_IP_RE}', '<IP>', 'g')) AS redacted_hash
+        FROM contaminated
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact email addresses and IPv4
+    literals. The corpus is synthetic and clean, so a deterministic
+    contamination step (every third doc gains a derived email + IP)
+    first makes the redaction observable end-to-end — the same
+    synthesize-then-parse round-trip the firewall queries use. Both
+    count (``regexp_count``) and rewrite (``regexp_replace``) are JVM
+    regex inside codegen; the md5 of the redacted text proves the
+    rewrites byte-identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com from 10."),
+            F.col("doc_id") % 256,
+            F.lit(".0."),
+            F.col("doc_id") % 100,
+        ),
+    ).otherwise(F.col("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _PII_EMAIL_RE, "<EMAIL>"), _PII_IP_RE, "<IP>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PII_IP_RE)).cast("bigint").alias("n_ips"),
+        F.md5(redacted).alias("redacted_hash"),
+    )

@@ -9,7 +9,9 @@ too (SURVEY.md §2 is the binding inventory).
 Conventions enforced here by construction:
 
 * each builder takes ``(spark, sf_dir)`` and returns a *lazy* DataFrame
-  (no action inside builders);
+  (no action inside builders — one documented exception:
+  ``dedup_cluster_components`` checkpoints its iteration rounds,
+  the standard Spark recipe for iterative algorithms);
 * every computed column is aliased identically in the DataFrame code
   and the oracle SQL (the driver sorts columns by name before hashing);
 * ``oracle=None`` marks a rows-only query (hash-unstable or
@@ -33,6 +35,7 @@ OPERATOR_MODULES = (
     "aggregations",
     "joins",
     "subqueries",
+    "sampling",
     "windows",
     "sorts_setops",
     "event_windows",
@@ -49,11 +52,12 @@ OPERATOR_MODULES = (
 # 50 dict entries), so insertion order is a measurement channel, not a
 # style choice. This list front-loads the flagship + every family the
 # round-1 window missed (firewall/text/dedup/similarity/multimodal/
-# udf/stream/setops/window tails + all round-2 additions); the round-1
-# -witnessed scans/scalar/aggregations/joins tail follows in module
-# order. Names absent from this list keep registration order after it;
-# a stale name here fails loudly in tests (tests/test_differential.py
-# asserts the priority list ⊆ registry).
+# udf/stream/window tails + all round-2 additions); the round-1
+# -witnessed scans/scalar/aggregations/joins families and the
+# low-risk sorts/setops (pure built-ins, judge-sweep-verified in r1)
+# follow in module order. Names absent from this list keep
+# registration order after it; a stale name here fails loudly in tests
+# (tests/test_differential.py asserts the priority list ⊆ registry).
 DRIVER_PRIORITY = (
     "rule_usage_report",
     "firewall_rule_hits",
@@ -63,6 +67,7 @@ DRIVER_PRIORITY = (
     "dedup_near_minhash",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_cluster_components",
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "sim_pairwise_threshold",
@@ -77,6 +82,8 @@ DRIVER_PRIORITY = (
     "text_token_count",
     "text_fingerprint",
     "text_rolling_fingerprint",
+    "text_normalize",
+    "text_pii_redact",
     "multimodal_join",
     "embed_array_stats",
     "multimodal_binary_features",
@@ -90,12 +97,9 @@ DRIVER_PRIORITY = (
     "stream_sliding_window",
     "stream_session_window",
     "stream_rollup_multires",
-    "sort_multi_key",
-    "limit_topk",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
+    "funnel_ordered_steps",
+    "sample_hash_deterministic",
+    "sample_stratified_hash",
     "window_lag_lead",
     "window_moving_avg_range",
     "window_ntile_cume",

@@ -68,8 +68,11 @@ def test_driver_priority_window():
     # the 50-entry window must witness every family the round-1 window
     # missed (flagship + LLM surface)
     window = set(names[:50])
-    for fam in ("rule_usage_report", "dedup_near_minhash", "sim_cosine_topk",
-                "text_tfidf_topterms", "multimodal_join", "udaf_grouped_pandas",
-                "stream_session_window", "sort_multi_key", "window_lag_lead",
-                "agg_quantiles_approx", "subquery_correlated_avg"):
+    for fam in ("rule_usage_report", "dedup_near_minhash",
+                "dedup_cluster_components", "sim_cosine_topk",
+                "text_tfidf_topterms", "text_pii_redact", "multimodal_join",
+                "udaf_grouped_pandas", "stream_session_window",
+                "funnel_ordered_steps", "sample_hash_deterministic",
+                "window_lag_lead", "agg_quantiles_approx",
+                "subquery_correlated_avg"):
         assert fam in window, f"{fam} outside the driver's 50-entry window"

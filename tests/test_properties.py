@@ -247,6 +247,39 @@ def test_exact_dups_are_near_dup_pairs(spark, tmp_path):
     assert not any(3 in p for p in pairs)
 
 
+def test_cluster_components_collapse_transitive_chain(spark, tmp_path):
+    """A diameter-6 chain (doc_i near-dups doc_{i+1} only) must collapse
+    to ONE cluster — transitivity is the whole point of the components
+    step; pairwise queries alone cannot see A~C. Also pins the bounded
+    propagation radius (3 pointer-jump blocks cover diameter ≤ 7)."""
+    words = [f"w{i}_{j}" for i in range(8) for j in range(12)]
+    bridges = [[f"b{i}_{j}" for j in range(4)] for i in range(7)]
+    docs = []
+    for i in range(7):  # chain 0-1-2-...-6
+        body = [f"u{i}_{j}" for j in range(8)]
+        text = " ".join((bridges[i - 1] if i else []) + body + bridges[i])
+        docs.append((i, text))
+    docs.append((7, " ".join(words[:20])))  # isolated singleton
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    import os, shutil
+
+    flat = tmp_path / "flat_cc"
+    flat.mkdir()
+    df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.parquet(str(tmp_path / "raw_cc"))
+    part = next(p for p in os.listdir(tmp_path / "raw_cc") if p.startswith("part-"))
+    shutil.move(str(tmp_path / "raw_cc" / part), str(flat / "documents.parquet"))
+
+    from ruleset_analysis_spark.operators.dedup import dedup_cluster_components
+
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_cluster_components(spark, str(flat)).collect()}
+    assert {got[i] for i in range(7)} == {0}, f"chain not collapsed: {got}"
+    assert got[7] == 7  # singleton keeps its own id
+
+
 def _write_embeddings_fixture(spark, tmp_path, n_clusters=6, per_cluster=5, n_noise=40):
     """Synthetic embeddings with known near-dup structure: each cluster
     is one base direction plus small perturbations (pairwise cos ≈
