@@ -369,3 +369,50 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg((F.sum("n_in_day") - 1).alias("n_nearby"))
     )
+
+
+@register(
+    "join_salted_skew",
+    category="join",
+    oracle="""
+        SELECT o.o_orderpriority,
+               round(sum(l.l_extendedprice), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join via key salting, verified identical to
+    the plain join (the oracle IS the unsalted query).
+
+    The technique: a hot join key sends all its rows to one reducer;
+    salting splits it by widening the key — the probe side appends a
+    deterministic per-row salt in [0, 8), the build side replicates
+    each row once per salt value (explode), and the join runs on
+    (key, salt), spreading each hot key over 8 tasks. Costs 8× the
+    build side, so one salts only the skewed keys in practice (filter
+    the replicate step to a hot-key list).
+
+    At 100 TB the FIRST answer is AQE's runtime skew split
+    (spark.sql.adaptive.skewJoin, on by default in this engine's
+    session); manual salting remains necessary where AQE can't help —
+    skewed *aggregation* keys, stateful streaming joins, or a build
+    side already too big to split. This query grades the library
+    helper ``functions.scale.salted_join`` (unit-tested for identity
+    in tests/test_scale_utils.py) end-to-end: same result set,
+    hash-verified against the unsalted oracle."""
+    from ..functions.scale import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, "l_orderkey", n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -315,3 +315,60 @@ def decode_image(content: bytes) -> "object":
     raise NotImplementedError(
         "media decode requires image/audio libraries absent from this environment"
     )
+
+
+@register(
+    "embed_quantize_int8",
+    category="multimodal",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings
+        ),
+        scaled AS (
+            SELECT vec_id,
+                   list_max(list_transform(vd, x -> abs(x))) AS maxabs,
+                   vd
+            FROM v
+        )
+        SELECT vec_id,
+               round(maxabs / 127, 6) AS scale,
+               CAST(list_sum(list_transform(
+                   vd, x -> floor(x * 127 / nullif(maxabs, 0)))) AS BIGINT)
+                   AS q_checksum,
+               len(list_filter(
+                   vd, x -> abs(floor(x * 127 / nullif(maxabs, 0))) >= 127))
+                   AS n_saturated
+        FROM scaled
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 vector quantization — the storage/bandwidth move every
+    vector store makes (4 bytes → 1 byte per dim): per-vector max-abs
+    scale, elements mapped to floor(x·127/maxabs) ∈ [-127, 127].
+
+    All JVM higher-order functions, no shuffle, no Python: max-abs is
+    an array_max over a transform, quantization a second transform —
+    one codegen pass per row. ``floor`` (not round) keeps the mapping
+    engine-exact: both engines compute identical IEEE doubles, and
+    floor has no half-tie ambiguity where round differs between
+    banker's and away-from-zero conventions. The checksum (sum of
+    quantized values) + saturation count hash-verify the full
+    quantized payload without emitting 64-element arrays. Zero vectors
+    quantize to NULL via nullif (no ANSI divide-by-zero abort)."""
+    from ..functions.vectors import as_double
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("vd")
+    )
+    maxabs = F.array_max(F.transform("vd", F.abs))
+    q = F.transform(
+        "vd", lambda x: F.floor(x * 127 / F.nullif(maxabs, F.lit(0.0)))
+    )
+    return e.select(
+        "vec_id",
+        F.round(maxabs / 127, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + v).alias("q_checksum"),
+        F.size(F.filter(q, lambda v: F.abs(v) >= 127)).cast("bigint").alias("n_saturated"),
+    )

@@ -195,3 +195,20 @@ def write_stream_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_events(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id — the exactly-once ingest
+    primitive: upstream at-least-once delivery (Kafka redelivery, file
+    re-drops) is collapsed to one row per key.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state ONLY until
+    the watermark passes the key's first-seen event time, so state is
+    bounded by (lateness × arrival rate) — the unbounded-state trap of
+    plain ``dropDuplicates`` on a stream is the thing this exists to
+    avoid. Works identically in batch (falls back to dropDuplicates
+    semantics), so backfill and live ingest share this code path."""
+    deduped = events.withWatermark("ts", lateness)
+    if events.isStreaming:
+        return deduped.dropDuplicatesWithinWatermark(["event_id"])
+    return deduped.dropDuplicates(["event_id"])

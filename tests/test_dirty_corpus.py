@@ -31,6 +31,10 @@ DIRTY_QUERIES = [
     "multimodal_resize", "json_extract", "string_regex_extract", "map_funcs",
     "udtf_split_props", "udtf_python_native", "udf_scalar_pandas",
     "udaf_grouped_pandas", "array_funcs", "agg_collect_sorted",
+    # round-2 additions over the same tables
+    "dedup_cluster_components", "sim_pairwise_bucketed", "text_normalize",
+    "text_pii_redact", "sample_hash_deterministic", "sample_stratified_hash",
+    "funnel_ordered_steps", "agg_quantiles_approx",
 ]
 
 

@@ -164,3 +164,33 @@ def test_stream_sliding_equals_batch(spark, events_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_collapses_redelivery(spark, events_dir, tmp_path):
+    """At-least-once delivery (the same file dropped twice) must
+    collapse to one row per event_id. Lateness is set wider than the
+    corpus span so dedup state is guaranteed alive when the redelivery
+    arrives in a later micro-batch — the bounded-state contract is
+    'dups inside the lateness horizon are suppressed', and a 100 TB
+    ingest sizes the horizon to its redelivery window."""
+    d = tmp_path / "redelivered"
+    d.mkdir()
+    shutil.copy(f"{events_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{events_dir}/events.parquet", d / "b.parquet")
+    os.utime(d / "a.parquet", (1700000000, 1700000000))
+    os.utime(d / "b.parquet", (1700000050, 1700000050))
+
+    stream = es.dedup_events(
+        es.read_event_stream(spark, str(d), max_files_per_trigger=1),
+        lateness="60 days",
+    )
+    got = es.drain_to_memory(stream, "t_dedup", output_mode="append").count()
+    want = load(spark, SF_DIR, "events").select("event_id").distinct().count()
+    assert got == want
+
+    # batch path: same function, same answer on the duplicated input
+    batch = spark.read.parquet(str(d))
+    batch = batch.withColumn(
+        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+    )
+    assert es.dedup_events(batch).count() == want
