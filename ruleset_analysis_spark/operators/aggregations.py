@@ -459,3 +459,34 @@ def agg_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "agg_mode_per_group",
+    category="agg",
+    oracle="""
+        SELECT lang,
+               (max({'n': n, 's': source})).s AS modal_source,
+               (max({'n': n, 's': source})).n AS n_docs
+        FROM (
+            SELECT lang, source, count(*) AS n
+            FROM documents GROUP BY lang, source
+        )
+        GROUP BY lang
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group — two chained partial
+    aggregations, no sort, no window: count per (group, value), then
+    argmax per group via ``max_by`` over the (count, value) struct.
+    The struct tie-break makes the winner deterministic when counts
+    tie (largest value lexicographically), matching the oracle's
+    struct-max — plain ``mode()``/``arg_max`` leave ties
+    engine-defined."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    pick = F.struct(F.col("n"), F.col("source"))
+    return counts.groupBy("lang").agg(
+        F.max_by("source", pick).alias("modal_source"),
+        F.max("n").alias("n_docs"),
+    )

@@ -466,3 +466,74 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(raw, F.lit(_PII_IP_RE)).cast("bigint").alias("n_ips"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+@register(
+    "corpus_quality_filter",
+    category="text",
+    oracle=f"""
+        WITH toked AS (
+            SELECT doc_id, lang, n_chars, text,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '')
+                       AS toks
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, lang, n_chars, text,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct,
+                   len(list_filter(toks, t -> list_contains(
+                       [{", ".join(repr(w) for w in ALL_STOPWORDS)}], t)))
+                       AS n_stop
+            FROM toked
+        )
+        SELECT doc_id, lang, n_tokens,
+               CASE
+                   WHEN text IS NULL THEN 'empty'
+                   WHEN n_chars < 20 THEN 'too_short'
+                   WHEN n_tokens < 5 THEN 'too_few_tokens'
+                   WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.3
+                       THEN 'repetitive'
+                   WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.02
+                       THEN 'no_function_words'
+                   ELSE 'keep'
+               END AS verdict
+        FROM feats
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation deliverable the individual quality features feed: a
+    keep/drop VERDICT per document with the first failing rule as the
+    reason — empty → too_short → too_few_tokens → repetitive (low
+    type-token ratio) → no_function_words → keep. Rule precedence is a
+    single CASE chain, so every document gets exactly one verdict and
+    the drop reasons are auditable aggregates (``GROUP BY verdict`` is
+    the corpus-health dashboard).
+
+    Same HOF-over-token-array shape as ``text_quality_score`` (no
+    explode, no shuffle, O(doc) per doc); ratio thresholds compare
+    bit-identical doubles on both engines (identical integer divisions,
+    no rounding). NULL text is an explicit first rule — a NULL
+    propagating through the CASE would otherwise fall to the ELSE and
+    silently 'keep' unparseable rows."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    toked = d.select("doc_id", "lang", "n_chars", "text", toks.alias("toks"))
+    n_tokens = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tokens
+    stop_ratio = (
+        F.size(F.filter("toks", lambda t: t.isin(*ALL_STOPWORDS))).cast("double")
+        / n_tokens
+    )
+    verdict = (
+        F.when(F.col("text").isNull(), "empty")
+        .when(F.col("n_chars") < 20, "too_short")
+        .when(n_tokens < 5, "too_few_tokens")
+        .when(ttr < 0.3, "repetitive")
+        .when(stop_ratio < 0.02, "no_function_words")
+        .otherwise("keep")
+    )
+    return toked.select(
+        "doc_id", "lang", n_tokens.cast("bigint").alias("n_tokens"),
+        verdict.alias("verdict"),
+    )
