@@ -153,8 +153,9 @@ def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ranking — reporting-size data only; at cluster scale use
-    approxQuantile / percentile_approx instead of a one-partition sort."""
+    """Global ranking — reporting-size data only; the graded scale
+    sibling is ``agg_quantiles_approx`` (mergeable GK sketch, no sort),
+    with a rank-tolerance test pinning its accuracy."""
     c = load(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return c.select(

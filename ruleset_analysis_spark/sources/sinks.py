@@ -56,3 +56,16 @@ def write_partitioned_report(df: DataFrame, path: str, date_col: str) -> None:
     df.withColumn("report_date", F.to_date(date_col)).write.mode(
         "overwrite"
     ).partitionBy("report_date").parquet(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink — same layout knobs as parquet for shops standardized
+    on ORC (Hive-lineage warehouses). Parquet remains this engine's
+    default; both are columnar with predicate-pushdown-capable readers,
+    so operator code is format-agnostic."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -347,6 +347,49 @@ def test_bucketed_pairs_subset_of_exact_with_high_recall(spark, tmp_path):
     assert found / len(near) >= 0.9, f"near-dup recall {found}/{len(near)}"
 
 
+def test_quantize_int8_reconstruction_bound(spark):
+    """Quantization contract: q = floor(x·127/maxabs) implies
+    |x − q·scale| ≤ scale (one quantization step) for every element,
+    and no quantized magnitude exceeds 127. Verified densely in numpy
+    against the same parquet the operator reads."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in t.to_pylist()}
+
+    from ruleset_analysis_spark.operators.multimodal import embed_quantize_int8
+
+    for r in embed_quantize_int8(spark, sf_dir).collect():
+        x = vecs[r["vec_id"]]
+        maxabs = np.abs(x).max()
+        if maxabs == 0:
+            assert r["q_checksum"] is None
+            continue
+        q = np.floor(x * 127 / maxabs)
+        assert np.abs(q).max() <= 127
+        assert int(q.sum()) == r["q_checksum"]
+        scale = maxabs / 127
+        assert np.all(np.abs(x - q * scale) <= scale + 1e-12)
+
+
+def test_hash_sampling_is_deterministic_and_content_keyed(spark):
+    """Two runs pick the identical sample (no RNG), and membership is a
+    pure function of text — the property that makes the split stable
+    under corpus growth and engine swaps."""
+    from ruleset_analysis_spark.operators.sampling import sample_hash_deterministic
+
+    sf_dir = "/root/testdata/sf0.001"
+    a = {r["doc_id"] for r in sample_hash_deterministic(spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in sample_hash_deterministic(spark, sf_dir).collect()}
+    assert a == b and 0 < len(a)
+    # ~25% of 16 hex buckets: loose bounds, exact per corpus
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert 0.1 * total < len(a) < 0.45 * total
+
+
 def test_quantiles_approx_within_rank_tolerance(spark):
     """agg_quantiles_approx must bound rank error: each approx quantile
     value, located in the group's sorted exact values, sits within

@@ -235,3 +235,57 @@ def test_asa_undefined_group_fails_loud():
         asa_config.parse_asa_config(
             "access-list A extended permit tcp any object-group TYPO\n"
         )
+
+
+def test_read_csv_quarantines_malformed_rows(spark, tmp_path):
+    """PERMISSIVE CSV load: clean rows arrive typed, malformed rows land
+    whole in _corrupt_record instead of poisoning the load — the same
+    one-dirty-row-never-kills-the-job contract as the syslog parser."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,qty,name\n1,10,ok\n2,notanumber,bad\n3,30,ok2\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("qty", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ])
+    df = text_logs.read_csv(spark, str(p), schema).cache()
+    assert "_corrupt_record" in df.columns
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    assert bad.count() == 1 and "notanumber" in bad.first()["_corrupt_record"]
+
+
+def test_read_json_schema_declared_no_inference(spark, tmp_path):
+    """JSON-lines with declared schema: missing fields are NULL, extra
+    fields ignored, non-conforming values NULL — and no inference scan
+    happens (schema is what we declared, not what the file suggests)."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 2.5, "tag": "a"}\n'
+        '{"id": 2, "tag": "b", "extra": true}\n'
+        '{"id": "x", "v": 1.0}\n'
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("tag", T.StringType()),
+    ])
+    df = text_logs.read_json(spark, str(p), schema)
+    assert [f.name for f in df.schema.fields] == ["id", "v", "tag"]
+    rows = {r["tag"]: (r["id"], r["v"]) for r in df.collect()}
+    assert rows["a"] == (1, 2.5)
+    assert rows["b"] == (2, None)      # missing v -> NULL, extra ignored
+
+
+def test_write_orc_roundtrip_partitioned(spark, tmp_path):
+    out = str(tmp_path / "orc")
+    df = spark.range(60).withColumn("bucket", (F.col("id") % 3).cast("int"))
+    sinks.write_orc(df, out, partition_by=["bucket"])
+    back = spark.read.orc(out)
+    assert back.count() == 60
+    assert back.filter(F.col("bucket") == 2).count() == 20
