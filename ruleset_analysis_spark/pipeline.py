@@ -23,6 +23,14 @@ lazy DataFrame composition:
 Not registry-graded (needs log *files*, not the driver's parquet
 tables); exercised end-to-end on real .gz fixtures in
 tests/test_end_to_end.py.
+
+CLI (the [R-mem ``run_analysis.sh``] analog — on a cluster this is the
+``spark-submit`` payload)::
+
+    python -m ruleset_analysis_spark.pipeline <log_dir> <asa_config> <out_dir>
+
+writes the usage report as parquet partitioned by status (UNUSED rows
+are the removal candidates) and prints a per-status summary.
 """
 
 from __future__ import annotations
@@ -105,3 +113,44 @@ def run_ruleset_analysis(
             F.when(F.col("hits").isNull(), "UNUSED").otherwise("ACTIVE").alias("status"),
         )
     )
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Firewall ruleset usage analysis: gz/plain ASA syslog "
+        "dir + ASA config file -> per-rule usage report."
+    )
+    ap.add_argument("log_dir", help="directory or glob of syslog files (.gz ok)")
+    ap.add_argument("asa_config", help="path to the ASA config text file")
+    ap.add_argument("out_dir", help="output directory (parquet, partitioned by status)")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+    from .sources.sinks import write_parquet
+
+    spark = get_spark(app_name="ruleset-analysis-pipeline", cpus=args.cpus)
+    with open(args.asa_config) as f:
+        config_text = f.read()
+    report = run_ruleset_analysis(spark, args.log_dir, config_text)
+    write_parquet(
+        report, args.out_dir, partition_by=["status"],
+        sort_within_partitions=["acl", "rule_id"],
+    )
+    # tiny driver-side summary print: |ACLs| × |statuses| rows
+    from pyspark.sql import functions as F
+
+    for r in (
+        report.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("rules"), F.sum("hits").alias("hits"))
+        .orderBy("status")
+        .collect()
+    ):
+        print(f"{r['status']:>7}: {r['rules']} rules, {r['hits']} hits")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

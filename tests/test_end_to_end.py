@@ -150,3 +150,18 @@ def test_run_ruleset_analysis_tolerates_dirty_lines(spark, tmp_path):
     report = run_ruleset_analysis(spark, str(d), CONFIG)
     rows = {(r["acl"], r["rule_id"]): r for r in report.collect()}
     assert rows[("OUTSIDE_IN", 1)]["hits"] == 3  # only the clean line counts
+
+
+def test_pipeline_cli_main(spark, archive, tmp_path):
+    """The CLI entrypoint (run_analysis.sh analog): args in, partitioned
+    parquet out, per-status summary printed. Reuses the test session
+    via getOrCreate."""
+    from ruleset_analysis_spark.pipeline import main
+
+    cfg = tmp_path / "asa.cfg"
+    cfg.write_text(CONFIG)
+    out = str(tmp_path / "report_out")
+    assert main([archive, str(cfg), out]) == 0
+    back = spark.read.parquet(out)
+    assert back.count() == 4  # 3 OUTSIDE_IN stmts + RETIRED
+    assert {r["status"] for r in back.collect()} == {"ACTIVE", "UNUSED"}
