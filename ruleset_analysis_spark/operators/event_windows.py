@@ -236,7 +236,12 @@ def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     even on same-timestamp event collisions. The HOF scan is the
     100 TB shape: the per-user state machine costs one shuffle total,
     while the join cascade shuffles events three times (fine for an
-    oracle, wasteful as a pipeline)."""
+    oracle, wasteful as a pipeline). One honest bound: collect_list
+    materializes a user's (filtered) funnel events in memory, so a
+    pathological user with millions of step events needs either a
+    per-user event cap upstream or the streaming formulation
+    (``applyInPandasWithState`` carries just the (stage, t) tuple) —
+    the accumulator itself is O(1) either way."""
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("view", "click", "purchase"))
@@ -266,4 +271,70 @@ def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("stage") >= 1, 1)).alias("n_view"),
         F.count(F.when(F.col("stage") >= 2, 1)).alias("n_click"),
         F.count(F.when(F.col("stage") >= 3, 1)).alias("n_purchase"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    category="stream",
+    oracle="""
+        WITH cohort AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cw
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        sizes AS (SELECT cw, count(*) AS n_cohort FROM cohort GROUP BY cw),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+        ),
+        ret AS (
+            SELECT c.cw,
+                   CAST(date_diff('day', c.cw, a.aw) / 7 AS INTEGER)
+                       AS week_offset,
+                   count(DISTINCT a.user_id) AS n_active
+            FROM cohort c JOIN activity a ON a.user_id = c.user_id
+            WHERE a.aw >= c.cw
+            GROUP BY c.cw, week_offset
+        )
+        SELECT CAST(epoch(r.cw) AS BIGINT) AS cohort_epoch,
+               r.week_offset, r.n_active, s.n_cohort
+        FROM ret r JOIN sizes s ON s.cw = r.cw
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their
+    first 'signup' event; for each (cohort week, weeks-since-signup)
+    cell, how many cohort members were active — the product-analytics
+    retention matrix.
+
+    Three partial-aggregated groupBys and one keyed join, no windows,
+    no sort: cohort assignment is min(ts) per user, activity is a
+    per-(user, week) distinct, the matrix is count(distinct) per cell.
+    Both engines truncate weeks to Monday (date_trunc('week')), and
+    the offset divides an exact multiple of 7 days — integer, no
+    rounding. At 100 TB each aggregation's shuffle carries user-week
+    pairs (bounded by users × weeks-active), not raw events."""
+    ev = load(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("aw")
+    ).distinct()
+    ret = (
+        cohort.join(activity, "user_id")
+        .filter(F.col("aw") >= F.col("cw"))
+        .groupBy(
+            "cw",
+            (F.datediff("aw", "cw") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return ret.join(sizes, "cw").select(
+        F.unix_timestamp("cw").alias("cohort_epoch"),
+        "week_offset",
+        "n_active",
+        "n_cohort",
     )
