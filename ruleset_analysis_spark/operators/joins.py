@@ -416,3 +416,57 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "join_fuzzy_blocked",
+    category="join",
+    oracle="""
+        WITH names AS (
+            SELECT DISTINCT p_name,
+                   string_split(p_name, ' ')[-1] AS noun
+            FROM part
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM names a JOIN names b
+          ON a.noun = b.noun AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) self-join with blocking — the
+    entity-resolution primitive: near-identical part names (typos,
+    variant prefixes) paired at Levenshtein ≤ 2.
+
+    An unblocked fuzzy join is an n² nested loop with a string-DP
+    predicate — the classic scale killer. The blocked form is the same
+    pattern as every near-dup operator here: a cheap deterministic
+    blocking key (the head noun — last token) turns it into a keyed
+    equi-join, and the expensive levenshtein runs only within blocks.
+    Dedup to distinct names FIRST: the distance between two names
+    doesn't depend on how many rows carry them (64 distinct vs 2000
+    rows here; at 100 TB this pre-distinct is the difference between
+    joining entities and joining occurrences). The blocking contract
+    (pairs must share the noun) is part of the operator's semantics
+    and the oracle implements the identical block, so parity is exact,
+    not approximate."""
+    p = load(spark, sf_dir, "part")
+    names = p.select("p_name").distinct().select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("noun")
+    )
+    a, b = names.alias("a"), names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+    )

@@ -25,8 +25,18 @@ from ..sources.parquet import load
 
 
 def _view(spark: SparkSession, sf_dir: str, table: str) -> str:
-    """Register table as a query-local temp view, return the view name."""
-    name = f"_sq_{table}"
+    """Register table as a query-local temp view, return the view name.
+
+    The name embeds the sf_dir so builders called against different
+    corpora in one session (check.py at sf0.01, plan tests at sf0.001)
+    never replace each other's views. Spark resolves the view at
+    ``spark.sql`` analysis time, so an already-built DataFrame is
+    immune to later re-registration either way — the suffix removes
+    even the transient window."""
+    import hashlib
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"_sq_{table}_{suffix}"
     load(spark, sf_dir, table).createOrReplaceTempView(name)
     return name
 
