@@ -490,3 +490,109 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("source", pick).alias("modal_source"),
         F.max("n").alias("n_docs"),
     )
+
+
+@register(
+    "agg_grouping_sets_explicit",
+    category="agg",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               o_orderpriority AS pri,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint GROUPING SETS ((yr), (pri)) — two independent
+    one-dimensional reports in ONE scan + ONE expand, a shape neither
+    ROLLUP (`agg_grouping_sets`) nor CUBE covers. At 100 TB this
+    replaces two full-table aggregation jobs with one; Spark's Expand
+    node doubles rows only at the map side, and both partial
+    aggregations ride the same exchange."""
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("pri"),
+        "o_totalprice",
+    )
+    return o.groupingSets([["yr"], ["pri"]], "yr", "pri").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "agg_filtered_conditional",
+    category="agg",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               round(sum(l_extendedprice) FILTER (WHERE year(l_shipdate) = 1996),
+                     2) AS rev_1996,
+               round(avg(l_quantity) FILTER (WHERE l_quantity >= 25),
+                     6) AS avg_bulk_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates: several differently-predicated
+    aggregates over ONE scan and ONE shuffle (vs. N filtered jobs).
+    Spark expresses the filter as ``agg(expr, when(pred))`` — same
+    partial-aggregation plan as the SQL FILTER clause; conditions
+    evaluate inside whole-stage codegen."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.round(
+            F.sum(
+                F.when(F.year("l_shipdate") == 1996, F.col("l_extendedprice"))
+            ),
+            2,
+        ).alias("rev_1996"),
+        F.round(
+            F.avg(F.when(F.col("l_quantity") >= 25, F.col("l_quantity"))), 6
+        ).alias("avg_bulk_qty"),
+    )
+
+
+@register(
+    "agg_unpivot_melt",
+    category="agg",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS val
+        FROM lineitem WHERE l_orderkey % 500 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey % 500 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey % 500 = 0
+    """,
+)
+def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (the inverse of ``agg_pivot``): three measure
+    columns unpivot to (measure, val) rows. Spark's native ``unpivot``
+    is a single Expand over one scan — the oracle's UNION ALL of three
+    scans shows exactly the work it saves. Values cast to a common
+    double type, the unpivot contract."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 500 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double"),
+            F.col("l_discount").cast("double"),
+            F.col("l_tax").cast("double"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )

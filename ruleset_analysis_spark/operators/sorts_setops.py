@@ -121,3 +121,42 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
     return a.subtract(b)
+
+
+@register(
+    "setop_intersect_all",
+    category="setop",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: a customer with 3 orders in 1996 and 2 in
+    1997 appears twice (min of the multiplicities) — the
+    bag-semantics sibling of ``setop_intersect``. Spark plans it as a
+    single hash aggregate carrying both counts; no row explosion."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "setop_except_all",
+    category="setop",
+    oracle="""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: multiplicities subtract instead of the row
+    vanishing entirely — the shape used to remove *one* occurrence per
+    matched duplicate (e.g. subtracting a consumed quota)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return a.exceptAll(b)

@@ -198,3 +198,40 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@register(
+    "window_percent_dense",
+    category="window",
+    oracle="""
+        SELECT c_mktsegment, c_custkey, c_acctbal, drank, pr FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   dense_rank() OVER w AS drank,
+                   round(percent_rank() OVER w, 6) AS pr
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey)
+        ) WHERE pr <= 0.01
+    """,
+)
+def window_percent_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-percentile-per-group via percent_rank + dense_rank: keep
+    customers in the top 1% of account balance within their market
+    segment. percent_rank is (rank-1)/(n-1) — an exact integer
+    rational, hash-stable cross-engine. Partitioned window (shuffle on
+    segment only); the post-filter prunes 99% of rows before any
+    downstream join — the percentile-gate curation shape."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.dense_rank().over(w).alias("drank"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+        )
+        .filter(F.col("pr") <= 0.01)
+    )
