@@ -1,0 +1,221 @@
+"""§2 addendum — corpus-curation operators for training-data pipelines.
+
+The three quality gates every large-scale LLM data pipeline runs
+between raw crawl and tokenizer, expressed Spark-first:
+
+* **repetition** (Gopher-style filters): the fraction of duplicated
+  word n-grams inside a document is the cheapest high-precision
+  quality signal — boilerplate, scraped lists and generation loops
+  all light it up;
+* **benchmark contamination**: documents sharing verbatim n-grams
+  with an evaluation set must be quarantined before training — the
+  industry-standard 'n-gram decontamination' pass;
+* **fixed-token chunking**: the doc → bounded-length-chunk explosion
+  that precedes tokenization/packing.
+
+All three stay JVM-side (posexplode + window lead, higher-order
+functions, md5) and reuse the dedup module's cached shingle relation
+where semantics allow — contamination costs one broadcast join on top
+of a relation the near-dup queries already materialized.
+
+Reference provenance: the public reference [R-mem, SURVEY.md §0] has
+no curation surface; these extend it per the §2.G extension charter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.text import tokens
+from ..plans.registry import register
+from ..sources.parquet import load
+
+# Token budget per chunk for doc_chunk_fixed_tokens — small enough that
+# sf0.001 docs still split into several chunks, stands in for the
+# 2k-8k-token budgets of real pipelines.
+_CHUNK_TOKENS = 64
+
+# Every 97th doc plays the "benchmark" / eval set for the
+# contamination check — deterministic, ~1% of the corpus.
+_BENCH_MOD = 97
+
+
+@register(
+    "text_repetition_ratio",
+    category="curation",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS i
+            FROM documents
+        ),
+        bg AS (
+            SELECT t1.doc_id, t1.term || ' ' || t2.term AS s, count(*) AS cnt
+            FROM toks t1
+            JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+            GROUP BY t1.doc_id, t1.term || ' ' || t2.term
+        )
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+               count(*) AS distinct_ngrams,
+               max(cnt) AS max_rep,
+               round(1 - CAST(count(*) AS DOUBLE)
+                         / CAST(sum(cnt) AS DOUBLE), 6) AS dup_ratio
+        FROM bg GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-bigram ratio (the Gopher repetition
+    filter): ``1 - distinct_bigrams / total_bigrams`` plus the
+    multiplicity of the most-repeated bigram.
+
+    Relational bigram build (posexplode + one window lead — the shape
+    measured 5× faster than HOF arrays, see dedup._exploded_shingles),
+    then a two-level aggregation in which BOTH levels reuse the
+    window's HashPartitioning(doc_id): groupBy(doc_id, s) and
+    groupBy(doc_id) are each clustered by a superset of doc_id, so the
+    whole query is ONE shuffle end-to-end. Counts are integers; the
+    ratio is a single double divide — hash-stable cross-engine.
+    Docs with fewer than two tokens have no bigrams and drop out on
+    both engines."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select("doc_id", "term", F.lead("term", 1).over(w).alias("t1"))
+        .filter(F.col("t1").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "term", "t1").alias("s"))
+        .groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return bg.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("distinct_ngrams"),
+        F.max("cnt").alias("max_rep"),
+        F.round(
+            F.lit(1.0)
+            - F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double"),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+@register(
+    "text_contamination_ngram",
+    category="curation",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS i
+            FROM documents
+        ),
+        tri AS (
+            SELECT DISTINCT t1.doc_id,
+                   t1.term || ' ' || t2.term || ' ' || t3.term AS s
+            FROM toks t1
+            JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+            JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+        )
+        SELECT c.doc_id,
+               count(DISTINCT c.s) AS n_shared_ngrams,
+               count(DISTINCT b.doc_id) AS n_bench_docs
+        FROM tri c JOIN tri b ON b.s = c.s
+        WHERE c.doc_id % {_BENCH_MOD} <> 0 AND b.doc_id % {_BENCH_MOD} = 0
+        GROUP BY c.doc_id
+    """,
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training document, the
+    number of distinct word-trigrams it shares with the "benchmark"
+    slice (every {_BENCH_MOD}th doc) and how many benchmark docs it
+    collides with. Downstream, any hit is a quarantine verdict.
+
+    Rides the dedup module's cached distinct-shingle relation (one
+    relation feeds MinHash, SimHash, Jaccard AND decontamination), so
+    the incremental cost is a single equi-join on the trigram — with
+    the ~1% benchmark side broadcast, no shuffle of the corpus at all.
+    At 100 TB the eval suites are KBs-to-MBs of n-grams: broadcasting
+    the benchmark side is always the right plan, and it's explicit
+    here."""
+    from .dedup import _exploded_shingles
+
+    tri = _exploded_shingles(spark, sf_dir)
+    corpus = tri.filter(F.col("doc_id") % _BENCH_MOD != 0).select("doc_id", "s")
+    bench = tri.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
+    "doc_chunk_fixed_tokens",
+    category="curation",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / {_CHUNK_TOKENS}.0)
+                                        AS BIGINT))) AS chunk_id
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id, chunk_id,
+               len(list_slice(toks, chunk_id * {_CHUNK_TOKENS} + 1,
+                              chunk_id * {_CHUNK_TOKENS} + {_CHUNK_TOKENS}))
+                   AS n_tokens,
+               md5(array_to_string(
+                   list_slice(toks, chunk_id * {_CHUNK_TOKENS} + 1,
+                              chunk_id * {_CHUNK_TOKENS} + {_CHUNK_TOKENS}),
+                   ' ')) AS chunk_hash
+        FROM c
+    """,
+)
+def doc_chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → fixed-budget token chunks ({_CHUNK_TOKENS} tokens):
+    (doc_id, chunk_id, n_tokens, md5-of-chunk). The pre-tokenizer
+    chunking pass; the md5 makes the rewritten text hash-checkable
+    cross-engine without shipping it (the md5 oracle lever).
+
+    Pure higher-order functions inside whole-stage codegen: tokenize
+    once, build the chunk-index sequence, slice per index, hash —
+    NO shuffle, NO Python; the explode multiplies rows ~n_tokens/{_CHUNK_TOKENS}×
+    map-side. Empty docs produce zero chunks (guarded sequence) rather
+    than aborting — the dirty-data convention (SCALE.md)."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    idx = F.when(
+        F.col("n") > 0,
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.col("n") / F.lit(float(_CHUNK_TOKENS))).cast("long") - 1,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    chunk = F.slice(
+        F.col("toks"),
+        (F.col("chunk_id") * _CHUNK_TOKENS + 1).cast("int"),
+        _CHUNK_TOKENS,
+    )
+    return (
+        tk.select("doc_id", "toks", F.explode(idx).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )

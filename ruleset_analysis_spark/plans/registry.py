@@ -42,6 +42,7 @@ OPERATOR_MODULES = (
     "firewall",
     "text_analysis",
     "dedup",
+    "curation",
     "similarity",
     "multimodal",
     "udfs",

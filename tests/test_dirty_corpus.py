@@ -35,6 +35,10 @@ DIRTY_QUERIES = [
     "dedup_cluster_components", "sim_pairwise_bucketed", "text_normalize",
     "text_pii_redact", "sample_hash_deterministic", "sample_stratified_hash",
     "funnel_ordered_steps", "agg_quantiles_approx",
+    # curation ops over documents (empty/NULL-text rows must chunk to
+    # zero rows, not abort)
+    "text_repetition_ratio", "text_contamination_ngram",
+    "doc_chunk_fixed_tokens",
 ]
 
 
