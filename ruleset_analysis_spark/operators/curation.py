@@ -219,3 +219,87 @@ def doc_chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
         )
     )
+
+
+# Token budget per packed bin and shard fan-out for pack_greedy_bins.
+# Shards are the parallelism knob: packing is inherently sequential
+# WITHIN a shard (bin state carries across docs), so at cluster scale
+# one raises the shard count, not the per-shard speed.
+_PACK_BUDGET = 256
+_PACK_SHARDS = 8
+
+
+@register(
+    "pack_greedy_bins",
+    category="curation",
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+                   len(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '')) AS n
+            FROM documents
+        ),
+        ord AS (
+            SELECT shard, doc_id, n,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY doc_id) AS rn
+            FROM toks
+        ),
+        pack AS (
+            SELECT shard, doc_id, n, rn, n AS fill, 0 AS bin_id
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.shard, o.doc_id, o.n, o.rn,
+                   CASE WHEN p.fill > 0 AND p.fill + o.n > {_PACK_BUDGET}
+                        THEN o.n ELSE p.fill + o.n END,
+                   CASE WHEN p.fill > 0 AND p.fill + o.n > {_PACK_BUDGET}
+                        THEN p.bin_id + 1 ELSE p.bin_id END
+            FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
+        )
+        SELECT shard, doc_id, n AS n_tokens,
+               CAST(bin_id AS BIGINT) AS bin_id
+        FROM pack
+    """,
+)
+def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents fill {_PACK_BUDGET}-token
+    bins in doc_id order within {_PACK_SHARDS} deterministic shards —
+    the example-packing pass that turns variable-length documents into
+    dense fixed-budget training sequences.
+
+    Packing is a running-state scan (current bin's fill carries row to
+    row), which no window frame expresses, so this is the one curation
+    op on the declared Python surface: token counts are computed
+    JVM-side first (only (shard, doc_id, n_tokens) triples — never
+    text — reach Python), then ``applyInPandas`` runs the O(rows)
+    greedy loop per shard. Shards bound both parallelism and state:
+    each Arrow batch is one shard's integer triples. The DuckDB oracle
+    replays the identical recursion as a recursive CTE, so the
+    sequential semantics are hash-verified, not just eyeballed.
+    A doc longer than the budget gets a bin alone; empty docs (0
+    tokens) join the current bin — dirty-data safe."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        fill, b = 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > _PACK_BUDGET:
+                b += 1
+                fill = 0
+            bins.append(b)
+            fill += n
+        pdf["bin_id"] = bins
+        return pdf[["shard", "doc_id", "n_tokens", "bin_id"]]
+
+    return sized.groupBy("shard").applyInPandas(
+        pack, "shard long, doc_id long, n_tokens long, bin_id long"
+    )

@@ -470,3 +470,49 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("dist"),
         )
     )
+
+
+@register(
+    "join_cooccur_baskets",
+    category="join",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    """,
+)
+def join_cooccur_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in ≥ 2
+    orders — the frequent-itemset / co-click primitive.
+
+    The scale-safe shape is blocking by *basket*, not by item: the
+    self-join key is the order key, so pair explosion is bounded by
+    basket_size² per order (≤ 7 lineitems in TPC-H ⇒ ≤ 21 pairs),
+    linear in orders — never the item-popularity n² that joining on
+    part would give. Pre-distinct (orderkey, partkey) first so
+    multi-lineitem parts count once per basket. Two shuffles total:
+    one on orderkey (join), one on the pair key (count)."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

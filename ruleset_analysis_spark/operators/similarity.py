@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.vectors import as_double, dot, norm
 from ..plans.registry import register
@@ -345,4 +345,78 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(_TOP_K)
         .select("vec_id", F.round("cos_raw", 6).alias("cos"))
+    )
+
+
+_KNN_MOD = 53
+_KNN_K = 5
+
+
+@register(
+    "embed_knn_classify",
+    category="similarity",
+    oracle=_ORACLE_ELEM
+    + f"""
+        , dots AS (
+            SELECT p.vec_id AS probe_id, t.vec_id, t.label,
+                   sum(t.xn * p.xn) AS d
+            FROM nelem t JOIN nelem p ON p.i = t.i
+            WHERE p.vec_id % {_KNN_MOD} = 0 AND t.vec_id % {_KNN_MOD} <> 0
+            GROUP BY p.vec_id, t.vec_id, t.label
+        ),
+        nn AS (
+            SELECT probe_id, label FROM (
+                SELECT probe_id, label,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY d DESC, vec_id) AS rn
+                FROM dots
+            ) WHERE rn <= {_KNN_K}
+        ),
+        votes AS (
+            SELECT probe_id, label, count(*) AS n_votes
+            FROM nn GROUP BY probe_id, label
+        )
+        SELECT probe_id, label AS pred_label, n_votes FROM (
+            SELECT probe_id, label, n_votes,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY n_votes DESC, label) AS rk
+            FROM votes
+        ) WHERE rk = 1
+    """,
+)
+def embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction (k={_KNN_K}, cosine): every {_KNN_MOD}th
+    vector is an unlabeled probe, classified by majority vote of its
+    nearest labeled neighbors; ties break to the smaller label.
+
+    The brute-force-against-a-small-probe-set shape: the PROBE side is
+    broadcast (eval batches are tiny next to the corpus), the big
+    labeled table streams map-side — no shuffle of the training
+    vectors; the only exchange is on probe_id for the per-probe top-k
+    window, whose input is |probes| × |corpus| *scores* (two longs +
+    a double), not vectors. For corpus-×-corpus workloads the LSH/IVF
+    paths (`sim_ann_lsh` / `sim_ann_ivf`) replace the scan. Rides the
+    session-cached normalized-vector relation."""
+    e = normalized_vectors(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") % _KNN_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("vn").alias("pn")
+    )
+    train = e.filter(F.col("vec_id") % _KNN_MOD != 0)
+    scored = train.crossJoin(F.broadcast(probes)).select(
+        "probe_id", "vec_id", "label", dot(F.col("vn"), F.col("pn")).alias("d")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("d"), F.asc("vec_id"))
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    votes = nn.groupBy("probe_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("probe_id").orderBy(
+        F.desc("n_votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"), "n_votes")
     )

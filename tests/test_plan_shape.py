@@ -27,6 +27,7 @@ PYTHON_ALLOWED = {
     "multimodal_frame_sample",
     "multimodal_resize",
     "udtf_python_native",
+    "pack_greedy_bins",
 }
 
 

@@ -417,3 +417,40 @@ def test_quantiles_approx_within_rank_tolerance(spark):
                 f"{r['event_type']} p{int(q*100)}: approx {approx} covers "
                 f"rank [{lo:.4f},{hi:.4f}], nominal {q}"
             )
+
+
+def test_pack_greedy_bins_invariants(spark):
+    """Packing invariants, independent of the oracle: (1) every doc
+    assigned exactly once; (2) no bin exceeds the budget unless it
+    holds a single over-budget doc; (3) greedy tightness — a bin's
+    fill plus the first doc of the NEXT bin must exceed the budget
+    (otherwise greedy would have kept filling)."""
+    from ruleset_analysis_spark.operators.curation import (
+        _PACK_BUDGET,
+        pack_greedy_bins,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = pack_greedy_bins(spark, sf_dir).collect()
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == total
+    assert len({r["doc_id"] for r in rows}) == total
+
+    by_shard: dict = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        fills: dict = {}
+        first_doc_tokens: dict = {}
+        for r in rs:
+            fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+            first_doc_tokens.setdefault(r["bin_id"], r["n_tokens"])
+        for b, fill in fills.items():
+            n_docs = sum(1 for r in rs if r["bin_id"] == b)
+            assert fill <= _PACK_BUDGET or n_docs == 1, (shard, b, fill)
+            if b + 1 in first_doc_tokens and fill <= _PACK_BUDGET:
+                assert fill + first_doc_tokens[b + 1] > _PACK_BUDGET, (
+                    shard, b, fill, first_doc_tokens[b + 1],
+                )
+        # bins are contiguous 0..max
+        assert sorted(fills) == list(range(len(fills)))
