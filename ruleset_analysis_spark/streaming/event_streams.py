@@ -212,3 +212,46 @@ def dedup_events(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:
     if events.isStreaming:
         return deduped.dropDuplicatesWithinWatermark(["event_id"])
     return deduped.dropDuplicates(["event_id"])
+
+
+def join_views_to_clicks(
+    events: DataFrame,
+    lateness: str = "10 minutes",
+    within_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream interval join: attribute each click to the same
+    user's preceding view within ``within_minutes`` — the streaming
+    attribution primitive (ad view→click, search→purchase).
+
+    Both sides carry a watermark and the join condition bounds
+    ``click_ts`` to [view_ts, view_ts + within], which is what lets
+    Structured Streaming EVICT join state: a buffered view can be
+    dropped once the click-side watermark passes view_ts + within, so
+    state is (arrival rate × horizon), not unbounded. An unbounded
+    stream-stream equi-join would grow state forever — the interval
+    bound is load-bearing, not a filter. Works identically on batch
+    DataFrames (same code path for backfill), which the stream==batch
+    test exploits."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if events.isStreaming:
+        views = views.withWatermark("view_ts", lateness)
+        clicks = clicks.withWatermark("click_ts", lateness)
+    return views.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        ),
+        "inner",
+    ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")

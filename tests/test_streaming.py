@@ -194,3 +194,20 @@ def test_stream_dedup_collapses_redelivery(spark, events_dir, tmp_path):
         "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
     )
     assert es.dedup_events(batch).count() == want
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Watermarked stream-stream interval join (view→click attribution)
+    drains to the same pairs as the identical batch join."""
+    stream = es.read_event_stream(spark, events_dir)
+    got = es.drain_to_memory(
+        es.join_views_to_clicks(stream), "vc_join", output_mode="append"
+    )
+    batch = spark.read.parquet(f"{events_dir}/events.parquet")
+    batch = batch.withColumn(
+        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+    )
+    want = es.join_views_to_clicks(batch)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(w) > 0
