@@ -34,6 +34,7 @@ OPERATOR_MODULES = (
     "scalar",
     "aggregations",
     "joins",
+    "tpch",
     "subqueries",
     "sampling",
     "windows",

@@ -240,3 +240,34 @@ def test_range_join_is_keyed_not_nested_loop(spark):
         node in plan
         for node in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     )
+
+
+def test_tpch_composites_plan_discipline(spark):
+    """The TPC-H composite shapes must keep their plan contracts
+    (operators/tpch.py docstring): top-k reports plan as
+    TakeOrderedAndProject, dimensions broadcast (no sort-merge join at
+    test scale), Q6 is a pure scan-aggregate with no exchange-by-key
+    and no join at all."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plans = {
+            n: _physical(spark, n)
+            for n in (
+                "tpch_q3_shipping_priority",
+                "tpch_q5_local_supplier",
+                "tpch_q6_forecast_revenue",
+                "tpch_q10_returned_items",
+            )
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    for n in ("tpch_q3_shipping_priority", "tpch_q10_returned_items"):
+        assert "TakeOrderedAndProject" in plans[n], n
+        assert "Sort " not in plans[n].split("TakeOrderedAndProject")[0], n
+    for n, plan in plans.items():
+        assert "SortMergeJoin" not in plan, f"{n}: dimension join degraded to SMJ"
+    q6 = plans["tpch_q6_forecast_revenue"]
+    assert "Join" not in q6 and "Exchange hashpartitioning" not in q6
+    # exactly one keyed exchange feeds each composite aggregation
+    for n in ("tpch_q5_local_supplier", "tpch_q3_shipping_priority"):
+        assert plans[n].count("Exchange hashpartitioning") == 1, n
