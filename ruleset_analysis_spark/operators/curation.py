@@ -303,3 +303,68 @@ def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.groupBy("shard").applyInPandas(
         pack, "shard long, doc_id long, n_tokens long, bin_id long"
     )
+
+
+# Corpus-frequency rarity gate: tokens appearing in fewer than this
+# many documents count as "rare" — the OOV/garbage signal.
+_RARE_DF = 3
+
+
+@register(
+    "text_rarity_score",
+    category="curation",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS docfreq
+            FROM toks GROUP BY term
+        )
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               count(*) FILTER (WHERE df.docfreq < {_RARE_DF}) AS n_rare,
+               round(CAST(count(*) FILTER (WHERE df.docfreq < {_RARE_DF})
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                   AS rare_ratio,
+               CAST(sum(df.docfreq) AS BIGINT) AS freq_mass
+        FROM toks t JOIN df ON df.term = t.term
+        GROUP BY t.doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring without the transcendentals:
+    per document, the fraction of tokens whose corpus document-
+    frequency is below {_RARE_DF} ("rare"/OOV mass) and the total
+    frequency mass. High rare_ratio flags garbled or off-distribution
+    text — the signal an n-gram LM perplexity filter provides, kept
+    as exact integer rationals so the cross-engine hash can't drift
+    the way summed logs would (ln() last-ULP differs between libms).
+
+    Two-pass shape over one tokenization: pass 1 aggregates the
+    corpus document-frequency table (partial-agg'd, tiny — vocabulary-
+    sized); pass 2 joins it back to the token stream on term. The DF
+    table is vocabulary-sized, NOT corpus-sized, so at 100 TB it
+    broadcasts (hint explicit) and the token stream never shuffles for
+    the join — the same one-small-side discipline as tf-idf."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    df_tbl = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("docfreq")
+    )
+    rare = F.when(F.col("docfreq") < _RARE_DF, 1)
+    return (
+        tok.join(F.broadcast(df_tbl), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(rare).alias("n_rare"),
+            F.round(
+                F.count(rare).cast("double") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("rare_ratio"),
+            F.sum("docfreq").alias("freq_mass"),
+        )
+    )

@@ -17,7 +17,7 @@ sub-hour grids are involved.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..plans.registry import register
 from ..sources.parquet import load
@@ -337,4 +337,46 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset",
         "n_active",
         "n_cohort",
+    )
+
+
+@register(
+    "event_transition_matrix",
+    category="stream",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts: how often each event type
+    is followed by each other type within a user's timeline — the
+    sequence-mining primitive behind next-action prediction and
+    funnel-dropoff analysis.
+
+    One window shuffle on user_id (lead over the per-user timeline,
+    event_id tiebreak for determinism), then the transition groupBy —
+    whose (from, to) key space is |types|² = tiny, so the second
+    aggregation is map-side-combined into almost nothing. The per-user
+    partition is bounded by a user's own event count — no global sort,
+    no skew beyond a power-user's timeline."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -1,0 +1,176 @@
+"""§2 addendum — graph analytics over relational co-occurrence graphs.
+
+PageRank as a registry operator: the canonical iterative-convergence
+workload, here over the part co-occurrence graph (parts linked when
+they share an order — the graph `join_cooccur_baskets` materializes
+pairs of). Together with ``dedup_cluster_components`` this covers both
+iterative-algorithm families: label propagation (min semiring) and
+weighted score propagation (sum-product semiring).
+
+Spark-first shape (the pre-GraphX RDD PageRank, restated for
+DataFrames/Catalyst): ranks and edges are plain relations; one power
+iteration is ``edges ⋈ ranks → groupBy(dst).sum``, i.e. exactly one
+keyed shuffle per iteration with map-side partial sums. The edge
+relation is partitioned once and persisted; every iteration reuses
+that partitioning for its join side. Lineage is truncated per
+iteration with ``localCheckpoint`` — the same 4^rounds-analysis
+pathology documented on ``dedup_cluster_components`` applies to any
+loop that self-references its previous round.
+
+Rows-only by declaration: a fixed-iteration float recursion has no
+SQL-expressible oracle (recursive CTEs cannot aggregate per round);
+the exact-value check is tests/test_properties.py's NumPy power
+iteration on the identical edge list — same damping, same iteration
+count, element-wise tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..plans.registry import register
+from ..sources.parquet import load
+
+_DAMPING = 0.85
+_ITERATIONS = 10
+_TOP_K = 20
+
+
+def cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (src, dst) part pairs sharing ≥1 order — the basket
+    co-occurrence graph (see join_cooccur_baskets for the blocking
+    rationale: pair cost is bounded by basket size, not popularity)."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+@register(
+    "graph_pagerank_cooccur",
+    category="graph",
+    oracle=None,  # rows-only: float fixed-point iteration (NumPy-verified)
+)
+def graph_pagerank_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} parts by PageRank over the co-occurrence graph
+    (damping 0.85, 10 power iterations, uniform init).
+
+    Per iteration: contributions = edges ⋈ ranks (keyed on src, the
+    edge relation's persisted partitioning), then groupBy(dst).sum —
+    ONE shuffle, partial-aggregated map-side. The co-occurrence graph
+    has no dangling nodes (edges are symmetric, so out-degree ≥ 1 for
+    every node in the graph), which keeps the update rule pure
+    relational algebra — no dangling-mass redistribution term. The
+    node count (one scalar) and nothing else crosses to the driver;
+    like dedup_cluster_components this builder executes eagerly
+    (count + per-round localCheckpoint), the documented exception to
+    the lazy-builder rule (plans/registry.py)."""
+    from pyspark import StorageLevel
+
+    edges = cooccur_edges(spark, sf_dir).repartition(
+        "src"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree rides the edge relation: one wide row per src
+    out = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - _DAMPING) / n
+    for _ in range(_ITERATIONS):
+        contribs = (
+            out.join(ranks, out.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("node"),
+            (F.lit(base) + F.lit(_DAMPING) * F.col("mass")).alias("rank"),
+        ).localCheckpoint(eager=True)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(_TOP_K)
+        .select("node", F.round("rank", 8).alias("rank"))
+    )
+
+
+@register(
+    "graph_triangle_count",
+    category="graph",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING count(*) >= 2
+        )
+        SELECT count(*) AS n_triangles FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the strong co-occurrence graph (part pairs
+    sharing ≥2 orders) — the clustering-coefficient / community-
+    density primitive.
+
+    The compact-enumeration form: edges are kept ONCE in canonical
+    u < v orientation, so each triangle {a<b<c} is counted exactly
+    once as the wedge (a,b)+(b,c) closed by (a,c) — no /6 correction,
+    no symmetric-edge blowup. Cost is Σ deg(v)² wedges on the
+    THRESHOLDED graph: the ≥2-orders gate is what keeps that sum
+    linear-ish (the popularity tail is exactly what it cuts); at
+    100 TB the same gate (or a degree cap) is the standard guard
+    before any wedge join. Three keyed equi-joins, all
+    shuffle-partitioned on their join keys."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -44,6 +44,7 @@ OPERATOR_MODULES = (
     "text_analysis",
     "dedup",
     "curation",
+    "graph",
     "similarity",
     "multimodal",
     "udfs",

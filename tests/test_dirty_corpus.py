@@ -38,7 +38,8 @@ DIRTY_QUERIES = [
     # curation ops over documents (empty/NULL-text rows must chunk to
     # zero rows, not abort)
     "text_repetition_ratio", "text_contamination_ngram",
-    "doc_chunk_fixed_tokens", "pack_greedy_bins",
+    "doc_chunk_fixed_tokens", "pack_greedy_bins", "text_rarity_score",
+    "event_transition_matrix",
 ]
 
 

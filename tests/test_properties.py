@@ -454,3 +454,41 @@ def test_pack_greedy_bins_invariants(spark):
                 )
         # bins are contiguous 0..max
         assert sorted(fills) == list(range(len(fills)))
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """graph_pagerank_cooccur vs an independent NumPy power iteration
+    on the identical edge list: same damping, same iteration count,
+    per-node agreement to 1e-9 — the no-SQL-oracle iterative op gets
+    its exact check here instead."""
+    import numpy as np
+
+    from ruleset_analysis_spark.operators.graph import (
+        _DAMPING,
+        _ITERATIONS,
+        _TOP_K,
+        cooccur_edges,
+        graph_pagerank_cooccur,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = [(r["src"], r["dst"]) for r in cooccur_edges(spark, sf_dir).collect()]
+    nodes = sorted({u for u, _ in edges})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in edges:
+        deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(_ITERATIONS):
+        nxt = np.zeros(n)
+        for u, v in edges:
+            nxt[idx[v]] += r[idx[u]] / deg[idx[u]]
+        r = (1.0 - _DAMPING) / n + _DAMPING * nxt
+    order = sorted(range(n), key=lambda i: (-r[i], nodes[i]))[:_TOP_K]
+    want = [(nodes[i], r[i]) for i in order]
+
+    got = [(row["node"], row["rank"]) for row in graph_pagerank_cooccur(spark, sf_dir).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gn, gr), (wn, wr) in zip(got, want):
+        assert abs(gr - wr) < 1e-6, (gn, gr, wr)

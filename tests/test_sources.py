@@ -289,3 +289,31 @@ def test_write_orc_roundtrip_partitioned(spark, tmp_path):
     back = spark.read.orc(out)
     assert back.count() == 60
     assert back.filter(F.col("bucket") == 2).count() == 20
+
+
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """binaryFile ingestion: bytes round-trip exactly, the glob prunes
+    at listing time, and the length gate drops oversized payloads
+    before any kernel sees them."""
+    from ruleset_analysis_spark.sources.binary_files import (
+        read_binary_dir,
+        write_payload_fixtures,
+    )
+
+    payloads = {
+        "a.img": b"\x89IMG" + bytes(range(64)),
+        "b.img": b"\x89IMG" + bytes(200) ,
+        "skip.txt": b"not media",
+    }
+    d = str(tmp_path / "media")
+    write_payload_fixtures(d, payloads)
+
+    df = read_binary_dir(spark, d, glob="*.img")
+    got = {r["file_name"]: bytes(r["content"]) for r in df.collect()}
+    assert got == {"a.img": payloads["a.img"], "b.img": payloads["b.img"]}
+
+    small = read_binary_dir(spark, d, glob="*.img", max_bytes=100)
+    assert [r["file_name"] for r in small.collect()] == ["a.img"]
+
+    # feeds the multimodal kernel surface: binary column + metadata
+    assert dict(df.dtypes)["content"] == "binary"
