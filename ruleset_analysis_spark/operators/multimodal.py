@@ -372,3 +372,97 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + v).alias("q_checksum"),
         F.size(F.filter(q, lambda v: F.abs(v) >= 127)).cast("bigint").alias("n_saturated"),
     )
+
+
+_PCA_COMPONENTS = 2
+
+
+def _gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: per-batch Gram-matrix partials.
+
+    Each Arrow batch of n vectors collapses to ONE row carrying
+    (count, column sums, flattened XᵀX) — the sufficient statistics of
+    PCA. d=64 ⇒ 64 + 4096 doubles per partition regardless of corpus
+    size; this is why distributed PCA is a partial-aggregation problem,
+    not a shuffle problem."""
+    import numpy as np
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        x = np.stack(pdf["vd"].to_numpy())
+        yield pd.DataFrame(
+            {
+                "n": [len(x)],
+                "s": [x.sum(axis=0).tolist()],
+                "g": [(x.T @ x).ravel().tolist()],
+            }
+        )
+
+
+@register(
+    "embed_pca_project",
+    category="multimodal",
+    oracle=None,  # rows-only: eigendecomposition (NumPy-differential test)
+)
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection: embeddings → top-{k} principal
+    components, the dimensionality-reduction pass before clustering /
+    visualization / cheap ANN.
+
+    The scale split: executors reduce the corpus to Gram-matrix
+    partials (one (count, Σx, XᵀX) row per partition — O(d²) each, via
+    ``mapInPandas``); ONLY those partials cross to the driver, which
+    eigendecomposes the d×d covariance (64×64 — microseconds) and
+    broadcasts the projection matrix back as literal arrays; the
+    projection itself is a JVM higher-order dot-fold per row. The
+    corpus never shuffles and never lands on the driver — the same
+    sufficient-statistics discipline as sim_ann_ivf's centroids.
+    Eigenvector sign is pinned (largest-|entry| coordinate positive)
+    so output is deterministic run-to-run. Eager by necessity
+    (aggregating partials is an action), like the other iterative/
+    model-fitting builders."""
+    import numpy as np
+
+    from ..schemas import EMBEDDING_DIM
+
+    # dirty-data gate (SCALE.md convention): NULL or wrong-dimension
+    # vectors are dropped JVM-side BEFORE the kernel — np.stack on a
+    # ragged batch would abort the whole job on one bad row
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMBEDDING_DIM)
+    )
+    vd = e.select("vec_id", as_double("embedding").alias("vd"))
+    parts = vd.select("vd").mapInPandas(
+        _gram_partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
+    g = np.sum([np.array(p["g"]) for p in parts], axis=0)
+    d = s.shape[0]
+    mu = s / n
+    cov = g.reshape(d, d) / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, np.argsort(vals)[::-1][:_PCA_COMPONENTS]].T
+    # deterministic sign: largest-|entry| coordinate positive
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+
+    mu_lit = F.array(*[F.lit(float(v)) for v in mu])
+    out_cols = [F.col("vec_id")]
+    for k in range(_PCA_COMPONENTS):
+        w_lit = F.array(*[F.lit(float(v)) for v in comps[k]])
+        centered_dot = F.aggregate(
+            F.zip_with(
+                F.zip_with(F.col("vd"), mu_lit, lambda x, m: x - m),
+                w_lit,
+                lambda c, w: c * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out_cols.append(F.round(centered_dot, 6).alias(f"pc{k + 1}"))
+    return vd.select(*out_cols)

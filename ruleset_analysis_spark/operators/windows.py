@@ -235,3 +235,42 @@ def window_percent_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pr") <= 0.01)
     )
+
+
+@register(
+    "window_cumulative_reach",
+    category="window",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS d
+            FROM events GROUP BY user_id
+        ),
+        new_per_day AS (
+            SELECT d, count(*) AS n_new FROM first_seen GROUP BY d
+        )
+        SELECT d, n_new,
+               CAST(sum(n_new) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cumulative_users
+        FROM new_per_day
+    """,
+)
+def window_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day ("reach") via the first-seen
+    rewrite: COUNT(DISTINCT user) OVER (ORDER BY day) is either
+    unsupported or quadratic on most engines — the scalable identity
+    is `distinct-so-far(d) = Σ_{d'≤d} users first seen on d'`. Two
+    keyed aggregations (per-user min, per-day count) and a running sum
+    over ~|days| rows: the global window is bounded by the calendar,
+    not the corpus, same justification as window_moving_avg_range."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d")
+    )
+    new_per_day = first_seen.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return new_per_day.select(
+        "d", "n_new", F.sum("n_new").over(w).alias("cumulative_users")
+    )

@@ -28,6 +28,7 @@ PYTHON_ALLOWED = {
     "multimodal_resize",
     "udtf_python_native",
     "pack_greedy_bins",
+    "embed_pca_project",
 }
 
 

@@ -492,3 +492,45 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert [g[0] for g in got] == [w[0] for w in want]
     for (gn, gr), (wn, wr) in zip(got, want):
         assert abs(gr - wr) < 1e-6, (gn, gr, wr)
+
+
+def test_pca_projection_matches_numpy(spark):
+    """embed_pca_project vs direct NumPy PCA on the same vectors: same
+    centering, same eigh, same sign convention — projections agree to
+    1e-4 (partial-sum order introduces only ULP noise; components are
+    well-separated on this corpus)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ruleset_analysis_spark.operators.multimodal import (
+        _PCA_COMPONENTS,
+        embed_pca_project,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    t = t[t["embedding"].notna()]
+    x = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    mu = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, np.argsort(vals)[::-1][:_PCA_COMPONENTS]].T
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    want = {
+        int(v): tuple(((x[r] - mu) @ comps.T).round(4))
+        for r, v in enumerate(t["vec_id"].to_numpy())
+    }
+
+    got = {
+        r["vec_id"]: tuple(
+            round(r[f"pc{k + 1}"], 4) for k in range(_PCA_COMPONENTS)
+        )
+        for r in embed_pca_project(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for v in got:
+        for g, w in zip(got[v], want[v]):
+            assert abs(g - w) < 1e-3, (v, got[v], want[v])
