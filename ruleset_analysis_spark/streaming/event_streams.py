@@ -255,3 +255,58 @@ def join_views_to_clicks(
         ),
         "inner",
     ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+
+
+def running_value_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum of ``value``) via
+    ``transformWithStateInPandas`` — the Spark 4 arbitrary-stateful API
+    (state variables + optional timers/TTL), successor to
+    ``applyInPandasWithState`` (see running_user_totals for the v1
+    form of the same computation).
+
+    State is one (n, s) pair per user — keyed, bounded, spillable to
+    the state store; each micro-batch emits the updated running stats
+    for users present in that batch. TTL (`getValueState(ttl=...)`)
+    is the 100 TB knob this API adds: idle keys age out of the store
+    instead of accumulating forever.
+
+    Environment note (same class as multimodal.decode_image): running
+    this API needs (a) the RocksDB state store provider and (b) the
+    ``protobuf`` package for the TWS state-server protocol — the
+    latter is absent in this container, so
+    tests/test_streaming.py gates its check on the import and the
+    tested production path remains ``running_user_totals``
+    (applyInPandasWithState, no protobuf dependency)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningValueStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n LONG, s DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, s = self._state.get()
+            else:
+                n, s = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningValueStats(),
+        outputStructType="user_id LONG, n_events LONG, sum_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -211,3 +211,60 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(w) > 0
+
+
+def test_transform_with_state_running_stats(spark, split_events_dir):
+    """transformWithStateInPandas (stateful v2): running per-user
+    (count, sum) accumulates across micro-batches; final state equals
+    the batch aggregate. The TWS state-server protocol needs protobuf
+    (absent in this container — see running_value_stats docstring), so
+    this check runs only where the dependency exists; the
+    applyInPandasWithState path above is the always-tested one."""
+    pytest.importorskip("google.protobuf.descriptor")
+    stream = es.running_value_stats(
+        es.read_event_stream(spark, split_events_dir, max_files_per_trigger=1)
+    )
+    # transformWithState requires the RocksDB state store; scope the
+    # provider switch to this query
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    emitted = spark.table("t_tws")
+    got = {
+        r["user_id"]: (r["n_final"], round(r["s_final"], 6))
+        for r in emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_final"),
+            F.max("sum_value").alias("s_final"),
+        )
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
