@@ -38,25 +38,13 @@ _TOP_K = 20
 
 def cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (src, dst) part pairs sharing ≥1 order — the basket
-    co-occurrence graph (see join_cooccur_baskets for the blocking
-    rationale: pair cost is bounded by basket size, not popularity)."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
+    co-occurrence graph, riding the shared HOF pair substrate
+    (joins.basket_pair_counts: pair cost bounded by basket size, not
+    item popularity)."""
+    from .joins import basket_pair_counts
+
+    pairs = basket_pair_counts(spark, sf_dir).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     )
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -144,26 +132,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-ish (the popularity tail is exactly what it cuts); at
     100 TB the same gate (or a degree cap) is the standard guard
     before any wedge join. Three keyed equi-joins, all
-    shuffle-partitioned on their join keys."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
+    shuffle-partitioned on their join keys; edge generation rides the
+    shared HOF pair substrate (joins.basket_pair_counts)."""
+    from .joins import basket_pair_counts
+
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
+        basket_pair_counts(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (

@@ -472,6 +472,42 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_a, part_b, n_orders) for every canonical (a<b) part pair
+    co-occurring in ≥1 order — the shared substrate for market-basket
+    mining and the co-occurrence graph (operators/graph.py).
+
+    Shape: collect each basket's distinct sorted parts (ONE exchange,
+    keyed on orderkey — collect_set dedups in-agg, no pre-distinct
+    pass), generate the C(k,2) pairs per basket map-side with nested
+    higher-order transforms over the sorted array (k ≤ 7 in TPC-H ⇒
+    ≤ 21 structs per basket, never item-popularity n²), then count by
+    pair (second exchange). Measured vs the distinct+self-join form at
+    sf0.1: 1.35 s vs 1.75 s warm — one fewer exchange, and the join's
+    probe/build of the whole item relation becomes per-row array
+    algebra inside codegen."""
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 @register(
     "join_cooccur_baskets",
     category="join",
@@ -488,31 +524,7 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_cooccur_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs bought together in ≥ 2
-    orders — the frequent-itemset / co-click primitive.
-
-    The scale-safe shape is blocking by *basket*, not by item: the
-    self-join key is the order key, so pair explosion is bounded by
-    basket_size² per order (≤ 7 lineitems in TPC-H ⇒ ≤ 21 pairs),
-    linear in orders — never the item-popularity n² that joining on
-    part would give. Pre-distinct (orderkey, partkey) first so
-    multi-lineitem parts count once per basket. Two shuffles total:
-    one on orderkey (join), one on the pair key (count)."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = items.alias("a"), items.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
+    orders — the frequent-itemset / co-click primitive. See
+    basket_pair_counts for the two-exchange HOF pair generation (the
+    distinct+self-join formulation it replaced is the oracle)."""
+    return basket_pair_counts(spark, sf_dir).filter(F.col("n_orders") >= 2)

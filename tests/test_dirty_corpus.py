@@ -40,7 +40,7 @@ DIRTY_QUERIES = [
     "text_repetition_ratio", "text_contamination_ngram",
     "doc_chunk_fixed_tokens", "pack_greedy_bins", "text_rarity_score",
     "event_transition_matrix", "embed_pca_project",
-    "profile_corpus_columns",
+    "profile_corpus_columns", "event_anomaly_mad", "event_scd2_intervals",
 ]
 
 
