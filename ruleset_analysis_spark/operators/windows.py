@@ -274,3 +274,84 @@ def window_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_per_day.select(
         "d", "n_new", F.sum("n_new").over(w).alias("cumulative_users")
     )
+
+
+@register(
+    "window_gaps_islands",
+    category="window",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        grp AS (
+            SELECT user_id, d,
+                   d - CAST(row_number() OVER (PARTITION BY user_id
+                                               ORDER BY d) AS INTEGER)
+                       AS anchor
+            FROM days
+        )
+        SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+               count(*) AS streak_days
+        FROM grp GROUP BY user_id, anchor
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days
+    (streaks) — engagement's favorite metric, and the canonical
+    date-minus-row_number grouping trick: within a user, consecutive
+    days share the constant ``d - row_number()`` anchor, so one window
+    plus one groupBy finds every island without any self-join or
+    iteration. Both the window and the aggregate ride a single
+    exchange on user_id (HashPartitioning(user_id) clusters the
+    (user_id, anchor) groupBy too)."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub("d", F.row_number().over(w)).alias("anchor"),
+    )
+    return (
+        grp.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .drop("anchor")
+    )
+
+
+@register(
+    "window_rate_limit_quota",
+    category="window",
+    oracle="""
+        SELECT event_id, user_id, d, rn FROM (
+            SELECT event_id, user_id, CAST(ts AS DATE) AS d,
+                   row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn <= 3
+    """,
+)
+def window_rate_limit_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quota enforcement: keep each user's FIRST 3 events
+    per day (arrival order, event_id tiebreak) — the batch form of
+    rate limiting / per-key sampling that, unlike random sampling,
+    survives reruns and backfills bit-identically.
+
+    One window exchange on (user, day); the rank predicate prunes
+    everything else before any downstream join. At 100 TB the same
+    shape caps any per-entity explosion (posts per author, hits per
+    rule) ahead of a skew-prone join — quota-before-join is the
+    cheap alternative to salting when business semantics allow it."""
+    ev = load(spark, sf_dir, "events")
+    d = F.to_date("ts").alias("d")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.select("event_id", "user_id", d, F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )

@@ -41,6 +41,7 @@ DIRTY_QUERIES = [
     "doc_chunk_fixed_tokens", "pack_greedy_bins", "text_rarity_score",
     "event_transition_matrix", "embed_pca_project",
     "profile_corpus_columns", "event_anomaly_mad", "event_scd2_intervals",
+    "window_gaps_islands", "window_rate_limit_quota",
 ]
 
 
