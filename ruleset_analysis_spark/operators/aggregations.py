@@ -596,3 +596,78 @@ def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+
+
+@register(
+    "agg_rfm_segmentation",
+    category="agg",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   datediff('day', DATE '1990-01-01', max(o_orderdate))
+                       AS r_days,
+                   count(*) AS f,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS m_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        q AS (
+            SELECT quantile_cont(r_days, 0.25) AS r1,
+                   quantile_cont(r_days, 0.50) AS r2,
+                   quantile_cont(r_days, 0.75) AS r3,
+                   quantile_cont(f, 0.25) AS f1,
+                   quantile_cont(f, 0.50) AS f2,
+                   quantile_cont(f, 0.75) AS f3,
+                   quantile_cont(m_cents, 0.25) AS m1,
+                   quantile_cont(m_cents, 0.50) AS m2,
+                   quantile_cont(m_cents, 0.75) AS m3
+            FROM cust
+        )
+        SELECT o_custkey,
+               1 + CAST(r_days > r1 AS INT) + CAST(r_days > r2 AS INT)
+                 + CAST(r_days > r3 AS INT) AS r_score,
+               1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT)
+                 + CAST(f > f3 AS INT) AS f_score,
+               1 + CAST(m_cents > m1 AS INT) + CAST(m_cents > m2 AS INT)
+                 + CAST(m_cents > m3 AS INT) AS m_score
+        FROM cust CROSS JOIN q
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartile scores 1-4) — done the way it survives 100 TB: NOT a
+    global ntile window (one partition, the documented
+    window_ntile_cume trap) but three exact quartile boundaries
+    computed in one tiny aggregate and broadcast back as a 1-row cross
+    join; scoring is then pure codegen comparisons. Exactness
+    discipline: recency as integer days, monetary as floor-cents
+    BIGINT sums (see tpch.py — double sums are partial-agg-order-
+    dependent), so the quantile inputs are identical integers on both
+    engines and the interpolated boundaries match bit-for-bit."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1990-01-01")).alias("r_days"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+        ).alias("m_cents"),
+    )
+    q = cust.agg(
+        *[
+            F.expr(f"percentile({c}, {p})").alias(f"{c[0]}{i}")
+            for c in ("r_days", "f", "m_cents")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    score = lambda x, a: (  # noqa: E731
+        F.lit(1)
+        + (F.col(x) > F.col(f"{a}1")).cast("int")
+        + (F.col(x) > F.col(f"{a}2")).cast("int")
+        + (F.col(x) > F.col(f"{a}3")).cast("int")
+    )
+    return cust.crossJoin(F.broadcast(q)).select(
+        "o_custkey",
+        score("r_days", "r").alias("r_score"),
+        score("f", "f").alias("f_score"),
+        score("m_cents", "m").alias("m_score"),
+    )

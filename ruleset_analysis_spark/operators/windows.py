@@ -301,9 +301,13 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     date-minus-row_number grouping trick: within a user, consecutive
     days share the constant ``d - row_number()`` anchor, so one window
     plus one groupBy finds every island without any self-join or
-    iteration. Both the window and the aggregate ride a single
-    exchange on user_id (HashPartitioning(user_id) clusters the
-    (user_id, anchor) groupBy too)."""
+    iteration. The plan carries TWO exchanges by design: the
+    (user_id, d) dedup aggregates map-side FIRST (at 100 TB a user-day
+    can hold hundreds of events — partial dedup cuts shuffle volume by
+    that factor), then only distinct day pairs re-shuffle to user_id
+    for the window; the island groupBy reuses the window's
+    partitioning (HashPartitioning(user_id) clusters
+    (user_id, anchor))."""
     ev = load(spark, sf_dir, "events")
     days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     w = Window.partitionBy("user_id").orderBy("d")

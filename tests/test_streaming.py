@@ -268,3 +268,32 @@ def test_transform_with_state_running_stats(spark, split_events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_view_maintenance(spark, split_events_dir, tmp_path):
+    """Append-only incremental MV: after draining 3 micro-batches the
+    merge-on-read view equals the batch aggregate; compaction folds
+    the partials without changing the view."""
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    es.maintain_type_counts(
+        es.read_event_stream(spark, split_events_dir, max_files_per_trigger=1),
+        state,
+        ckpt,
+    )
+    want = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r["event_type"]: r["n"] for r in es.read_type_counts(spark, state).collect()}
+    assert got == want
+    # >1 partial per type proves incremental appends happened
+    partials = spark.read.parquet(state)
+    assert partials.count() > len(want)
+
+    es.compact_type_counts(spark, state)
+    after = {r["event_type"]: r["n"] for r in es.read_type_counts(spark, state).collect()}
+    assert after == want
+    assert spark.read.parquet(state).count() == len(want)
