@@ -528,3 +528,47 @@ def join_cooccur_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket_pair_counts for the two-exchange HOF pair generation (the
     distinct+self-join formulation it replaced is the oracle)."""
     return basket_pair_counts(spark, sf_dir).filter(F.col("n_orders") >= 2)
+
+
+@register(
+    "join_null_safe_eq",
+    category="join",
+    oracle="""
+        WITH ev AS (
+            SELECT event_id,
+                   CASE WHEN value < 0.05 THEN NULL
+                        ELSE round(floor(value * 10) / 10, 1) END AS bucket
+            FROM events
+        ),
+        dim AS (
+            SELECT DISTINCT bucket FROM ev
+        )
+        SELECT d.bucket, count(*) AS n
+        FROM ev e JOIN dim d ON e.bucket IS NOT DISTINCT FROM d.bucket
+        GROUP BY d.bucket
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    bucket rows MATCH the NULL dimension row instead of silently
+    dropping — the semantics needed when NULL is a real category
+    (unknown/unparsed) that must survive an enrichment join. A plain
+    equi-join here would lose every NULL-bucket event; the differential
+    proves both engines keep them. Plans as a hash join on the
+    null-safe key (NULL hashes to a bucket like any value)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 0.05, None)
+        .otherwise(F.round(F.floor(F.col("value") * 10) / 10, 1))
+        .alias("bucket"),
+    )
+    dim = ev.select("bucket").distinct()
+    return (
+        ev.alias("e")
+        .join(
+            F.broadcast(dim.alias("d")),
+            F.col("e.bucket").eqNullSafe(F.col("d.bucket")),
+        )
+        .groupBy(F.col("d.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

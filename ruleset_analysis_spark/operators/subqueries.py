@@ -169,3 +169,45 @@ def subquery_not_in_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "subquery_lateral_topn",
+    category="subquery",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_acctbal > 9000
+    """,
+)
+def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each rich customer's top-2 orders
+    by price — the per-row-subquery surface SQL users reach for before
+    they learn window functions. Catalyst decorrelates the lateral
+    LIMIT into a ranked join (DomainJoin → window/rank under the
+    hood), so execution is keyed joins + per-group top-k, never a
+    scan per outer row; the plan test asserts no nested-loop
+    re-execution shape survives."""
+    c = _view(spark, sf_dir, "customer")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM {c} c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM {o}
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) t
+        WHERE c.c_acctbal > 9000
+        """
+    )

@@ -272,3 +272,13 @@ def test_tpch_composites_plan_discipline(spark):
     # exactly one keyed exchange feeds each composite aggregation
     for n in ("tpch_q5_local_supplier", "tpch_q3_shipping_priority"):
         assert plans[n].count("Exchange hashpartitioning") == 1, n
+
+
+def test_lateral_topn_decorrelates(spark):
+    """The LATERAL LIMIT subquery must decorrelate: a ranked join with
+    WindowGroupLimit pre-pruning, never per-outer-row re-execution
+    (no nested-loop join over the orders side)."""
+    plan = _physical(spark, "subquery_lateral_topn")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -317,3 +317,31 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
 
     # feeds the multimodal kernel surface: binary column + metadata
     assert dict(df.dtypes)["content"] == "binary"
+
+
+def test_python_datasource_asa_syslog(spark, tmp_path):
+    """Custom Python DataSource: format('asa_syslog') over mixed
+    plain+gzip files yields exactly what the JVM regexp path parses —
+    same rows, typed schema, one partition per file, dirty lines
+    dropped."""
+    import gzip as gz
+
+    from ruleset_analysis_spark.sources.python_datasource import (
+        register_asa_syslog,
+    )
+    d = tmp_path / "syslog"
+    d.mkdir()
+    (d / "a.log").write_text("\n".join(LINES) + "\n")
+    with gz.open(d / "b.log.gz", "wt") as fh:
+        fh.write("\n".join(LINES) + "\n")
+
+    register_asa_syslog(spark)
+    via_ds = spark.read.format("asa_syslog").load(str(d))
+    via_jvm = text_logs.parse_asa_hits(text_logs.read_log_lines(spark, str(d)))
+
+    cols = via_ds.columns
+    got = sorted(tuple(r) for r in via_ds.collect())
+    want = sorted(tuple(r) for r in via_jvm.select(*cols).collect())
+    assert got == want and len(got) == 6  # 3 parseable lines × 2 files
+    assert dict(via_ds.dtypes)["hit_cnt"] == "bigint"
+    assert via_ds.rdd.getNumPartitions() == 2  # one per file
