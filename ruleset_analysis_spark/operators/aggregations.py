@@ -14,7 +14,7 @@ cardinalities where exact distinct would need a full shuffle of keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..plans.registry import register
 from ..sources.parquet import load
@@ -670,4 +670,74 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("r_days", "r").alias("r_score"),
         score("f", "f").alias("f_score"),
         score("m_cents", "m").alias("m_score"),
+    )
+
+
+@register(
+    "agg_pareto_concentration",
+    category="agg",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS m_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT m_cents,
+                   CAST(sum(m_cents) OVER (ORDER BY m_cents DESC, o_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS running,
+                   row_number() OVER (ORDER BY m_cents DESC, o_custkey)
+                       AS rk,
+                   CAST(sum(m_cents) OVER () AS BIGINT) AS total,
+                   count(*) OVER () AS n_cust
+        FROM cust
+        )
+        SELECT min(rk) AS n_top_customers,
+               CAST(max(n_cust) AS BIGINT) AS n_customers,
+               round(CAST(min(rk) AS DOUBLE) / max(n_cust), 6)
+                   AS top_share
+        FROM ranked
+        WHERE running * 5 >= total * 4
+    """,
+)
+def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/80-20 concentration: how many of the biggest customers
+    produce 80% of revenue, and what fraction of the customer base
+    that is. One number every revenue review asks for.
+
+    The windows are global but their INPUT is the per-customer
+    aggregate (|customers| rows, not |orders|) — the same
+    bounded-before-global-window justification as
+    window_moving_avg_range. The 80% test is integer algebra
+    (``running·5 ≥ total·4`` on exact cent sums), so no float
+    boundary can flip the count."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+        ).alias("m_cents")
+    )
+    w_run = Window.orderBy(F.desc("m_cents"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = cust.select(
+        F.sum("m_cents").over(w_run).alias("running"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("m_cents"), F.asc("o_custkey")))
+        .alias("rk"),
+        F.sum("m_cents").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    )
+    return (
+        ranked.filter(F.col("running") * 5 >= F.col("total") * 4)
+        .agg(
+            F.min("rk").alias("n_top_customers"),
+            F.max("n_cust").alias("n_customers"),
+            F.round(
+                F.min("rk").cast("double") / F.max("n_cust"), 6
+            ).alias("top_share"),
+        )
     )

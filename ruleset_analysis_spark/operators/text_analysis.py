@@ -537,3 +537,76 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", n_tokens.cast("bigint").alias("n_tokens"),
         verdict.alias("verdict"),
     )
+
+
+@register(
+    "text_collocations_lift",
+    category="text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS i
+            FROM documents
+        ),
+        uni AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        tot AS (SELECT count(*) AS big_n FROM toks),
+        bg AS (
+            SELECT t1.term AS w1, t2.term AS w2, count(*) AS n_ab
+            FROM toks t1
+            JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+            GROUP BY t1.term, t2.term
+        )
+        SELECT w1, w2, n_ab,
+               round(CAST(n_ab AS DOUBLE) * big_n
+                     / (CAST(u1.n AS DOUBLE) * u2.n), 6) AS lift
+        FROM bg
+        JOIN uni u1 ON u1.term = w1
+        JOIN uni u2 ON u2.term = w2
+        CROSS JOIN tot
+        WHERE n_ab >= 10
+          AND CAST(n_ab AS DOUBLE) * big_n
+              / (CAST(u1.n AS DOUBLE) * u2.n) >= 1.3
+    """,
+)
+def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent word pairs occurring together far
+    more than unigram frequencies predict — lift
+    ``P(ab) / (P(a)·P(b))`` ≥ 1.3 with support ≥ 10 (thresholds
+    tuned to this corpus's near-uniform synthetic word order), the PMI idea kept
+    as an exact integer rational (PMI's log is a libm transcendental
+    whose last ULP differs across engines; the MONOTONE transform
+    changes nothing about the ranking and keeps the differential
+    hash-exact).
+
+    One bigram pipeline (posexplode + window lead — the measured-fast
+    relational shape), then two joins against the unigram table. The
+    unigram relation is vocabulary-sized → broadcast both probes; the
+    corpus-total is a 1-row cross join. Support-10 prunes the pair
+    table before the joins."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = tok.agg(F.count(F.lit(1)).alias("big_n"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select("doc_id", "term", F.lead("term", 1).over(w).alias("t1"))
+        .filter(F.col("t1").isNotNull())
+        .groupBy(F.col("term").alias("w1"), F.col("t1").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 10)
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("n").alias("n2"))
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("big_n")
+        / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return (
+        bg.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(lift >= 1.3)
+        .select("w1", "w2", "n_ab", F.round(lift, 6).alias("lift"))
+    )
