@@ -282,3 +282,47 @@ def test_lateral_topn_decorrelates(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# Queries where a BroadcastNestedLoopJoin is the DELIBERATE plan: the
+# build side is O(1) rows (a 1-row probe/threshold relation or a
+# literal dim of a few CIDRs), so per-pair predicate work is bounded
+# and an equi-key does not exist. Everything else must hash-join.
+BNLJ_ALLOWED = {
+    "firewall_cidr_match",      # 5-row literal CIDR dim
+    "sim_cosine_topk",          # 1-row broadcast probe vector
+    "sim_pairwise_bucketed",    # 1-row broadcast hyperplane set
+    "sim_ann_lsh",              # 1-row broadcast hyperplane set
+    "sim_ann_ivf",              # broadcast 16-row centroid relation
+    "embed_knn_classify",       # broadcast probe batch
+    "embed_pca_project",        # 1-row broadcast mean/components
+    "agg_rfm_segmentation",     # 1-row broadcast quartile thresholds
+    "agg_pareto_concentration", # 1-row totals
+    "text_collocations_lift",   # 1-row corpus total
+    "multimodal_frame_sample",  # 1-row broadcast frame params
+    "text_tfidf_topterms",      # 1-row doc-count relation
+    "text_lang_stats",          # 1-row corpus totals
+    "dedup_near_minhash",       # 1-row signature params
+    "join_cross",               # the graded cross-join op (dim × dim)
+    "agg_hll_mergeable",        # 1-row grand-total sketch union
+    "date_series_gapfill",      # 1-row date-bounds relation
+    "firewall_unused_rules",    # broadcast rules dim × summary row
+    "rule_usage_report",        # 1-row total-hits for percentages
+}
+
+
+@pytest.mark.parametrize("name", sorted(all_specs()))
+def test_no_unbounded_join_strategies(spark, name):
+    """Global plan discipline: CartesianProduct is banned outright
+    (every deliberate cross join here broadcasts an O(1)-row side, so
+    it must plan as BroadcastNestedLoopJoin, never a partitioned
+    cartesian); BroadcastNestedLoopJoin only where the build side is
+    a documented O(1)-row relation. At 100 TB an accidental nested
+    loop over two fact tables is the difference between minutes and
+    never-finishes."""
+    plan = _physical(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: partitioned cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: undeclared nested-loop join"
+        )
