@@ -466,3 +466,72 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out_cols.append(F.round(centered_dot, 6).alias(f"pc{k + 1}"))
     return vd.select(*out_cols)
+
+
+@register(
+    "embed_centroid_per_label",
+    category="multimodal",
+    oracle="""
+        WITH elem AS (
+            SELECT label,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS xi,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        m AS (
+            SELECT label, i, CAST(sum(xi) AS BIGINT) AS sxi, count(*) AS n
+            FROM elem GROUP BY label, i
+        )
+        SELECT label,
+               CAST(max(n) AS BIGINT) AS n_vectors,
+               md5(string_agg(CAST(sxi AS VARCHAR), ',' ORDER BY i))
+                   AS centroid_md5,
+               CAST(sum(sxi * sxi) AS BIGINT) AS coord_sq_sum
+        FROM m GROUP BY label
+    """,
+)
+def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids — the nearest-centroid
+    classifier / cluster-summary primitive), carried as EXACT integers:
+    each coordinate is quantized to micro-units (floor(x·1e6), the
+    int-quantization lever from embed_quantize_int8/tpch cents) and
+    SUMMED per (label, i) — the centroid is sxi/n off-line, while the
+    graded row hashes the integer sums, which no partial-aggregation
+    order can perturb. (A 6dp-rounded avg() demonstrably flips
+    coordinates between engines — measured here before switching to
+    integer sums.)
+
+    Element-wise vector aggregation done relationally: posexplode to
+    (label, i, xi) and ONE groupBy(label, i) with map-side partial
+    sums — |labels|·d result rows regardless of corpus size; the
+    exchange carries (label, i) partials, never raw vectors. (The HOF
+    alternative — folding whole arrays in an aggregate — has no
+    partial form and would collect every vector per group.)"""
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    elem = (
+        e.select("label", F.posexplode(as_double("embedding")).alias("i", "x"))
+        .withColumn("i", F.col("i") + 1)  # 1-based like generate_subscripts
+        .withColumn("xi", F.floor(F.col("x") * F.lit(1000000.0)).cast("long"))
+    )
+    m = elem.groupBy("label", "i").agg(
+        F.sum("xi").alias("sxi"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "sxi"))),
+                        lambda s: s["sxi"].cast("string"),
+                    ),
+                )
+            ).alias("centroid_md5"),
+            F.sum(F.col("sxi") * F.col("sxi")).alias("coord_sq_sum"),
+        )
+    )

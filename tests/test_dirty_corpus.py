@@ -42,7 +42,8 @@ DIRTY_QUERIES = [
     "event_transition_matrix", "embed_pca_project",
     "profile_corpus_columns", "event_anomaly_mad", "event_scd2_intervals",
     "window_gaps_islands", "window_rate_limit_quota",
-    "text_collocations_lift",
+    "text_collocations_lift", "event_time_weighted_avg",
+    "embed_centroid_per_label",
 ]
 
 
