@@ -361,7 +361,8 @@ _KNN_K = 5
             SELECT p.vec_id AS probe_id, t.vec_id, t.label,
                    sum(t.xn * p.xn) AS d
             FROM nelem t JOIN nelem p ON p.i = t.i
-            WHERE p.vec_id % {_KNN_MOD} = 0 AND t.vec_id % {_KNN_MOD} <> 0
+            WHERE p.vec_id % {_KNN_MOD} = 0 AND p.vec_id < {_KNN_MOD} * 100
+              AND NOT (t.vec_id % {_KNN_MOD} = 0 AND t.vec_id < {_KNN_MOD} * 100)
             GROUP BY p.vec_id, t.vec_id, t.label
         ),
         nn AS (
@@ -398,10 +399,17 @@ def embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths (`sim_ann_lsh` / `sim_ann_ivf`) replace the scan. Rides the
     session-cached normalized-vector relation."""
     e = normalized_vectors(spark, sf_dir)
-    probes = e.filter(F.col("vec_id") % _KNN_MOD == 0).select(
+    # the probe set is BOUNDED (≤ 100 ids at any scale factor): an eval
+    # batch is a fixed-size artifact, while a %-of-corpus probe set
+    # would grow with the data and break the broadcast at 100× — the
+    # cap is the scale contract, not a convenience
+    is_probe = (F.col("vec_id") % _KNN_MOD == 0) & (
+        F.col("vec_id") < _KNN_MOD * 100
+    )
+    probes = e.filter(is_probe).select(
         F.col("vec_id").alias("probe_id"), F.col("vn").alias("pn")
     )
-    train = e.filter(F.col("vec_id") % _KNN_MOD != 0)
+    train = e.filter(~is_probe)
     scored = train.crossJoin(F.broadcast(probes)).select(
         "probe_id", "vec_id", "label", dot(F.col("vn"), F.col("pn")).alias("d")
     )
