@@ -534,3 +534,53 @@ def test_pca_projection_matches_numpy(spark):
     for v in got:
         for g, w in zip(got[v], want[v]):
             assert abs(g - w) < 1e-3, (v, got[v], want[v])
+
+
+def test_late_round_operator_invariants(spark):
+    """Cheap cross-checks that don't depend on the oracle: structural
+    invariants of the late-round-2 operators on sf0.001."""
+    from ruleset_analysis_spark.plans.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    specs = all_specs()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+
+    # transition matrix: each user contributes (count-1) transitions
+    trans = specs["event_transition_matrix"].builder(spark, sf).collect()
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in trans) == n_events - n_users
+
+    # cumulative reach: final running total == distinct users overall
+    reach = sorted(
+        specs["window_cumulative_reach"].builder(spark, sf).collect(),
+        key=lambda r: r["d"],
+    )
+    assert reach[-1]["cumulative_users"] == n_users
+    assert sum(r["n_new"] for r in reach) == n_users
+
+    # repetition ratio: bounded, integer-consistent
+    for r in specs["text_repetition_ratio"].builder(spark, sf).collect():
+        assert 0.0 <= r["dup_ratio"] < 1.0
+        assert r["distinct_ngrams"] <= r["total_ngrams"]
+        assert r["max_rep"] >= 1
+
+    # pareto: sane fractions
+    p = specs["agg_pareto_concentration"].builder(spark, sf).collect()[0]
+    assert 0 < p["n_top_customers"] <= p["n_customers"]
+    assert 0.0 < p["top_share"] <= 1.0
+
+    # fuzzy join: canonical orientation and true edit-distance bound
+    import difflib
+
+    fuzzy = specs["join_fuzzy_blocked"].builder(spark, sf).collect()
+    for r in fuzzy:
+        assert r["name_a"] < r["name_b"] and 0 < r["dist"] <= 2
+
+    # rate limit: never more than 3 per (user, day), ranks contiguous
+    quota = specs["window_rate_limit_quota"].builder(spark, sf).collect()
+    per_key: dict = {}
+    for r in quota:
+        per_key.setdefault((r["user_id"], r["d"]), []).append(r["rn"])
+    for rns in per_key.values():
+        assert sorted(rns) == list(range(1, len(rns) + 1)) and len(rns) <= 3
