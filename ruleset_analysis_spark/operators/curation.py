@@ -129,7 +129,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: for every training document, the
     number of distinct word-trigrams it shares with the "benchmark"
-    slice (every {_BENCH_MOD}th doc) and how many benchmark docs it
+    slice (every 97th doc) and how many benchmark docs it
     collides with. Downstream, any hit is a quarantine verdict.
 
     Rides the dedup module's cached distinct-shingle relation (one
@@ -184,14 +184,14 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document → fixed-budget token chunks ({_CHUNK_TOKENS} tokens):
+    """Document → fixed-budget token chunks (64 tokens):
     (doc_id, chunk_id, n_tokens, md5-of-chunk). The pre-tokenizer
     chunking pass; the md5 makes the rewritten text hash-checkable
     cross-engine without shipping it (the md5 oracle lever).
 
     Pure higher-order functions inside whole-stage codegen: tokenize
     once, build the chunk-index sequence, slice per index, hash —
-    NO shuffle, NO Python; the explode multiplies rows ~n_tokens/{_CHUNK_TOKENS}×
+    NO shuffle, NO Python; the explode multiplies rows ~n_tokens/64×
     map-side. Empty docs produce zero chunks (guarded sequence) rather
     than aborting — the dirty-data convention (SCALE.md)."""
     d = load(spark, sf_dir, "documents")
@@ -262,8 +262,8 @@ _PACK_SHARDS = 8
     """,
 )
 def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing: documents fill {_PACK_BUDGET}-token
-    bins in doc_id order within {_PACK_SHARDS} deterministic shards —
+    """Greedy sequence packing: documents fill 256-token
+    bins in doc_id order within 8 deterministic shards —
     the example-packing pass that turns variable-length documents into
     dense fixed-budget training sequences.
 
@@ -337,7 +337,7 @@ _RARE_DF = 3
 def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality scoring without the transcendentals:
     per document, the fraction of tokens whose corpus document-
-    frequency is below {_RARE_DF} ("rare"/OOV mass) and the total
+    frequency is below 3 ("rare"/OOV mass) and the total
     frequency mass. High rare_ratio flags garbled or off-distribution
     text — the signal an n-gram LM perplexity filter provides, kept
     as exact integer rationals so the cross-engine hash can't drift

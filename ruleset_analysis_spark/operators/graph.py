@@ -57,7 +57,7 @@ def cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # rows-only: float fixed-point iteration (NumPy-verified)
 )
 def graph_pagerank_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} parts by PageRank over the co-occurrence graph
+    """Top-20 parts by PageRank over the co-occurrence graph
     (damping 0.85, 10 power iterations, uniform init).
 
     Per iteration: contributions = edges ⋈ ranks (keyed on src, the

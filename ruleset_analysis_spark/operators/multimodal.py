@@ -406,7 +406,7 @@ def _gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle=None,  # rows-only: eigendecomposition (NumPy-differential test)
 )
 def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA projection: embeddings → top-{k} principal
+    """Distributed PCA projection: embeddings → top-2 principal
     components, the dimensionality-reduction pass before clustering /
     visualization / cheap ANN.
 

@@ -386,7 +386,7 @@ _KNN_K = 5
     """,
 )
 def embed_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN label prediction (k={_KNN_K}, cosine): every {_KNN_MOD}th
+    """k-NN label prediction (k=5, cosine): every 53rd
     vector is an unlabeled probe, classified by majority vote of its
     nearest labeled neighbors; ties break to the smaller label.
 
