@@ -541,3 +541,68 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.4)
         .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cos"))
     )
+
+
+@register(
+    "dedup_containment",
+    category="dedup",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(string_split(lower(text), ' ')) AS term,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS i
+            FROM documents
+        ),
+        tri AS (
+            SELECT DISTINCT t1.doc_id, t1.source,
+                   t1.term || ' ' || t2.term || ' ' || t3.term AS s
+            FROM toks t1
+            JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+            JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM tri a JOIN tri b
+              ON a.s = b.s AND a.source = b.source
+             AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT inter.doc_a, inter.doc_b,
+               round(CAST(inter.i AS DOUBLE) / sa.n, 6) AS containment
+        FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a
+        WHERE CAST(inter.i AS DOUBLE) / sa.n >= 0.08
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: trigram containment ``|A∩B| / |A|`` ≥ 0.08
+    — the quote/subset detector (a short doc largely contained in a
+    long one scores high here while its Jaccard stays tiny, which is
+    exactly why dedup pipelines run containment ALONGSIDE Jaccard;
+    threshold tuned to this synthetic corpus's overlap floor).
+
+    Directional, so each qualifying (A,B) ordered pair appears once
+    per direction with its own score. Candidate generation rides the
+    SAME cached shingle relation and shared-shingle blocking join as
+    the Jaccard/MinHash/SimHash family (one keyed substrate, four
+    operators); the only new work is dividing by the CONTAINED side's
+    size instead of the union."""
+    tri = _exploded_shingles(spark, sf_dir)
+    sizes = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tri.alias("a"), tri.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    containment = F.col("i").cast("double") / F.col("n")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), "n"), "doc_a")
+        .filter(containment >= 0.08)
+        .select("doc_a", "doc_b", F.round(containment, 6).alias("containment"))
+    )

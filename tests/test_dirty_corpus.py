@@ -43,7 +43,7 @@ DIRTY_QUERIES = [
     "profile_corpus_columns", "event_anomaly_mad", "event_scd2_intervals",
     "window_gaps_islands", "window_rate_limit_quota",
     "text_collocations_lift", "event_time_weighted_avg",
-    "embed_centroid_per_label",
+    "embed_centroid_per_label", "dedup_containment",
 ]
 
 
