@@ -501,7 +501,10 @@ def event_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id,
                CAST(sum(held_s) AS BIGINT) AS observed_s,
-               round(sum(value * held_s) / sum(held_s), 6) AS twa_value
+               round(CAST(sum(CAST(floor(value * 1000000) AS BIGINT) * held_s)
+                          AS DOUBLE)
+                     / (CAST(sum(held_s) AS DOUBLE) * 1000000), 6)
+                   AS twa_value
         FROM held
         WHERE user_id % 25 = 0
         GROUP BY user_id HAVING sum(held_s) > 0
@@ -515,12 +518,11 @@ def event_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The hold-duration comes from one lead() over the user timeline
     (single keyed exchange, same partitioning as every per-user op);
-    weights are integer seconds, so sum(value·held)/sum(held) divides
-    identically on both engines (value is double but each product is
-    computed per-row identically and summed over <100 rows per user —
-    inside the corpus's tie-free envelope, per the agg_multi rounding
-    convention). Sampled to every 25th user to keep the graded result
-    compact."""
+    weights are integer seconds and the value is quantized to exact
+    micro-unit integers before the weighted sum (the tpch.py cents
+    discipline), so the aggregate is an order-independent BIGINT sum —
+    hash-stable across engines and across partial-aggregation orders.
+    Sampled to every 25th user to keep the graded result compact."""
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -536,8 +538,17 @@ def event_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.sum("held_s").alias("observed_s"),
+            # exact-integer discipline (see tpch.py): value quantized to
+            # micro-units BEFORE the weighted sum, so the aggregate is
+            # an order-independent BIGINT sum — a double sum's rounding
+            # depends on partial-agg order across engines AND runs
             F.round(
-                F.sum(F.col("value") * F.col("held_s")) / F.sum("held_s"), 6
+                F.sum(
+                    F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+                    * F.col("held_s")
+                ).cast("double")
+                / (F.sum("held_s").cast("double") * F.lit(1000000.0)),
+                6,
             ).alias("twa_value"),
         )
         .filter(F.col("observed_s") > 0)
