@@ -120,3 +120,42 @@ def run_curation_pipeline(
         "stage string, n_in long, n_dropped long, n_out long",
     )
     return survivors, attrition
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: ``python -m ruleset_analysis_spark.curation_pipeline
+    <sf_dir> <out_dir>`` — writes ``<out_dir>/survivors`` (parquet,
+    partitioned by source) and ``<out_dir>/attrition`` and prints the
+    attrition table. On a cluster this module is the spark-submit
+    payload; the SparkSession comes from the environment there."""
+    import sys
+
+    from .session import get_spark
+
+    args = sys.argv[1:] if argv is None else argv
+    if len(args) != 2:
+        print(
+            "usage: python -m ruleset_analysis_spark.curation_pipeline "
+            "<sf_dir> <out_dir>",
+            file=sys.stderr,
+        )
+        return 2
+    sf_dir, out_dir = args
+    spark = get_spark(app_name="curation-pipeline")
+    survivors, attrition = run_curation_pipeline(spark, sf_dir)
+    survivors.write.mode("overwrite").partitionBy("source").parquet(
+        f"{out_dir}/survivors"
+    )
+    attrition.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/attrition"
+    )
+    for r in attrition.collect():
+        print(
+            f"{r['stage']:24s} in={r['n_in']:7d} "
+            f"dropped={r['n_dropped']:7d} out={r['n_out']:7d}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
