@@ -8,11 +8,12 @@ under ``readStream`` (see ``ruleset_analysis_spark/streaming/`` for the
 Structured Streaming wiring with watermarks, which the harness cannot
 grade).
 
-Timestamp discipline: ``events.ts`` is nanosecond-precision in parquet;
-Spark sees microseconds (floor), DuckDB sees nanoseconds. Every value
-that reaches the oracle hash is truncated to whole seconds on both
-sides, and window starts are emitted as epoch seconds (integer) where
-sub-hour grids are involved.
+Timestamp discipline: ``events.ts`` is microsecond precision after
+``normalize_event_ts`` on the Spark side whatever the physical parquet
+encoding (ns in round 1, µs in round 2); DuckDB reads the file
+natively. Every value that reaches the oracle hash is truncated to
+whole seconds on both sides, and window starts are emitted as epoch
+seconds (integer) where sub-hour grids are involved.
 """
 
 from __future__ import annotations

@@ -7,11 +7,12 @@ regex group names ([R-mem] ``analyze_ruleset.py``); here it is a
 first-class declaration.
 
 ``EXPECTED`` describes the schema *after* ``sources.parquet.load``
-normalization: ``events.ts`` is physically int64-nanoseconds in parquet
-(Spark 4.x cannot read TIMESTAMP(NANOS) natively) and is converted to a
-microsecond TIMESTAMP on load. Date-valued business columns
-(``o_orderdate``, ``l_shipdate``) are stored as ``timestamp[ms]`` and
-surface as TIMESTAMP_NTZ under Spark 4's parquet NTZ inference.
+normalization: ``events.ts`` has shipped physically as both int64
+nanoseconds (round 1; Spark 4.x cannot read TIMESTAMP(NANOS) natively)
+and plain ``timestamp[us]`` (round 2); ``normalize_event_ts`` converts
+either encoding to a microsecond UTC TIMESTAMP on load. Date-valued
+business columns (``o_orderdate``, ``l_shipdate``) surface as
+TIMESTAMP_NTZ under Spark 4's parquet NTZ inference.
 """
 
 from __future__ import annotations

@@ -13,11 +13,13 @@ Why each conf matters:
 * ``spark.sql.session.timeZone=UTC`` — DuckDB (the correctness oracle)
   uses naive/UTC timestamps; Spark TIMESTAMP is session-TZ-relative.
   Pinning UTC makes collected datetimes bit-identical between engines.
-* ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events`` table
-  stores ``timestamp[ns]`` which Spark 4.x otherwise refuses to read
-  (PARQUET_TYPE_ILLEGAL). With this conf the column arrives as int64
-  nanoseconds and ``sources/parquet.py`` converts it with integer
-  division to microseconds — the same floor-truncation DuckDB applies.
+* ``spark.sql.legacy.parquet.nanosAsLong=true`` — an ``events`` table
+  stored as ``timestamp[ns]`` (round 1's encoding) is otherwise
+  unreadable by Spark 4.x (PARQUET_TYPE_ILLEGAL). With this conf the
+  column arrives as int64 nanoseconds and ``normalize_event_ts``
+  floor-divides it to microseconds — the same truncation DuckDB
+  applies. Harmless when the data is already ``timestamp[us]``
+  (round 2's encoding): the loader dispatches on the actual read type.
 * ``spark.sql.shuffle.partitions`` — 200 (default) over-parallelizes
   local-mode work; we size to ~cores. At cluster scale this would be
   set per-job from input statistics (or left to AQE coalescing, which

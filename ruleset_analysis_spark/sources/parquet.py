@@ -15,6 +15,7 @@ columns appear here. No ``collect`` happens in any loader.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from .. import schemas
 from ..session import ensure_session_defaults
@@ -37,27 +38,50 @@ def path_for(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-TZ TIMESTAMP (UTC is pinned by
+    ``ensure_session_defaults``) regardless of the physical encoding.
+
+    The driver has shipped the column two ways across rounds, so this
+    dispatches on the *actual* read type instead of assuming one:
+
+    * int64 nanoseconds (parquet TIMESTAMP(NANOS) + ``nanosAsLong`` —
+      round 1): exact FLOOR division in long arithmetic,
+      ``(ts - pmod(ts, 1000)) div 1000``. Plain ``div`` truncates toward
+      zero, which differs from DuckDB's floor for pre-epoch
+      (negative-ns) timestamps; doubles can't be used (ns magnitudes
+      exceed 2^53).
+    * TIMESTAMP_NTZ (parquet timestamp[us], isAdjustedToUTC=false —
+      round 2): cast to TIMESTAMP. Value-preserving under the pinned
+      UTC session TZ, and keeps the post-load type contract
+      (``schemas.EVENTS``) identical across encodings so every
+      downstream operator and the streaming watermark path see one type.
+    * TIMESTAMP: already the contract type — untouched.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table with post-read normalization.
 
-    ``events.ts`` arrives as int64 *nanoseconds* (Spark cannot read
-    parquet TIMESTAMP(NANOS); ``nanosAsLong`` is set by
-    ``ensure_session_defaults``) and is floor-divided to microseconds —
-    exactly the truncation DuckDB's reader applies, keeping the oracle
-    comparison bit-stable.
+    ``events.ts`` is normalized to UTC TIMESTAMP whatever its physical
+    parquet encoding — see ``normalize_event_ts``. DuckDB (the oracle)
+    reads the same file natively, so both engines agree to the
+    microsecond at every encoding the driver has shipped.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_session_defaults(spark)
     df = spark.read.parquet(path_for(sf_dir, name))
     if name == "events":
-        # exact FLOOR division in long arithmetic: (ts - pmod(ts, 1000))
-        # div 1000. Plain `div` truncates toward zero, which differs
-        # from DuckDB's floor for pre-epoch (negative-ns) timestamps;
-        # doubles can't be used (ns magnitudes exceed 2^53).
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-        )
+        df = normalize_event_ts(df)
     return df
 
 

@@ -37,39 +37,28 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..session import ensure_session_defaults
 
-# Physical parquet schema of the events table: ts is int64 nanoseconds
-# (see sources/parquet.py — Spark cannot natively read TIMESTAMP(NANOS)).
-_EVENTS_PHYSICAL = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_event_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """``readStream`` file source over a directory of events parquet.
 
-    Applies the same ns→µs timestamp normalization as the batch loader
-    so stream and batch plans see identical ``ts`` values.
+    The file source needs a declared schema; one driver-side batch read
+    of the directory supplies the *actual* physical schema (a footer
+    read, no data scan — the driver has shipped ``ts`` as both int64
+    nanoseconds and timestamp[us] across rounds), then the stream gets
+    the same ``normalize_event_ts`` as the batch loader so stream and
+    batch plans see identical ``ts`` values.
     ``max_files_per_trigger`` throttles backlog drains (and lets tests
     force multi-micro-batch execution)."""
     ensure_session_defaults(spark)
-    reader = spark.readStream.schema(_EVENTS_PHYSICAL)
+    physical = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(physical)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(events_dir)
-    # exact FLOOR division, identical to the batch loader — plain div
-    # truncates toward zero and would diverge for pre-epoch timestamps
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-    )
+    from ..sources.parquet import normalize_event_ts
+
+    return normalize_event_ts(df)
 
 
 def tumbling_counts(events: DataFrame, lateness: str = "10 minutes") -> DataFrame:

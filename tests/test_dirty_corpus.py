@@ -10,11 +10,13 @@ execute."""
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ruleset_analysis_spark.plans.registry import all_specs
 
@@ -92,14 +94,24 @@ def dirty_dir(tmp_path_factory, spark):
     _flatten(spark, dirty_emb, d, "embeddings")
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # ts values in whatever encoding the corpus actually uses: int64 ns
+    # in round 1's files, timestamp[us] (datetime) in round 2's — the
+    # fixture must round-trip through the same physical schema
+    ts_is_long = isinstance(ev.schema["ts"].dataType, T.LongType)
+
+    def _ts(epoch_s):
+        if ts_is_long:
+            return epoch_s * 10**9
+        return datetime.datetime.fromtimestamp(epoch_s, datetime.timezone.utc).replace(tzinfo=None)
+
     dirty_ev = ev.unionByName(
         spark.createDataFrame(
             [
-                (900001, 1704067200 * 10**9, 1, "click", 1.0, None),        # NULL props
-                (900002, 1704067201 * 10**9, 1, "click", 1.0, "null"),      # JSON null
-                (900003, 1704067202 * 10**9, 2, "error", 1.0, "not json"),  # garbage
-                (900004, 1704067203 * 10**9, 2, "error", 1.0, '{"x": 5}'),  # no "k"
-                (900005, 1704067204 * 10**9, 3, None, None, '{"k": "abc"}'),# non-int k
+                (900001, _ts(1704067200), 1, "click", 1.0, None),        # NULL props
+                (900002, _ts(1704067201), 1, "click", 1.0, "null"),      # JSON null
+                (900003, _ts(1704067202), 2, "error", 1.0, "not json"),  # garbage
+                (900004, _ts(1704067203), 2, "error", 1.0, '{"x": 5}'),  # no "k"
+                (900005, _ts(1704067204), 3, None, None, '{"k": "abc"}'),# non-int k
             ],
             ev.schema,
         )

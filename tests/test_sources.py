@@ -345,3 +345,38 @@ def test_python_datasource_asa_syslog(spark, tmp_path):
     assert got == want and len(got) == 6  # 3 parseable lines × 2 files
     assert dict(via_ds.dtypes)["hit_cnt"] == "bigint"
     assert via_ds.rdd.getNumPartitions() == 2  # one per file
+
+
+def test_events_ts_loader_handles_both_physical_encodings(spark, tmp_path):
+    """The driver has shipped events.ts as int64 nanoseconds (round 1)
+    and as timestamp[us] (round 2). ``load``/``normalize_event_ts``
+    must yield the identical UTC TIMESTAMP column for both encodings —
+    this pins that dispatch so a corpus regeneration in either
+    direction can never break the events surface again."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ruleset_analysis_spark.sources.parquet import load
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    ts_us = src.column("ts").cast(pa.timestamp("us"))
+    ts_ns = src.column("ts").cast(pa.timestamp("ns"))
+    i = src.schema.get_field_index("ts")
+
+    for name, col in (("as_us", ts_us), ("as_ns", ts_ns)):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            src.set_column(i, pa.field("ts", col.type), col),
+            str(d / "events.parquet"),
+            # version 2.6 keeps TIMESTAMP(NANOS) as-is on disk
+            version="2.6",
+        )
+
+    a = load(spark, str(tmp_path / "as_us"), "events")
+    b = load(spark, str(tmp_path / "as_ns"), "events")
+    assert dict(a.dtypes)["ts"] == "timestamp"
+    assert dict(b.dtypes)["ts"] == "timestamp"
+    rows_a = sorted(a.select("event_id", "ts").collect())
+    rows_b = sorted(b.select("event_id", "ts").collect())
+    assert rows_a == rows_b and len(rows_a) > 0

@@ -14,7 +14,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
-from ruleset_analysis_spark.sources.parquet import load
+from ruleset_analysis_spark.sources.parquet import load, normalize_event_ts
 from ruleset_analysis_spark.streaming import event_streams as es
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -190,9 +190,7 @@ def test_stream_dedup_collapses_redelivery(spark, events_dir, tmp_path):
 
     # batch path: same function, same answer on the duplicated input
     batch = spark.read.parquet(str(d))
-    batch = batch.withColumn(
-        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-    )
+    batch = normalize_event_ts(batch)
     assert es.dedup_events(batch).count() == want
 
 
@@ -204,9 +202,7 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
         es.join_views_to_clicks(stream), "vc_join", output_mode="append"
     )
     batch = spark.read.parquet(f"{events_dir}/events.parquet")
-    batch = batch.withColumn(
-        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-    )
+    batch = normalize_event_ts(batch)
     want = es.join_views_to_clicks(batch)
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
