@@ -237,23 +237,30 @@ def firewall_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     Destination addresses are synthesized deterministically from
     user_id and the rule dimension is a broadcast literal table. Each
     side is normalized ONCE before the join — the fact side projects a
-    numeric address (``ipv4_to_long``, one string parse per row), the
-    5-row dimension carries pre-computed net/mask longs (query
-    construction, driver-side) — so the BroadcastNestedLoopJoin
-    predicate is bare ``(addr & mask) == (net & mask)`` codegen. The
-    general string-side ``ip_in_cidr`` lives in functions/net.py;
-    normalizing before the join is the scale-correct shape (predicate
-    cost per pair, not parse cost per pair). The oracle reproduces the
-    same algebra in SQL."""
-    from ..functions.net import ipv4_to_long
-
+    numeric address in pure long arithmetic (identical to the oracle's
+    ``hits`` CTE), the 5-row dimension carries pre-computed net/mask
+    longs (query construction, driver-side) — so the
+    BroadcastNestedLoopJoin predicate is bare
+    ``(addr & mask) == (net & mask)`` codegen. An earlier form
+    round-tripped the synthetic address through a string +
+    ``ipv4_to_long`` parse; Catalyst re-expands that parse ~10× across
+    the join's pushed-down null filter and the projection (no CSE
+    across those boundaries), and the resulting codegen unit took
+    multi-second JIT warmup with sporadic 10-20× wall-clock spikes
+    under suite memory pressure — the string-parsing path
+    (``ipv4_to_long`` / ``ip_in_cidr``, functions/net.py) keeps its own
+    malformed-input tests. Normalizing before the join is the
+    scale-correct shape (predicate cost per pair, not parse cost per
+    pair). The oracle reproduces the same algebra in SQL."""
     ev = load(spark, sf_dir, "events")
     hits = ev.select(
         "user_id",
-        F.format_string(
-            "10.0.%d.%d", (F.col("user_id") % 8), (F.col("user_id") % 250 + 1)
-        ).alias("dst_ip"),
-    ).select("user_id", ipv4_to_long("dst_ip").alias("addr"))
+        (
+            F.lit(10 * 16777216)
+            + (F.col("user_id") % 8) * 256
+            + (F.col("user_id") % 250 + 1)
+        ).alias("addr"),
+    )
 
     def ip_long(s: str) -> int:
         a, b, c, d = (int(x) for x in s.split("."))

@@ -83,7 +83,7 @@ def graph_pagerank_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - _DAMPING) / n
-    for _ in range(_ITERATIONS):
+    for i in range(_ITERATIONS):
         contribs = (
             out.join(ranks, out.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
@@ -93,7 +93,15 @@ def graph_pagerank_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contribs.select(
             F.col("dst").alias("node"),
             (F.lit(base) + F.lit(_DAMPING) * F.col("mass")).alias("rank"),
-        ).localCheckpoint(eager=True)
+        )
+        # Checkpoint every SECOND round (and the last): unlike
+        # dedup_cluster_components, each round references `ranks`
+        # exactly once, so lineage grows linearly and a 2-round plan
+        # is still cheap to analyze — halving the eager materialization
+        # barriers (measured ~2x fewer jobs, same values; the NumPy
+        # property test pins the output element-wise).
+        if i % 2 == 1 or i == _ITERATIONS - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return (
         ranks.orderBy(F.desc("rank"), F.asc("node"))
         .limit(_TOP_K)
