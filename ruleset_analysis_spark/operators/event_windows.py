@@ -554,3 +554,118 @@ def event_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("observed_s") > 0)
     )
+
+
+@register(
+    "event_path_3gram",
+    category="stream",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS t2,
+                   lead(event_type, 2) OVER w AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type AS step1, t2 AS step2, t3 AS step3,
+               count(*) AS n
+        FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY event_type, t2, t3
+        ORDER BY n DESC, step1, step2, step3
+        LIMIT 10
+    """,
+)
+def event_path_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step event-type paths across user timelines — the
+    n-gram generalization of ``event_transition_matrix`` (1-step): the
+    "top user journeys" primitive behind funnel discovery and
+    anomalous-flow detection.
+
+    Same single window shuffle on user_id as the transition matrix —
+    both ``lead`` offsets ride ONE window spec, so Catalyst evaluates
+    them in one WindowExec pass — then a groupBy over the |types|³
+    (still tiny) path space, map-side combined, and a deterministic
+    TakeOrderedAndProject (count desc, path asc tiebreak). Per-user
+    partitions bound the window state; no global sort of the fact
+    table at any scale."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    return (
+        seq.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(10)
+    )
+
+
+@register(
+    "event_cdc_upsert",
+    category="stream",
+    oracle="""
+        WITH latest AS (
+            SELECT user_id, ts, event_type, value
+            FROM (
+                SELECT user_id, ts, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        )
+        SELECT COALESCE(l.user_id, c.c_custkey) AS user_id,
+               CASE WHEN l.user_id IS NOT NULL THEN 'cdc' ELSE 'base' END
+                   AS src,
+               round(COALESCE(l.value, c.c_acctbal), 6) AS current_value,
+               l.event_type AS last_type
+        FROM (SELECT c_custkey, c_acctbal FROM customer) c
+        FULL OUTER JOIN latest l ON l.user_id = c.c_custkey
+        WHERE l.event_type IS DISTINCT FROM 'error'
+    """,
+)
+def event_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD type 1, latest-wins) as a relational
+    plan: apply the events feed as a CDC batch to the ``customer``
+    snapshot — each user's latest event UPDATEs (or INSERTs) their
+    current value; a final ``'error'`` event is a tombstone DELETE.
+    Complements ``event_scd2_intervals`` (type 2, history-keeping):
+    together they cover both classic warehouse merge disciplines.
+
+    Shape: one window shuffle dedupes the CDC side to latest-per-key
+    (row_number desc — NOT a groupBy(max), which couldn't carry the
+    non-key columns atomically), then ONE full-outer keyed join against
+    the snapshot and a null-aware tombstone filter
+    (``is distinct from``). At 100 TB both sides are large, so this is
+    honestly a shuffle join — the production pattern is to bucket the
+    snapshot table by key so only the delta shuffles; no broadcast
+    hint belongs here and none is given."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        ev.select("user_id", "ts", "event_type", "value",
+                  F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    base = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    merged = base.join(
+        latest, latest.user_id == base.c_custkey, "full_outer"
+    )
+    return (
+        merged
+        # null-aware: keep rows whose last_type is NULL (base-only keys)
+        .filter(~F.col("event_type").eqNullSafe(F.lit("error")))
+        .select(
+            F.coalesce(latest.user_id, F.col("c_custkey")).alias("user_id"),
+            F.when(latest.user_id.isNotNull(), F.lit("cdc"))
+            .otherwise(F.lit("base"))
+            .alias("src"),
+            F.round(F.coalesce("value", "c_acctbal"), 6).alias("current_value"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
