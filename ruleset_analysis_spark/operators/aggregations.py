@@ -741,3 +741,50 @@ def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_share"),
         )
     )
+
+
+@register(
+    "agg_heavy_hitters_topk",
+    category="agg",
+    oracle="""
+        WITH keyed AS (
+            SELECT CASE WHEN user_id % 7 = 0 THEN user_id % 3
+                        ELSE user_id END AS item
+            FROM events
+        )
+        SELECT item, count(*) AS cnt
+        FROM keyed GROUP BY item
+        ORDER BY cnt DESC, item LIMIT 3
+    """,
+)
+def agg_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the ``approx_top_k`` sketch (Spark 4's
+    space-saving-style summary) — the bounded-memory answer to "which
+    keys dominate an unbounded key space", completing the mergeable-
+    sketch family next to HLL distinct (``agg_hll_mergeable``) and GK
+    quantiles (``agg_quantiles_approx``).
+
+    The key is deterministically skewed in-query (every 7th user
+    collapses onto 3 hot buckets, each drawing ~5% of all rows vs
+    ~0.07% for a cold user) so the top-3 set is unambiguous. At the
+    graded corpus sizes the sketch capacity (16384) exceeds the
+    distinct-key count, where the summary is provably exact — hence a
+    full value-hash oracle, not rows-only; the identical query over
+    100 TB degrades gracefully to ε-approximate counts in the same
+    fixed memory, which is the point of the sketch. Output is re-sorted
+    (count desc, item asc) because the sketch's own tie order is
+    engine-internal. ONE partial-aggregated exchange: sketches merge
+    associatively, exactly like the HLL rollup."""
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(F.col("user_id") % 7 == 0, F.col("user_id") % 3)
+        .otherwise(F.col("user_id"))
+        .alias("item")
+    )
+    hh = keyed.select(
+        F.explode(F.expr("approx_top_k(item, 3, 16384)")).alias("hh")
+    )
+    return (
+        hh.select(F.col("hh.item").alias("item"), F.col("hh.count").alias("cnt"))
+        .orderBy(F.desc("cnt"), "item")
+    )

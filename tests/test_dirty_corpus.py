@@ -46,7 +46,7 @@ DIRTY_QUERIES = [
     "window_gaps_islands", "window_rate_limit_quota",
     "text_collocations_lift", "event_time_weighted_avg",
     "embed_centroid_per_label", "dedup_containment",
-    "event_path_3gram", "event_cdc_upsert",
+    "event_path_3gram", "event_cdc_upsert", "agg_heavy_hitters_topk",
 ]
 
 
