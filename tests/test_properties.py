@@ -584,3 +584,66 @@ def test_late_round_operator_invariants(spark):
         per_key.setdefault((r["user_id"], r["d"]), []).append(r["rn"])
     for rns in per_key.values():
         assert sorted(rns) == list(range(1, len(rns) + 1)) and len(rns) <= 3
+
+
+def test_round2_additions_invariants(spark):
+    """Structural invariants of the round-2 additions (path mining,
+    CDC upsert, sketch heavy hitters) on sf0.001 — oracle-independent
+    cross-checks against sibling operators."""
+    from ruleset_analysis_spark.plans.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    specs = all_specs()
+
+    # 3-gram paths: every (step1, step2) prefix must exist as a
+    # transition in the 1-step matrix, and its path count can't exceed
+    # the transition's count (a 3-gram is a constrained 2-gram)
+    trans = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in specs["event_transition_matrix"].builder(spark, sf).collect()
+    }
+    paths = specs["event_path_3gram"].builder(spark, sf).collect()
+    assert 0 < len(paths) <= 10
+    for r in paths:
+        assert (r["step1"], r["step2"]) in trans
+        assert r["n"] <= trans[(r["step1"], r["step2"])]
+        assert (r["step2"], r["step3"]) in trans
+        assert r["n"] <= trans[(r["step2"], r["step3"])]
+
+    # CDC upsert: exactly one row per surviving key; tombstoned users
+    # absent; base-only keys keep their snapshot value verbatim
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    merged = specs["event_cdc_upsert"].builder(spark, sf).collect()
+    keys = [r["user_id"] for r in merged]
+    assert len(keys) == len(set(keys))
+    by_key = {r["user_id"]: r for r in merged}
+    base_vals = {r["c_custkey"]: r["c_acctbal"] for r in cust.collect()}
+    cdc_users = {r["user_id"] for r in ev.select("user_id").distinct().collect()}
+    for k, r in by_key.items():
+        assert r["last_type"] != "error"  # tombstones deleted
+        if r["src"] == "base":
+            assert k not in cdc_users and r["last_type"] is None
+            assert abs(r["current_value"] - round(base_vals[k], 6)) < 1e-9
+        else:
+            assert k in cdc_users
+    # base-only keys all survive (no spurious deletes)
+    assert set(base_vals) - cdc_users <= set(by_key)
+
+    # heavy hitters: sketch top-3 == exact top-3 (capacity > distinct)
+    hh = specs["agg_heavy_hitters_topk"].builder(spark, sf).collect()
+    exact = (
+        ev.select(
+            F.when(F.col("user_id") % 7 == 0, F.col("user_id") % 3)
+            .otherwise(F.col("user_id"))
+            .alias("item")
+        )
+        .groupBy("item")
+        .count()
+        .orderBy(F.desc("count"), "item")
+        .limit(3)
+        .collect()
+    )
+    assert [(r["item"], r["cnt"]) for r in hh] == [
+        (r["item"], r["count"]) for r in exact
+    ]
