@@ -47,6 +47,7 @@ DIRTY_QUERIES = [
     "text_collocations_lift", "event_time_weighted_avg",
     "embed_centroid_per_label", "dedup_containment",
     "event_path_3gram", "event_cdc_upsert", "agg_heavy_hitters_topk",
+    "json_variant_extract",
 ]
 
 
