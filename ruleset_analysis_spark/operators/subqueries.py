@@ -211,3 +211,52 @@ def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_acctbal > 9000
         """
     )
+
+
+@register(
+    "recursive_hierarchy_walk",
+    category="subquery",
+    oracle="""
+        WITH RECURSIVE walk(part, cur, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM part
+            UNION ALL
+            SELECT part, cur // 10, depth + 1 FROM walk WHERE cur >= 10
+        )
+        SELECT part AS p_partkey,
+               CAST(min(cur) AS BIGINT) AS root_digit,
+               CAST(max(depth) AS INTEGER) AS depth
+        FROM walk GROUP BY part
+    """,
+)
+def recursive_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE in Spark SQL (Spark 4's ``WITH RECURSIVE``) — the
+    classic hierarchy walk (BOM explosion / org chart): every part
+    climbs the synthetic parent chain ``p → p div 10`` to its root
+    digit, reporting root and depth. The identical UNION ALL recursion
+    runs on both engines (dialect differs only in the floor-division
+    operator).
+
+    The walk is a strict DAG (the key strictly decreases), so UNION ALL
+    recursion terminates without distinct-dedup — which Spark does not
+    yet support in recursion (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE);
+    for *cyclic* closure (near-dup clustering) the engine keeps the
+    explicitly-checkpointed label-propagation operator
+    (``dedup_cluster_components``), whose per-round dedup is exactly
+    what bounds state on cycles — the two queries document that
+    declarative/iterative boundary. Depth is bounded by the key's
+    digit count (≤7 at any scale factor), so the recursion does ≤7
+    joins, each pruned by ``cur >= 10``."""
+    p = _view(spark, sf_dir, "part")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk(part, cur, depth) AS (
+            SELECT p_partkey, p_partkey, 0 FROM {p}
+            UNION ALL
+            SELECT part, cur DIV 10, depth + 1 FROM walk WHERE cur >= 10
+        )
+        SELECT part AS p_partkey,
+               CAST(min(cur) AS BIGINT) AS root_digit,
+               CAST(max(depth) AS INT) AS depth
+        FROM walk GROUP BY part
+        """
+    )

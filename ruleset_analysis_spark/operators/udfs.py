@@ -190,3 +190,56 @@ def udtf_python_native(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL props_exploder(v.event_id, v.props) t
         """
     )
+
+
+@register(
+    "udf_sql_scalar",
+    category="udf",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 100) AS BIGINT) AS charged_cents
+        FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF (Spark 4 ``CREATE FUNCTION ... RETURNS``): the charged-
+    price formula lives in the catalog as a named scalar function and
+    is INLINED by Catalyst at analysis time — unlike any Python UDF,
+    a SQL UDF is pure expression substitution: full codegen, pushdown
+    through it, zero serialization boundary. This is the right tool
+    for shared business formulas at 100 TB; the Python surface
+    (``udf_scalar_pandas`` etc.) stays for logic SQL can't express.
+    The oracle inlines the same formula by hand; the result is kept in
+    exact integer cents via floor (the repo-wide money discipline —
+    round() half-ties diverge between Spark and DuckDB at the last
+    cent). Registration is idempotent (CREATE OR REPLACE, fixed name)
+    — safe to re-run in one session."""
+    lv = _view_li(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charged_cents(
+            price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(floor(price * (1 - disc) * (1 + tax) * 100) AS BIGINT)
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT l_orderkey, l_linenumber,
+               charged_cents(l_extendedprice, l_discount, l_tax)
+                   AS charged_cents
+        FROM {lv} WHERE l_quantity > 45
+        """
+    )
+
+
+def _view_li(spark: SparkSession, sf_dir: str) -> str:
+    """sf-scoped lineitem temp view (same convention as
+    subqueries._view — the name embeds the corpus dir)."""
+    import hashlib
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"_udfsql_lineitem_{suffix}"
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(name)
+    return name
