@@ -112,6 +112,15 @@ DRIVER_PRIORITY = (
     "subquery_correlated_avg",
     "subquery_exists",
     "subquery_not_in_null_safe",
+    # --- entries 51+: past round 1's observed 50-entry correctness
+    # window, but ordered here so a larger driver cap witnesses the
+    # newest marquee surfaces first
+    "event_cdc_upsert",
+    "event_path_3gram",
+    "agg_heavy_hitters_topk",
+    "json_variant_extract",
+    "recursive_hierarchy_walk",
+    "udf_sql_scalar",
 )
 
 

@@ -380,3 +380,55 @@ def test_events_ts_loader_handles_both_physical_encodings(spark, tmp_path):
     rows_a = sorted(a.select("event_id", "ts").collect())
     rows_b = sorted(b.select("event_id", "ts").collect())
     assert rows_a == rows_b and len(rows_a) > 0
+
+def test_python_datasource_streaming_tails_directory(spark, tmp_path):
+    """The asa_syslog DataSourceStreamReader drains a directory to the
+    same rows as the batch reader, then picks up a newly-rotated
+    archive in a later availableNow run against the SAME checkpoint —
+    exactly-once across restarts via engine-tracked {"idx"} offsets.
+    (Parquet sink: the memory sink rejects checkpoint recovery.)"""
+    import gzip as gz
+    import time
+
+    from ruleset_analysis_spark.sources.python_datasource import (
+        register_asa_syslog,
+    )
+
+    d = tmp_path / "syslog_stream"
+    d.mkdir()
+    (d / "archive-001.log").write_text("\n".join(LINES) + "\n")
+    with gz.open(d / "archive-002.log.gz", "wt") as fh:
+        fh.write("\n".join(LINES) + "\n")
+    register_asa_syslog(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("asa_syslog")
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got = drain()
+    want = spark.read.format("asa_syslog").load(str(d))
+    assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 6  # 3 parseable lines x 2 files
+    frozen = got.collect()
+
+    # rotate in a third archive; a new run on the same checkpoint must
+    # emit ONLY the new file's rows (6 -> 7, prior rows untouched)
+    time.sleep(0.05)
+    (d / "archive-003.log").write_text(LINES[0] + "\n")
+    got2 = drain()
+    assert got2.count() == 7
+    delta = got2.exceptAll(spark.createDataFrame(frozen, got.schema))
+    assert delta.count() == 1 and delta.collect()[0]["acl"] == "OUTSIDE_IN"
