@@ -69,3 +69,29 @@ def write_orc(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed, bucket-sorted managed table.
+
+    Bucketing is THE shuffle-elimination lever for repeated large-to-
+    large joins at 100 TB: both sides pre-hashed into ``n_buckets`` by
+    the join key at WRITE time, so every later equi-join on that key
+    needs no Exchange on either side (sort-merge join reads matching
+    buckets directly; tests/test_sources.py pins the exchange-free
+    plan). ``sortBy`` within buckets additionally drops the per-task
+    sort. Catalyst only trusts bucket metadata through the catalog, so
+    this is ``saveAsTable`` (managed), not ``save(path)`` — the one
+    sink here that must go through a table name."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )

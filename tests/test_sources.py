@@ -432,3 +432,51 @@ def test_python_datasource_streaming_tails_directory(spark, tmp_path):
     assert got2.count() == 7
     delta = got2.exceptAll(spark.createDataFrame(frozen, got.schema))
     assert delta.count() == 1 and delta.collect()[0]["acl"] == "OUTSIDE_IN"
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """write_bucketed_table: two tables bucketed on the same key join
+    with NO Exchange on either side — the co-located-join contract that
+    makes bucketing the 100 TB lever for repeated large joins (a plain
+    parquet-parquet join of the same data plans two hash exchanges)."""
+    from ruleset_analysis_spark.sources.parquet import load
+    from ruleset_analysis_spark.sources.sinks import write_bucketed_table
+
+    SF = "/root/testdata/sf0.001"
+    orders = load(spark, SF, "orders")
+    lineitem = load(spark, SF, "lineitem")
+    write_bucketed_table(orders, "t_orders_b", "o_orderkey", 8)
+    write_bucketed_table(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        "o_orderkey",
+        8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: at test scale both tables fit the
+        # broadcast threshold, which would mask the bucketing effect
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        joined = a.join(b, "o_orderkey").select("o_orderkey", "l_quantity")
+        want = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+        assert joined.count() == want
+        # post-execution ADAPTIVE final plan: bucketed scans feed the
+        # sort-merge join directly — no Exchange on either side
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+        # the identical join over plain (unbucketed) parquet shuffles
+        plain = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey",
+        ).select("o_orderkey", "l_quantity")
+        plain.count()
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
