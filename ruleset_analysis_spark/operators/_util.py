@@ -1,0 +1,54 @@
+"""Shared operator helpers: exact-money expressions and temp views.
+
+Exact-cents discipline (see SCALE.md): every graded money/value column
+in the corpus is 2dp-exact (max |x·100 − round(x·100)| ≈ 4e-12, well
+under half a cent), so ``CAST(round(x*100) AS BIGINT)`` recovers the
+true integer cents identically in Spark and DuckDB — both engines
+compute the same double for ``x*100`` and the value is never near the
+.5 edge. Summing BIGINT cents is associative and order-independent,
+which a double sum is not: partial-aggregation order can drift the
+last ULP and flip a ``round(sum, 2)`` output between engines (the
+round-2 ``stream_rollup_multires`` driver hash miss). Deriving the
+emitted value from the BIGINT (``cents / 100.0`` — one correctly-
+rounded IEEE division, bit-identical in both engines) removes the
+whole failure class at any scale and any partition order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, SparkSession, functions as F
+
+
+def cents(col: Column | str, scale: int = 100) -> Column:
+    """Exact integer sub-units of a 2dp-exact double column (Spark side).
+
+    ``scale=100`` → cents; ``scale=1_000_000`` → micro-units for
+    6dp-rounded outputs.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale).cast("long")
+
+
+def cents_sql(expr: str, scale: int = 100) -> str:
+    """The DuckDB-side twin of :func:`cents` (same rounding, same type)."""
+    return f"CAST(round(({expr}) * {scale}) AS BIGINT)"
+
+
+def _view(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Register table as a query-local temp view, return the view name.
+
+    The name embeds the sf_dir so builders called against different
+    corpora in one session (check.py at sf0.01, plan tests at sf0.001)
+    never replace each other's views. Spark resolves the view at
+    ``spark.sql`` analysis time, so an already-built DataFrame is
+    immune to later re-registration either way — the suffix removes
+    even the transient window.
+    """
+    from ..sources.parquet import load
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"_sq_{table}_{suffix}"
+    load(spark, sf_dir, table).createOrReplaceTempView(name)
+    return name

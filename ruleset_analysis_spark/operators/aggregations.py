@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..plans.registry import register
 from ..sources.parquet import load
+from ._util import cents
 
 
 @register(
@@ -40,9 +41,11 @@ def agg_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS sum_base_price,
                round(sum(l_quantity), 2) / count(*) AS avg_qty,
-               round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 / count(*) AS avg_price,
                round(min(l_extendedprice), 2) AS min_price,
                round(max(l_extendedprice), 2) AS max_price,
                count(*) AS count_order
@@ -53,16 +56,19 @@ def agg_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: multi-aggregate per composite key.
 
-    Averages are emitted as round2(sum)/count: the sum of 2dp data is
-    tie-free at 2dp, and dividing identical doubles by identical counts
-    is bit-deterministic in both engines — whereas round(avg, k) can
-    tie when the group count is 2-/5-smooth."""
+    Exactness: ``l_quantity`` is integer-valued (exact double sums);
+    ``l_extendedprice`` is 2dp money, so its sums run as BIGINT cents
+    (order-independent) and the output is ``cents/100.0`` — one
+    correctly-rounded IEEE division, bit-identical in both engines.
+    Averages divide those exact sums by the count (round(avg, k) can
+    tie when the group count is 2-/5-smooth)."""
     li = load(spark, sf_dir, "lineitem")
+    ep_cents = F.sum(cents("l_extendedprice"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        (ep_cents / F.lit(100.0)).alias("sum_base_price"),
         (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty"),
-        (F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias("avg_price"),
+        (ep_cents / F.lit(100.0) / F.count(F.lit(1))).alias("avg_price"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.count(F.lit(1)).alias("count_order"),
@@ -135,7 +141,9 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="agg",
     oracle="""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
-               round(sum(o_totalprice), 2) AS total, count(*) AS n
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS total,
+               count(*) AS n
         FROM orders
         GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
     """,
@@ -144,7 +152,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotals (year, priority) → (year) → () with NULL markers."""
     o = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
     return o.rollup("yr", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -171,24 +179,57 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stddev_percentile",
     category="agg",
     oracle="""
+        WITH g AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(c) AS BIGINT) AS s1,
+                   CAST(sum(c * c) AS BIGINT) AS s2,
+                   round(median(value), 6) AS med,
+                   round(quantile_cont(value, 0.25), 6) AS q1
+            FROM (SELECT event_type, value,
+                         CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events)
+            GROUP BY event_type
+        )
         SELECT event_type,
-               round(stddev_samp(value), 6) AS sd,
-               round(var_samp(value), 6) AS vr,
-               round(median(value), 6) AS med,
-               round(quantile_cont(value, 0.25), 6) AS q1
-        FROM events GROUP BY event_type
+               round(sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                          / (n - 1)) / 100.0, 6) AS sd,
+               round((CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                     / (n - 1) / 10000.0, 6) AS vr,
+               med, q1
+        FROM g
     """,
 )
 def agg_stddev_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributional aggregates (percentile_approx exists for the
     scale path; exact interpolated percentiles used here for oracle
-    parity)."""
-    ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.stddev_samp("value"), 6).alias("sd"),
-        F.round(F.var_samp("value"), 6).alias("vr"),
+    parity).
+
+    Variance/stddev via integer-cents sufficient statistics (n, Σc,
+    Σc²): a one-pass streaming variance is summation-order-dependent in
+    the last ULPs, so both engines instead compute BIGINT moments and
+    finish with the *same* IEEE expression tree — bit-identical output
+    at any partition order. Median/quantile interpolate between 2dp
+    grid values, which never sit near a 6dp rounding edge."""
+    ev = load(spark, sf_dir, "events").withColumn("c", cents("value"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
         F.round(F.median("value"), 6).alias("med"),
         F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
+    )
+    var_cents = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return g.select(
+        "event_type",
+        F.round(F.sqrt(var_cents) / F.lit(100.0), 6).alias("sd"),
+        F.round(var_cents / F.lit(10000.0), 6).alias("vr"),
+        "med",
+        "q1",
     )
 
 
@@ -277,26 +318,72 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_covar",
     category="agg",
     oracle="""
+        WITH b AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+            FROM lineitem
+        ),
+        g AS (
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(q) AS HUGEINT) AS sq,
+                   CAST(sum(c) AS HUGEINT) AS sc,
+                   CAST(sum(q * q) AS HUGEINT) AS sqq,
+                   sum(CAST(c AS HUGEINT) * c) AS scc,
+                   CAST(sum(q * c) AS HUGEINT) AS sqc
+            FROM b GROUP BY l_returnflag
+        )
         SELECT l_returnflag,
-               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
-               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope
-        FROM lineitem GROUP BY l_returnflag
+               round(CAST(n * sqc - sq * sc AS DOUBLE)
+                     / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                        * sqrt(CAST(n * scc - sc * sc AS DOUBLE))), 6)
+                   AS corr_qty_price,
+               round(CAST(n * sqc - sq * sc AS DOUBLE)
+                     / n / (n - 1) / 100.0, 2) AS covar_qty_price,
+               round(CAST(n * sqc - sq * sc AS DOUBLE)
+                     / CAST(n * sqq - sq * sq AS DOUBLE) / 100.0, 4) AS slope
+        FROM g
     """,
 )
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics per group: Pearson correlation, sample
     covariance, and the regression slope — all single-pass partial-
-    aggregatable moments (sum, sum², sum of products)."""
-    li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+    aggregatable moments (sum, sum², sum of products).
+
+    Exactness: the moments run as exact integers (quantity is
+    integer-valued; price as cents; squares in 128-bit — Spark
+    decimal(38,0), DuckDB HUGEINT) so partial-aggregation order cannot
+    drift them, then both engines evaluate the *same* IEEE expression
+    tree (correlation is scale-invariant, covariance/slope rescale by
+    the cents factor), giving bit-identical doubles. Built-in
+    corr/covar are one-pass streamed moments whose last ULPs depend on
+    partition order."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("q"),
+        cents("l_extendedprice").alias("c"),
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("scc"),
+        F.sum(F.col("q") * F.col("c")).alias("sqc"),
+    )
+    dec = lambda name: F.col(name).cast("decimal(38,0)")  # noqa: E731
+    num_qc = (dec("n") * dec("sqc") - dec("sq") * dec("sc")).cast("double")
+    num_qq = (dec("n") * dec("sqq") - dec("sq") * dec("sq")).cast("double")
+    num_cc = (dec("n") * F.col("scc") - dec("sc") * dec("sc")).cast("double")
+    return g.select(
+        "l_returnflag",
+        F.round(num_qc / (F.sqrt(num_qq) * F.sqrt(num_cc)), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(num_qc / F.col("n") / (F.col("n") - 1) / F.lit(100.0), 2).alias(
             "covar_qty_price"
         ),
-        F.round(
-            F.regr_slope("l_extendedprice", "l_quantity"), 4
-        ).alias("slope"),
+        F.round(num_qc / num_qq / F.lit(100.0), 4).alias("slope"),
     )
 
 
@@ -498,7 +585,9 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
                o_orderpriority AS pri,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS total
         FROM orders
         GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority))
     """,
@@ -517,7 +606,7 @@ def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.groupingSets([["yr"], ["pri"]], "yr", "pri").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total"),
     )
 
 
@@ -528,8 +617,9 @@ def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                count(*) AS n_all,
                count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-               round(sum(l_extendedprice) FILTER (WHERE year(l_shipdate) = 1996),
-                     2) AS rev_1996,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    FILTER (WHERE year(l_shipdate) = 1996) AS BIGINT)
+                   / 100.0 AS rev_1996,
                round(avg(l_quantity) FILTER (WHERE l_quantity >= 25),
                      6) AS avg_bulk_qty
         FROM lineitem
@@ -546,11 +636,11 @@ def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_all"),
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
-        F.round(
+        (
             F.sum(
-                F.when(F.year("l_shipdate") == 1996, F.col("l_extendedprice"))
-            ),
-            2,
+                F.when(F.year("l_shipdate") == 1996, cents("l_extendedprice"))
+            )
+            / F.lit(100.0)
         ).alias("rev_1996"),
         F.round(
             F.avg(F.when(F.col("l_quantity") >= 25, F.col("l_quantity"))), 6

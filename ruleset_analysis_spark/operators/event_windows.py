@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..plans.registry import register
 from ..sources.parquet import load
+from ._util import cents
 
 
 @register(
@@ -136,30 +137,31 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH minute AS (
             SELECT date_trunc('minute', ts) AS b, event_type,
-                   count(*) AS n, sum(value) AS sv
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
             FROM events GROUP BY 1, 2
         ),
         hour AS (
             SELECT date_trunc('hour', b) AS b, event_type,
-                   sum(n) AS n, sum(sv) AS sv
+                   sum(n) AS n, CAST(sum(sv) AS BIGINT) AS sv
             FROM minute GROUP BY 1, 2
         ),
         day AS (
             SELECT date_trunc('day', b) AS b, event_type,
-                   sum(n) AS n, sum(sv) AS sv
+                   sum(n) AS n, CAST(sum(sv) AS BIGINT) AS sv
             FROM hour GROUP BY 1, 2
         )
         SELECT 'minute' AS resolution,
                CAST(epoch(b) AS BIGINT) AS bucket_epoch, event_type,
-               n, round(sv, 2) AS sum_value
+               n, sv / 100.0 AS sum_value
         FROM minute
         UNION ALL
         SELECT 'hour', CAST(epoch(b) AS BIGINT), event_type,
-               n, round(sv, 2)
+               n, sv / 100.0
         FROM hour
         UNION ALL
         SELECT 'day', CAST(epoch(b) AS BIGINT), event_type,
-               n, round(sv, 2)
+               n, sv / 100.0
         FROM day
     """,
 )
@@ -172,12 +174,17 @@ def stream_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarser tiers are cheap derivations (sum/count re-aggregate
     losslessly; avg would be carried as sum+count).
 
-    Rounding happens only at the output edge (sum order across tiers is
-    engine-dependent; 2dp absorbs float drift on both engines)."""
+    Exact-cents discipline: ``value`` is 2dp-exact money, so the minute
+    tier sums ``CAST(round(value*100) AS BIGINT)`` cents and the coarser
+    tiers re-aggregate BIGINTs — the sum is order-independent at any
+    partition count, and the emitted ``sum_value = cents/100.0`` is one
+    correctly-rounded IEEE division, bit-identical across engines. A
+    double sum rounded at the edge was partial-order-dependent (the one
+    round-2 driver hash miss)."""
     ev = load(spark, sf_dir, "events")
     minute = ev.groupBy(
         F.date_trunc("minute", "ts").alias("b"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("sv"))
     hour = minute.groupBy(
         F.date_trunc("hour", "b").alias("b"), "event_type"
     ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
@@ -191,7 +198,7 @@ def stream_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("b").alias("bucket_epoch"),
             "event_type",
             "n",
-            F.round("sv", 2).alias("sum_value"),
+            (F.col("sv") / F.lit(100.0)).alias("sum_value"),
         )
 
     return tier(minute, "minute").unionByName(tier(hour, "hour")).unionByName(
@@ -228,50 +235,52 @@ def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     STRICTLY AFTER the previous stage's first occurrence — event
     sequence analytics, the product-analytics workhorse.
 
-    Single-shuffle formulation: one groupBy(user) collects the user's
-    time-sorted (ts, type) sequence, then a JVM higher-order
-    ``aggregate`` scans it once with a (stage, t) accumulator — first
-    view sets stage 1, first later click stage 2, first later purchase
-    stage 3. The oracle is the equivalent three-level min-join
-    cascade; the strict '>' comparisons make both formulations agree
-    even on same-timestamp event collisions. The HOF scan is the
-    100 TB shape: the per-user state machine costs one shuffle total,
-    while the join cascade shuffles events three times (fine for an
-    oracle, wasteful as a pipeline). One honest bound: collect_list
-    materializes a user's (filtered) funnel events in memory, so a
-    pathological user with millions of step events needs either a
-    per-user event cap upstream or the streaming formulation
-    (``applyInPandasWithState`` carries just the (stage, t) tuple) —
-    the accumulator itself is O(1) either way."""
+    Single-exchange, BOUNDED-STATE formulation: three chained window
+    minima over the same ``partitionBy(user_id)`` — t1 = first view,
+    t2 = first click strictly after t1, t3 = first purchase strictly
+    after t2. Each later minimum may reference the previous one because
+    Spark stacks Window operators over an identically-partitioned child
+    without re-exchanging, and an unbounded-frame MIN carries O(1)
+    state per user — no ``collect_list``, so a pathological user with
+    millions of step events costs CPU, never memory (an earlier form
+    materialized the user's sorted event array; this one is the shape
+    ``applyInPandasWithState`` would give a stream, batch-native). The
+    follow-up per-user groupBy reuses the window's hash partitioning
+    (no fourth exchange; only the final 3-value global reduce moves
+    data). The oracle is the equivalent three-level min-join cascade;
+    strict '>' comparisons make both agree even on same-timestamp
+    collisions."""
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("view", "click", "purchase"))
         .select("user_id", "ts", "event_type")
     )
-    seq = ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+    w = Window.partitionBy("user_id")
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
+        ev.withColumn("t1", F.min(F.when(is_type("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(is_type("click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    is_type("purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+                )
+            ).over(w),
+        )
     )
-    stage = F.expr(
-        """
-        aggregate(
-            seq,
-            struct(0 AS stage, CAST(NULL AS TIMESTAMP) AS t),
-            (acc, x) -> CASE
-                WHEN acc.stage = 0 AND x.event_type = 'view'
-                    THEN struct(1 AS stage, x.ts AS t)
-                WHEN acc.stage = 1 AND x.event_type = 'click' AND x.ts > acc.t
-                    THEN struct(2 AS stage, x.ts AS t)
-                WHEN acc.stage = 2 AND x.event_type = 'purchase' AND x.ts > acc.t
-                    THEN struct(3 AS stage, x.ts AS t)
-                ELSE acc
-            END
-        ).stage
-        """
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
     )
-    return seq.select(stage.alias("stage")).agg(
-        F.count(F.when(F.col("stage") >= 1, 1)).alias("n_view"),
-        F.count(F.when(F.col("stage") >= 2, 1)).alias("n_click"),
-        F.count(F.when(F.col("stage") >= 3, 1)).alias("n_purchase"),
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click"),
+        F.count("t3").alias("n_purchase"),
     )
 
 

@@ -28,6 +28,13 @@ from ..sources.parquet import load
 _LINE_FMT = "%%ASA-6-106100: access-list acl_%s rule %d matched user %d"
 _LINE_RE = r"access-list (\w+) rule (\d+) matched user (\d+)"
 _N_RULES = 40
+# The configured ruleset is larger than the set traffic can ever hit
+# (hits are user_id % _N_RULES, i.e. rules 0-39): rules 40-47 are
+# guaranteed UNUSED at every scale factor, so the zero-hit anti-join is
+# witnessed on substance, never vacuously on an empty result — and it
+# mirrors the reference's reality (rule tables accrete stale entries
+# that no live flow matches; that surplus is the query's raison d'être).
+_N_RULESET = 48
 
 
 def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,7 +105,7 @@ def firewall_rule_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         , ruleset AS (
             SELECT 'acl_' || t.event_type AS acl, r.rule_id
             FROM (SELECT DISTINCT event_type FROM events) t
-            CROSS JOIN (SELECT unnest(range({_N_RULES})) AS rule_id) r
+            CROSS JOIN (SELECT unnest(range({_N_RULESET})) AS rule_id) r
         ),
         hit_agg AS (
             SELECT acl, rule_id, count(*) AS hits, count(DISTINCT src_user) AS n_users
@@ -118,7 +125,7 @@ def rule_usage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     talkers, and an ACTIVE/UNUSED verdict ([R-mem] README: per-rule hit
     report + the zero-hit removal candidates)."""
     rules = (
-        spark.range(_N_RULES)
+        spark.range(_N_RULESET)
         .select(F.col("id").cast("bigint").alias("rule_id"))
         .crossJoin(
             F.broadcast(
@@ -153,7 +160,7 @@ def rule_usage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         , ruleset AS (
             SELECT 'acl_' || t.event_type AS acl, r.rule_id
             FROM (SELECT DISTINCT event_type FROM events) t
-            CROSS JOIN (SELECT unnest(range({_N_RULES})) AS rule_id) r
+            CROSS JOIN (SELECT unnest(range({_N_RULESET})) AS rule_id) r
         )
         SELECT rs.acl, rs.rule_id
         FROM ruleset rs
@@ -168,7 +175,7 @@ def firewall_unused_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     remove list, via left-anti join of the rule dimension against
     observed hits."""
     rules = (
-        spark.range(_N_RULES)
+        spark.range(_N_RULESET)
         .select(F.col("id").cast("bigint").alias("rule_id"))
         .crossJoin(
             load(spark, sf_dir, "events")

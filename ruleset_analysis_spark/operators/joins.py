@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..plans.registry import register
 from ..sources.parquet import load
+from ._util import cents
 
 
 @register(
@@ -43,7 +44,9 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
     oracle="""
         SELECT p.p_brand,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) / 10000.0 AS revenue,
                count(*) AS n_items
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
@@ -59,11 +62,15 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            # 4dp: summands have exactly 4 true decimals (2dp × 2dp), so
-            # rounding at 4dp can never hit a cross-engine half-tie
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
+            # exact ten-thousandths: 2dp price × 2dp discount summed as
+            # BIGINT e-4 units — order-independent, then one IEEE
+            # division both engines compute identically
+            (
+                F.sum(
+                    cents("l_extendedprice") * (100 - cents("l_discount"))
+                )
+                / F.lit(10000.0)
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -74,7 +81,9 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
     oracle="""
         SELECT r.r_name, n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) / 10000.0 AS revenue
         FROM region r
         JOIN nation n   ON n.n_regionkey = r.r_regionkey
         JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -98,9 +107,12 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
+            (
+                F.sum(
+                    cents("l_extendedprice") * (100 - cents("l_discount"))
+                )
+                / F.lit(10000.0)
+            ).alias("revenue")
         )
     )
 
@@ -376,7 +388,8 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
     oracle="""
         SELECT o.o_orderpriority,
-               round(sum(l.l_extendedprice), 2) AS revenue,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) / 100.0 AS revenue,
                count(*) AS n_items
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
@@ -412,7 +425,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_join(li, o, "l_orderkey", n_salts=8)
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..plans.registry import register
 from ..sources.parquet import load
+from ._util import cents
 
 
 @register(
@@ -107,8 +108,9 @@ def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                count(*) AS n_total,
                count(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 END) AS n_zero_disc,
-               round(sum(coalesce(nullif(l_discount, 0.0), 0.05)), 2) / count(*)
-                   AS avg_disc_subst
+               CAST(sum(coalesce(nullif(CAST(round(l_discount * 100) AS BIGINT),
+                                        0), 5)) AS BIGINT)
+                   / 100.0 / count(*) AS avg_disc_subst
         FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -117,12 +119,13 @@ def filter_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     manufactured with nullif): IS NULL counting skips, coalesce defaults."""
     li = load(spark, sf_dir, "lineitem")
     d = F.nullif(F.col("l_discount"), F.lit(0.0))
+    d_cents = F.coalesce(F.nullif(cents("l_discount"), F.lit(0)), F.lit(5))
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count(F.when(d.isNull(), 1)).alias("n_zero_disc"),
-        # tie-free avg: round the (2dp-exact) sum, then divide — both
-        # engines then divide identical doubles by identical counts
-        (F.round(F.sum(F.coalesce(d, F.lit(0.05))), 2) / F.count(F.lit(1))).alias(
+        # tie-free avg: sum exact BIGINT cents (order-independent), then
+        # divide — both engines divide identical values by identical counts
+        (F.sum(d_cents) / F.lit(100.0) / F.count(F.lit(1))).alias(
             "avg_disc_subst"
         ),
     )
@@ -267,7 +270,8 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN o_totalprice > 100000 THEN 'mid'
                     ELSE 'low' END AS tier,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS total
         FROM orders GROUP BY 1
     """,
 )
@@ -281,7 +285,7 @@ def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.groupBy(tier).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("total"),
     )
 
 
@@ -330,12 +334,21 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bad row must never abort a job; the plain ``variant_get`` form
     raises INVALID_VARIANT_CAST on exactly that row. The
     oracle reproduces the same semantics with DuckDB's JSON functions
-    (TRY_CAST to JSON for validity, json_extract_string for access)."""
+    (TRY_CAST to JSON for validity, json_extract_string for access).
+
+    ``k`` extracts as STRING then try_casts to BIGINT — mirroring the
+    oracle's string path exactly: a direct
+    ``try_variant_get(..., 'bigint')`` coerces JSON doubles/booleans
+    (5.0→5, true→1) where DuckDB's TRY_CAST('5.0' AS BIGINT) yields
+    NULL, a divergence a regenerated corpus with non-integer ``k``
+    would expose."""
     ev = load(spark, sf_dir, "events")
     v = F.expr("try_parse_json(props)")
     return ev.select(
         "event_id",
-        F.expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(try_parse_json(props), '$.k', 'string')")
+        .try_cast("bigint")
+        .alias("k"),
         F.expr(
             "try_variant_get(try_parse_json(props), '$.absent', 'string')"
         ).alias("missing"),

@@ -12,13 +12,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.registry import register
 from ..sources.parquet import load
+from ._util import cents
 
 
 @register(
     "sort_multi_key",
     category="sort",
     oracle="""
-        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 AS revenue
         FROM orders GROUP BY o_custkey
         ORDER BY revenue DESC, o_custkey ASC
     """,
@@ -28,7 +31,7 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg((F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_custkey"))
     )
 

@@ -21,24 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.registry import register
-from ..sources.parquet import load
-
-
-def _view(spark: SparkSession, sf_dir: str, table: str) -> str:
-    """Register table as a query-local temp view, return the view name.
-
-    The name embeds the sf_dir so builders called against different
-    corpora in one session (check.py at sf0.01, plan tests at sf0.001)
-    never replace each other's views. Spark resolves the view at
-    ``spark.sql`` analysis time, so an already-built DataFrame is
-    immune to later re-registration either way — the suffix removes
-    even the transient window."""
-    import hashlib
-
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    name = f"_sq_{table}_{suffix}"
-    load(spark, sf_dir, table).createOrReplaceTempView(name)
-    return name
+from ._util import _view
 
 
 @register(
@@ -70,7 +53,8 @@ def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="subquery",
     oracle="""
         SELECT p.p_brand,
-               round(sum(l.l_extendedprice), 2) AS total_below,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_below,
                count(*) AS n_items
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
@@ -95,7 +79,8 @@ def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT p.p_brand,
-               round(sum(l.l_extendedprice), 2) AS total_below,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_below,
                count(*) AS n_items
         FROM {li} l
         JOIN {p} p ON p.p_partkey = l.l_partkey

@@ -19,6 +19,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..plans.registry import register
 from ..sources.parquet import load
+from ._util import _view
 
 
 def _price_tier_fn(total: pd.Series) -> pd.Series:
@@ -52,12 +53,25 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     import numpy as np
 
-    v = pdf["value"]
-    z = ((v - v.mean()) / v.std(ddof=1)).round(6)
-    # singleton / zero-variance groups: pandas std(ddof=1) is NaN where
-    # SQL stddev_samp is NULL — map non-finite to None so parity with
-    # the oracle holds at any scale factor, not just corpora without
-    # one-event users
+    # Exact-cents sufficient statistics: pandas mean/std accumulate in
+    # the (arbitrary) Spark partition-arrival order, so their last ULPs
+    # vary run to run. Integer cents give order-independent Σc and Σc²,
+    # and the z-score finish below is the *same* IEEE expression tree
+    # the DuckDB oracle evaluates — bit-identical at any row order.
+    # (z is scale-invariant, so cents vs dollars is algebraically moot.)
+    c = np.rint(pdf["value"].to_numpy() * 100.0).astype(np.int64)
+    n = len(c)
+    s1 = int(c.sum())
+    s2 = int((c * c).sum())
+    if n >= 2:
+        var_c = (float(s2) - float(s1) * float(s1) / n) / (n - 1)
+        denom = np.sqrt(var_c)
+    else:
+        denom = float("nan")
+    z = pd.Series((c - float(s1) / n) / denom, index=pdf.index).round(6)
+    # singleton / zero-variance groups: NaN where SQL yields NULL — map
+    # non-finite to None so parity with the oracle holds at any scale
+    # factor, not just corpora without one-event users
     out = pd.DataFrame(
         {
             "event_id": pdf["event_id"],
@@ -72,20 +86,37 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     "udaf_grouped_pandas",
     category="udf",
     oracle="""
+        WITH b AS (
+            SELECT event_id, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        g AS (
+            SELECT event_id, user_id, c,
+                   count(*) OVER w AS n,
+                   CAST(sum(c) OVER w AS BIGINT) AS s1,
+                   CAST(sum(c * c) OVER w AS BIGINT) AS s2
+            FROM b
+            WINDOW w AS (PARTITION BY user_id)
+        )
         SELECT event_id, user_id,
-               round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6)
-                   AS zscore
-        FROM events
-        WINDOW w AS (PARTITION BY user_id)
+               CASE WHEN n >= 2 THEN
+                   round((c - CAST(s1 AS DOUBLE) / n)
+                         / sqrt((CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                                / (n - 1)), 6)
+               END AS zscore
+        FROM g
     """,
 )
 def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map pandas UDF (applyInPandas): per-user z-score — a whole
     pandas frame per group in, a frame out. The oracle proves it equals
-    the window-function formulation. Z-score (not plain demeaning)
-    because the irrational stddev denominator makes 6dp rounding
-    tie-free across engines — demeaned 2dp values hit exact half-ties
-    for 2-/5-smooth group sizes."""
+    the window-function formulation. Both sides compute the z from
+    integer-cents sufficient statistics (n, Σc, Σc²) with the same IEEE
+    finish, so the 6dp rounding is immune to accumulation-order drift
+    (pandas mean/std accumulate in partition-arrival order; a windowed
+    stddev_samp in segment-tree order)."""
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
     return ev.groupBy("user_id").applyInPandas(
         _zscore, "event_id long, user_id long, zscore double"
@@ -215,7 +246,7 @@ def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     round() half-ties diverge between Spark and DuckDB at the last
     cent). Registration is idempotent (CREATE OR REPLACE, fixed name)
     — safe to re-run in one session."""
-    lv = _view_li(spark, sf_dir)
+    lv = _view(spark, sf_dir, "lineitem")
     spark.sql(
         """
         CREATE OR REPLACE TEMPORARY FUNCTION charged_cents(
@@ -232,14 +263,3 @@ def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {lv} WHERE l_quantity > 45
         """
     )
-
-
-def _view_li(spark: SparkSession, sf_dir: str) -> str:
-    """sf-scoped lineitem temp view (same convention as
-    subqueries._view — the name embeds the corpus dir)."""
-    import hashlib
-
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    name = f"_udfsql_lineitem_{suffix}"
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView(name)
-    return name

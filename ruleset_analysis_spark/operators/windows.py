@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..plans.registry import register
 from ..sources.parquet import load
+from ._util import cents
 
 
 @register(
@@ -62,13 +63,17 @@ def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="window",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               round(sum(o_totalprice) OVER (
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) / 100.0 AS running_total
         FROM orders
     """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals sum BIGINT cents: windowed double sums are
+    association-order-dependent (segment-tree evaluation differs per
+    engine); integer sums are exact whatever the tree shape."""
     o = load(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -78,7 +83,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        (F.sum(cents("o_totalprice")).over(w) / F.lit(100.0)).alias(
+            "running_total"
+        ),
     )
 
 
@@ -113,31 +120,37 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
                         AS BIGINT) AS d,
                    CAST(o_orderdate AS DATE) AS order_date,
-                   round(sum(o_totalprice), 2) AS day_total
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS dc
             FROM orders GROUP BY 1, 2
         )
-        SELECT order_date, day_total,
-               round(avg(day_total) OVER (
-                   ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        SELECT order_date, dc / 100.0 AS day_total,
+               round(CAST(sum(dc) OVER w AS BIGINT)
+                     / (count(*) OVER w * 100.0), 4) AS ma7
         FROM daily
+        WINDOW w AS (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 )
 def window_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving average over a RANGE frame keyed on an integer
     day-index (Spark rangeBetween needs a numeric ORDER BY; keeping the
-    same integer key in the oracle makes the frames provably identical)."""
+    same integer key in the oracle makes the frames provably identical).
+    Daily totals and the windowed average both run on BIGINT cents —
+    order-independent sums, one shared IEEE division at the edge."""
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date"))
         .cast("bigint")
         .alias("d"),
         F.to_date("o_orderdate").alias("order_date"),
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+    ).agg(F.sum(cents("o_totalprice")).alias("dc"))
     w = Window.orderBy("d").rangeBetween(-6, Window.currentRow)
     return daily.select(
         "order_date",
-        "day_total",
-        F.round(F.avg("day_total").over(w), 4).alias("ma7"),
+        (F.col("dc") / F.lit(100.0)).alias("day_total"),
+        F.round(
+            F.sum("dc").over(w) / (F.count(F.lit(1)).over(w) * F.lit(100.0)), 4
+        ).alias("ma7"),
     )
 
 

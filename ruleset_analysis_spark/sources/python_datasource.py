@@ -94,16 +94,24 @@ class AsaSyslogStreamReader(DataSourceStreamReader):
     directory of syslog archives.
 
     Offset model: syslog rotation produces lexically-increasing,
-    append-only file names, so an offset is simply ``{"idx": n}`` —
-    the count of files already emitted from the name-sorted listing.
-    Each micro-batch covers ``files[start:end]`` with ONE InputPartition
-    per new file (gzip is not splittable), read partition-parallel on
-    Python workers — this is the full ``DataSourceStreamReader``
-    surface (planned partitions, exactly-once via engine-tracked
-    offsets), not the driver-side ``SimpleDataSourceStreamReader``
-    convenience path. A production deployment on an object store would
-    swap the name-sorted listing for a manifest/notification feed but
-    keep the same offset contract."""
+    append-only file names, so an offset is ``{"idx": n, "last":
+    name}`` — the count of files already emitted from the name-sorted
+    listing plus the name of the last one. The ``last`` field makes the
+    offset SELF-VALIDATING: a bare index silently shifts when the
+    listing mutates non-append-only (retention deleting an old file, a
+    rotation renaming current.log → archive-NNN.log.gz, a new name
+    sorting before existing ones), re-emitting or permanently skipping
+    rows; ``partitions()`` instead verifies ``files[idx-1] == last``
+    for both offsets and raises a clear error on any mismatch — a loud
+    stop, never silent data loss. Each micro-batch covers
+    ``files[start:end]`` with ONE InputPartition per new file (gzip is
+    not splittable), read partition-parallel on Python workers — this
+    is the full ``DataSourceStreamReader`` surface (planned partitions,
+    exactly-once via engine-tracked offsets), not the driver-side
+    ``SimpleDataSourceStreamReader`` convenience path. A production
+    deployment on an object store would swap the name-sorted listing
+    for a manifest/notification feed but keep the same offset
+    contract."""
 
     def __init__(self, options: dict) -> None:
         path = options.get("path")
@@ -120,15 +128,37 @@ class AsaSyslogStreamReader(DataSourceStreamReader):
         return sorted(glob.glob(p))
 
     def initialOffset(self) -> dict:
-        return {"idx": 0}
+        return {"idx": 0, "last": ""}
 
     def latestOffset(self) -> dict:
-        return {"idx": len(self._files())}
+        files = self._files()
+        return {"idx": len(files), "last": files[-1] if files else ""}
+
+    @staticmethod
+    def _validate(files: list[str], off: dict, which: str) -> None:
+        idx = off["idx"]
+        # offsets written by a pre-"last" checkpoint stay readable
+        # (validation simply can't strengthen them)
+        last = off.get("last")
+        if idx == 0 or last is None:
+            return
+        if idx > len(files) or files[idx - 1] != last:
+            got = files[idx - 1] if idx <= len(files) else "<past end>"
+            raise RuntimeError(
+                f"asa_syslog: directory listing mutated non-append-only: "
+                f"{which} offset expects files[{idx - 1}] == {last!r} but "
+                f"the listing has {got!r}. A file was renamed, deleted, or "
+                f"inserted before the committed position; refusing to emit "
+                f"a shifted slice (silent re-emit/skip). Restart the stream "
+                f"with a fresh checkpoint over the current directory."
+            )
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        files = self._files()[start["idx"] : end["idx"]]
+        files = self._files()
+        self._validate(files, start, "start")
+        self._validate(files, end, "end")
         # an empty micro-batch still needs a partition list
-        return [InputPartition(f) for f in files]
+        return [InputPartition(f) for f in files[start["idx"] : end["idx"]]]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         yield from _parse_file(partition.value)

@@ -47,11 +47,31 @@ def read_event_stream(
     read, no data scan — the driver has shipped ``ts`` as both int64
     nanoseconds and timestamp[us] across rounds), then the stream gets
     the same ``normalize_event_ts`` as the batch loader so stream and
-    batch plans see identical ``ts`` values.
+    batch plans see identical ``ts`` values. On an empty or
+    not-yet-populated directory the inference read cannot work
+    (UNABLE_TO_INFER_SCHEMA) — the normal streaming bootstrap is to
+    start the stream before data exists, so fall back to the declared
+    contract schema with µs-NTZ ``ts`` (the current physical encoding;
+    ``normalize_event_ts`` converts whatever later files carry, and a
+    first file in the retired int64-ns encoding would surface as a
+    loud type mismatch, not silent corruption).
     ``max_files_per_trigger`` throttles backlog drains (and lets tests
     force multi-micro-batch execution)."""
     ensure_session_defaults(spark)
-    physical = spark.read.parquet(events_dir).schema
+    try:
+        physical = spark.read.parquet(events_dir).schema
+    except Exception:  # empty/absent dir: bootstrap from the contract
+        from .. import schemas
+
+        physical = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.TimestampNTZType() if f.name == "ts" else f.dataType,
+                )
+                for f in schemas.EVENTS.fields
+            ]
+        )
     reader = spark.readStream.schema(physical)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

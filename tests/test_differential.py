@@ -65,14 +65,19 @@ def test_driver_priority_window():
     missing = [n for n in DRIVER_PRIORITY if n not in SPECS]
     assert not missing, f"priority names not in registry: {missing}"
     assert names[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
-    # the 50-entry window must witness every family the round-1 window
-    # missed (flagship + LLM surface)
+    # round-3 rotation: the 50-entry window re-witnesses the two
+    # round-2 fix targets and fronts the families no round has ever
+    # driver-witnessed (tpch/graph/curation/event/joins/windows/setops
+    # tails + the round-2 marquee ops)
     window = set(names[:50])
-    for fam in ("rule_usage_report", "dedup_near_minhash",
-                "dedup_cluster_components", "sim_cosine_topk",
-                "text_tfidf_topterms", "text_pii_redact", "multimodal_join",
-                "udaf_grouped_pandas", "stream_session_window",
-                "funnel_ordered_steps", "sample_hash_deterministic",
-                "window_lag_lead", "agg_quantiles_approx",
-                "subquery_correlated_avg"):
+    for fam in ("stream_rollup_multires", "firewall_unused_rules",
+                "tpch_q3_shipping_priority", "tpch_q6_forecast_revenue",
+                "graph_triangle_count", "pack_greedy_bins",
+                "text_contamination_ngram", "event_cdc_upsert",
+                "event_scd2_intervals", "retention_cohorts",
+                "join_salted_skew", "window_gaps_islands",
+                "json_variant_extract", "recursive_hierarchy_walk",
+                "udf_sql_scalar", "agg_heavy_hitters_topk",
+                "agg_rfm_segmentation", "dedup_containment",
+                "embed_knn_classify", "sort_multi_key"):
         assert fam in window, f"{fam} outside the driver's 50-entry window"

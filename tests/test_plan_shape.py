@@ -326,3 +326,19 @@ def test_no_unbounded_join_strategies(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: undeclared nested-loop join"
         )
+
+
+def test_funnel_state_is_bounded(spark):
+    """funnel_ordered_steps must never materialize a per-user event
+    array: the chained window-min formulation carries O(1) state per
+    user, so a pathological user with millions of funnel events costs
+    CPU, not executor memory. Plan contract: no collect_list/sort
+    aggregate, all three window minima ride ONE keyed exchange (the
+    only other exchange is the final 3-value global reduce)."""
+    plan = _physical(spark, "funnel_ordered_steps")
+    assert "collect_list" not in plan, "funnel re-grew unbounded per-user state"
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 2, f"funnel plan has {n_exchanges} exchanges (max 2)"
+    assert plan.count("hashpartitioning(user_id") <= 1, (
+        "windows must share one user_id exchange"
+    )

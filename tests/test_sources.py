@@ -480,3 +480,55 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_stream_offset_detects_listing_mutation(tmp_path):
+    """The streaming offset is self-validating: {"idx", "last"} — if the
+    name-sorted listing mutates non-append-only between micro-batches
+    (rotation rename, retention delete, a name sorting before committed
+    files), partitions() must raise instead of silently emitting a
+    shifted slice (re-emitted or skipped rows)."""
+    import pytest as _pytest
+
+    from ruleset_analysis_spark.sources.python_datasource import (
+        AsaSyslogStreamReader,
+    )
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text("x\n")
+    (d / "b.log").write_text("x\n")
+    r = AsaSyslogStreamReader({"path": str(d)})
+    start = r.initialOffset()
+    end = r.latestOffset()
+    assert end == {"idx": 2, "last": str(d / "b.log")}
+    assert len(r.partitions(start, end)) == 2
+
+    # append-only growth: old offsets stay valid
+    (d / "c.log").write_text("x\n")
+    end2 = r.latestOffset()
+    assert [p.value for p in r.partitions(end, end2)] == [str(d / "c.log")]
+
+    # rotation rename: a.log -> z-archive.log.gz shifts the sort order
+    (d / "a.log").rename(d / "z-archive.log.gz")
+    with _pytest.raises(RuntimeError, match="mutated non-append-only"):
+        r.partitions(end, r.latestOffset())
+
+    # legacy idx-only offsets (pre-"last" checkpoints) remain readable
+    assert len(r.partitions({"idx": 0}, {"idx": 1})) == 1
+
+
+def test_event_stream_bootstraps_on_empty_directory(spark, tmp_path):
+    """read_event_stream must start on a not-yet-populated directory
+    (the normal streaming bootstrap) by falling back to the declared
+    contract schema instead of dying on UNABLE_TO_INFER_SCHEMA."""
+    from ruleset_analysis_spark.streaming.event_streams import read_event_stream
+
+    d = tmp_path / "incoming"
+    d.mkdir()
+    df = read_event_stream(spark, str(d))
+    assert df.isStreaming
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
