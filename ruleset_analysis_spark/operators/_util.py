@@ -36,6 +36,38 @@ def cents_sql(expr: str, scale: int = 100) -> str:
     return f"CAST(round(({expr}) * {scale}) AS BIGINT)"
 
 
+def bounded_block(df, key: str, cap: int, what: str):
+    """In-plan guard: fail LOUDLY if any blocking-key group exceeds
+    ``cap`` rows, instead of letting a label-blocked exact all-pairs
+    join detonate quadratically at scale (Σ n_block² work).
+
+    Per-key counts broadcast back onto the relation and a filter whose
+    predicate is ``when(n ≤ cap, true).otherwise(raise_error(...))`` —
+    evaluated per row inside codegen, so an oversized block aborts the
+    job with an actionable message (use the LSH-bucketed sibling) the
+    moment it is scanned, not after hours of shuffle. The guard passes
+    rows through untouched when within bounds, so oracle parity is
+    unaffected; cost is one tiny aggregate + broadcast hash join.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("_n_block"))
+    msg = F.concat(
+        F.lit(f"{what}: blocking key "),
+        F.col(key).cast("string"),
+        F.lit(" has "),
+        F.col("_n_block").cast("string"),
+        F.lit(
+            f" rows > cap {cap}: exact all-pairs is quadratic per block —"
+            " use the LSH-bucketed form (sim_pairwise_bucketed /"
+            " sim_ann_lsh) at this scale"
+        ),
+    )
+    return (
+        df.join(F.broadcast(counts), key)
+        .filter(F.when(F.col("_n_block") <= cap, F.lit(True)).otherwise(F.raise_error(msg)))
+        .drop("_n_block")
+    )
+
+
 def _view(spark: SparkSession, sf_dir: str, table: str) -> str:
     """Register table as a query-local temp view, return the view name.
 

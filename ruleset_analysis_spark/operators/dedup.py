@@ -519,11 +519,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the synthetic embeddings are near-orthogonal). Spark
     computes the dot product as a per-pair higher-order
     fold (no element explosion); the oracle unnests — both accumulate
-    in double and agree after 6dp rounding."""
+    in double and agree after 6dp rounding. Like its similarity
+    sibling, the exact form is capped: ``bounded_block`` aborts in-plan
+    if any label block exceeds ``_EXACT_BLOCK_CAP`` rows (route through
+    the LSH-bucketed path beyond that)."""
     from ..functions.vectors import dot
-    from .similarity import normalized_vectors
+    from ._util import bounded_block
+    from .similarity import _EXACT_BLOCK_CAP, normalized_vectors
 
-    e = normalized_vectors(spark, sf_dir)
+    e = bounded_block(
+        normalized_vectors(spark, sf_dir),
+        "label",
+        _EXACT_BLOCK_CAP,
+        "dedup_embedding_cosine",
+    )
     a, b = e.alias("a"), e.alias("b")
     cos = dot(F.col("a.vn"), F.col("b.vn"))
     return (

@@ -20,9 +20,17 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..functions.vectors import as_double, dot, norm
 from ..plans.registry import register
 from ..sources.parquet import load
+from ._util import bounded_block
 
 _PROBE_ID = 0
 _TOP_K = 10
+# Hard ceiling for the exact label-blocked all-pairs baselines
+# (sim_pairwise_threshold, dedup_embedding_cosine): 10 blocks × 10k²
+# ≈ 1e9 candidate pairs is the most the quadratic oracle form should
+# ever be asked to do; bigger corpora must route through the LSH-
+# bucketed forms whose work is Σ_bucket n_bucket² (occupancy-bounded).
+# Enforced in-plan by ``_util.bounded_block`` — an assert, not a hope.
+_EXACT_BLOCK_CAP = 10_000
 
 _ORACLE_ELEM = """
     WITH elem AS (
@@ -138,8 +146,16 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     still ~n²/10, so this form is the exact *baseline*; the 100×-scale
     default is ``sim_pairwise_bucketed`` (LSH-bucket blocking, below),
     verified against this one by containment + recall in
-    tests/test_properties.py."""
-    e = normalized_vectors(spark, sf_dir)
+    tests/test_properties.py. A ``bounded_block`` guard asserts (in
+    plan, per row) that no label block exceeds ``_EXACT_BLOCK_CAP``
+    rows — beyond that the quadratic baseline must not run and the job
+    aborts with a pointer to the bucketed form."""
+    e = bounded_block(
+        normalized_vectors(spark, sf_dir),
+        "label",
+        _EXACT_BLOCK_CAP,
+        "sim_pairwise_threshold",
+    )
     a, b = e.alias("a"), e.alias("b")
     cos = dot(F.col("a.vn"), F.col("b.vn"))
     return (

@@ -266,6 +266,41 @@ def join_views_to_clicks(
     ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
 
 
+try:  # the class (not the wire protocol) is importable without protobuf
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover — very old PySpark only
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = object  # type: ignore[assignment,misc]
+
+
+class RunningValueStats(StatefulProcessor):
+    """transformWithStateInPandas processor: per-user running
+    (count, sum of ``value``). Module-level so the state-fold semantics
+    are unit-testable with a fake handle — no protobuf, no stream."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("totals", "n LONG, s DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n, s = self._state.get()
+        else:
+            n, s = 0, 0.0
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        self._state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
 def running_value_stats(events: DataFrame) -> DataFrame:
     """Per-user running (count, sum of ``value``) via
     ``transformWithStateInPandas`` — the Spark 4 arbitrary-stateful API
@@ -280,39 +315,16 @@ def running_value_stats(events: DataFrame) -> DataFrame:
     instead of accumulating forever.
 
     Environment note (same class as multimodal.decode_image): running
-    this API needs (a) the RocksDB state store provider and (b) the
-    ``protobuf`` package for the TWS state-server protocol — the
-    latter is absent in this container, so
-    tests/test_streaming.py gates its check on the import and the
-    tested production path remains ``running_user_totals``
-    (applyInPandasWithState, no protobuf dependency)."""
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class RunningValueStats(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState(
-                "totals", "n LONG, s DOUBLE"
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            if self._state.exists():
-                n, s = self._state.get()
-            else:
-                n, s = 0, 0.0
-            for pdf in rows:
-                n += len(pdf)
-                s += float(pdf["value"].fillna(0.0).sum())
-            self._state.update((n, s))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
-            )
-
-        def close(self) -> None:
-            pass
-
+    this API end-to-end needs (a) the RocksDB state store provider and
+    (b) the ``protobuf`` package for the TWS state-server *wire
+    protocol* — the latter is absent in this container. The processor
+    SEMANTICS (``RunningValueStats``: init → per-batch state fold →
+    emit) are protobuf-free and unit-tested everywhere against a fake
+    state handle (tests/test_streaming.py drives multi-micro-batch
+    accumulation directly); only the end-to-end query gates on the
+    import, and the always-tested production path for this computation
+    remains ``running_user_totals`` (applyInPandasWithState, no
+    protobuf dependency)."""
     return events.groupBy("user_id").transformWithStateInPandas(
         RunningValueStats(),
         outputStructType="user_id LONG, n_events LONG, sum_value DOUBLE",

@@ -115,3 +115,23 @@ def test_partition_pruning(spark, tmp_path):
     # and it actually returns that day's rows
     want = ev.filter(F.to_date("ts") == "2024-01-03").count()
     assert one_day.count() == want and want > 0
+
+
+def test_bounded_block_guard_fires_and_passes(spark):
+    """The exact all-pairs baselines carry an in-plan block-size cap:
+    within bounds the guard is an identity (same rows), beyond it the
+    job must abort with the actionable LSH-bucketed pointer — an
+    assert, not a hope, against quadratic blowup at scale."""
+    import pytest as _pytest
+
+    from ruleset_analysis_spark.operators._util import bounded_block
+
+    df = spark.range(20).select(
+        (F.col("id") % 4).alias("label"), F.col("id").alias("v")
+    )
+    ok = bounded_block(df, "label", cap=5, what="t")
+    assert ok.count() == 20
+    assert sorted(ok.columns) == ["label", "v"]
+
+    with _pytest.raises(Exception, match="use the LSH-bucketed form"):
+        bounded_block(df, "label", cap=4, what="t").count()

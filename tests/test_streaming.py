@@ -293,3 +293,53 @@ def test_incremental_view_maintenance(spark, split_events_dir, tmp_path):
     after = {r["event_type"]: r["n"] for r in es.read_type_counts(spark, state).collect()}
     assert after == want
     assert spark.read.parquet(state).count() == len(want)
+
+
+def test_tws_processor_semantics_without_protobuf(spark):
+    """The transformWithStateInPandas surface, de-gated: the processor's
+    state-fold semantics (init → per-micro-batch accumulate → emit) run
+    against a fake state handle, so they are verified in EVERY
+    environment; only the TWS state-server wire protocol (protobuf,
+    absent here) stays behind the importorskip e2e above. Three
+    micro-batches per user must accumulate to the batch aggregate."""
+    import pandas as _pd
+
+    from ruleset_analysis_spark.streaming.event_streams import RunningValueStats
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = RunningValueStats()
+    proc.init(FakeHandle())
+    batches = [
+        _pd.DataFrame({"value": [1.5, 2.5]}),
+        _pd.DataFrame({"value": [4.0, None]}),   # NULL folds as 0.0
+        _pd.DataFrame({"value": [10.0]}),
+    ]
+    emitted = []
+    for b in batches:
+        emitted.extend(proc.handleInputRows((7,), iter([b]), None))
+    proc.close()
+
+    # each micro-batch emits the RUNNING totals for the key
+    assert [
+        (int(e["n_events"][0]), float(e["sum_value"][0])) for e in emitted
+    ] == [(2, 4.0), (4, 8.0), (5, 18.0)]
+    assert all(int(e["user_id"][0]) == 7 for e in emitted)
