@@ -130,9 +130,19 @@ DRIVER_PRIORITY = (
     "setop_except_all",
     "setop_intersect_all",
     # --- entries 51+: past the driver's observed 50-entry correctness
-    # window. First the deferred never-witnessed keys (3 thin wrappers
-    # + the rows-only pair — they rotate into round 4's window), then
-    # the r1/r2-witnessed flagship/LLM families in round-2 order.
+    # window. First the round-3 additions (never witnessed — they lead
+    # round 4's rotation), then the deferred never-witnessed keys (3
+    # thin wrappers + the rows-only pair), then the r1/r2-witnessed
+    # flagship/LLM families in round-2 order.
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q18_large_orders",
+    "tpch_q19_bracket_revenue",
+    "tpch_q22_dormant_accounts",
     "limit_topk",
     "setop_union_all",
     "setop_intersect",
