@@ -878,3 +878,42 @@ def agg_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         hh.select(F.col("hh.item").alias("item"), F.col("hh.count").alias("cnt"))
         .orderBy(F.desc("cnt"), "item")
     )
+
+
+@register(
+    "agg_decimal_money",
+    category="agg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS sum_price,
+               CAST(min(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS min_price,
+               CAST(max(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS max_price,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact money aggregation on the DECIMAL type — the type-system
+    path to the same guarantee the repo's BIGINT-cents discipline
+    provides by hand: decimal sums are fixed-point integer arithmetic
+    underneath, so the aggregate is order-independent at any partition
+    count and both engines agree digit-for-digit with no rounding
+    step at all.
+
+    The 2dp-exact double column casts to DECIMAL(18,2) identically in
+    both engines (values sit ~4e-12 from the exact cent, never near a
+    .005 edge); Spark widens the sum to decimal(28,2) internally and
+    the final cast restores the declared scale. At 100 TB this is the
+    preferred money path when the schema owns the type; the cents
+    pattern remains for columns stuck as doubles."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(dec).cast("decimal(18,2)").alias("sum_price"),
+        F.min(dec).cast("decimal(18,2)").alias("min_price"),
+        F.max(dec).cast("decimal(18,2)").alias("max_price"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -678,3 +678,206 @@ def event_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("last_type"),
         )
     )
+
+
+@register(
+    "stream_late_data_policy",
+    category="stream",
+    oracle="""
+        WITH m AS (
+            SELECT event_type, ts,
+                   max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS hwm
+            FROM events
+        )
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CASE WHEN ts < hwm - INTERVAL '10 minutes'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST(sum(CASE WHEN ts < hwm - INTERVAL '10 minutes'
+                             THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+        FROM m GROUP BY event_type
+    """,
+)
+def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, batch-audited: an event is LATE if
+    its event time sits more than 10 minutes behind the high-water mark
+    of what already arrived (arrival order = event_id, the append-log
+    position). This is exactly the row a ``withWatermark('ts', '10
+    minutes')`` stream would drop; the batch form counts kept/dropped
+    per type so an operator can size the delay before deploying the
+    stream (the streaming twin lives in ``streaming/event_streams.py``).
+
+    The watermark is tracked per user key, which is both the scale
+    shape (one keyed exchange, no global ordering bottleneck) and the
+    stricter audit: a global watermark only lags more. First arrival
+    per user has a NULL high-water mark → never late (SQL NULL
+    comparison is false in both engines' CASE). Timestamp arithmetic
+    is exact integer microseconds — no float anywhere."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.col("ts") < F.col("hwm") - F.expr("INTERVAL 10 MINUTES")
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("hwm", F.max("ts").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+            F.sum(F.when(late, 0).otherwise(1)).alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "event_interpolate_linear",
+    category="stream",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, user_id, ts, event_type,
+                   epoch_us(ts) AS t_us,
+                   CASE WHEN event_type = 'click' THEN value END AS cv,
+                   CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS ct
+            FROM events
+        ),
+        filled AS (
+            SELECT event_id, user_id, event_type,  t_us,
+                   last_value(cv IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS v0,
+                   last_value(ct IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS t0,
+                   first_value(cv IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ) AS v1,
+                   first_value(ct IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ) AS t1
+            FROM base
+        )
+        SELECT event_id, user_id,
+               round((v0 * CAST(t1 - t_us AS DOUBLE)
+                      + v1 * CAST(t_us - t0 AS DOUBLE))
+                     / CAST(t1 - t0 AS DOUBLE), 6) AS interp_value
+        FROM filled
+        WHERE event_type = 'error'
+          AND v0 IS NOT NULL AND v1 IS NOT NULL AND t1 > t0
+    """,
+)
+def event_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation (hypertable ``interpolate()``
+    semantics): estimate the metric value at each 'error' event from
+    the nearest 'click' readings before and after it on the same
+    user's timeline — the standard sensor-gap-fill primitive.
+
+    ONE user-keyed window evaluates all four forward/backward
+    IGNORE NULLS fills; the weights are exact integer microseconds and
+    the two-sided weighted average is the same IEEE expression tree in
+    both engines, so round(,6) is deterministic. Rows missing a
+    neighbor on either side (or with a zero-width bracket) are
+    excluded, matching the oracle's NULL/width guards."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("cv"),
+        F.when(F.col("event_type") == "click", F.unix_micros("ts")).alias("ct"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    filled = base.select(
+        "event_id", "user_id", "event_type", "t_us",
+        F.last("cv", ignorenulls=True).over(wp).alias("v0"),
+        F.last("ct", ignorenulls=True).over(wp).alias("t0"),
+        F.first("cv", ignorenulls=True).over(wn).alias("v1"),
+        F.first("ct", ignorenulls=True).over(wn).alias("t1"),
+    )
+    return (
+        filled.filter(
+            (F.col("event_type") == "error")
+            & F.col("v0").isNotNull()
+            & F.col("v1").isNotNull()
+            & (F.col("t1") > F.col("t0"))
+        )
+        .select(
+            "event_id", "user_id",
+            F.round(
+                (
+                    F.col("v0") * (F.col("t1") - F.col("t_us")).cast("double")
+                    + F.col("v1") * (F.col("t_us") - F.col("t0")).cast("double")
+                )
+                / (F.col("t1") - F.col("t0")).cast("double"),
+                6,
+            ).alias("interp_value"),
+        )
+    )
+
+
+@register(
+    "window_ewma",
+    category="stream",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id,
+                   list(value ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+               round(list_reduce(vals,
+                     (acc, x) -> acc * CAST(0.7 AS DOUBLE)
+                               + x * CAST(0.3 AS DOUBLE)), 6) AS ewma
+        FROM ordered
+    """,
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 0.3) of each user's
+    value series — the classic streaming smoother whose recurrence
+    s_i = α·x_i + (1−α)·s_{i−1} resists plain window-frame expression.
+
+    Determinism by construction: the recurrence is a *left fold over an
+    explicitly ordered list* (ts, event_id tie-break), seeded with the
+    first element — Spark's ``aggregate`` HOF and DuckDB's
+    ``list_reduce`` then execute the identical IEEE operation sequence,
+    so the result is bit-equal regardless of partitioning (a window-
+    frame double sum would not be). Per-user state is the user's own
+    timeline — the same bound every sessionization op here carries; the
+    streaming twin is a ``transformWithState`` fold that keeps only the
+    running scalar."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+                lambda s: s["value"],
+            ).alias("vals")
+        )
+        .select(
+            "user_id",
+            F.size("vals").cast("long").alias("n_events"),
+            F.round(
+                F.aggregate(
+                    F.slice(F.col("vals"), F.lit(2), F.size("vals")),
+                    F.element_at(F.col("vals"), 1),
+                    lambda acc, x: acc * F.lit(0.7) + x * F.lit(0.3),
+                ),
+                6,
+            ).alias("ewma"),
+        )
+    )

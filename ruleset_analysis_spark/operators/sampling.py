@@ -18,7 +18,7 @@ approximately per partition like ``df.sample``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..plans.registry import register
 from ..sources.parquet import load
@@ -68,3 +68,37 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     en_keep = (F.col("lang") == "en") & bucket.isin(*"01234567")
     rest_keep = (F.col("lang") != "en") & bucket.isin("0", "1")
     return d.filter(en_keep | rest_keep).select("doc_id", "lang")
+
+
+@register(
+    "sample_topk_reservoir",
+    category="sampling",
+    oracle="""
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY md5(text), doc_id) AS rnk
+            FROM documents
+        ) WHERE rnk <= 20
+    """,
+)
+def sample_topk_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: the 20 documents
+    with the smallest content hash in each language — a reservoir
+    sample whose 'randomness' is the hash order, so it is reproducible,
+    merge-stable (adding documents can only displace, never reshuffle)
+    and needs no RNG state.
+
+    Scale shape: rank-≤-k over a partitioned window plans as
+    WindowGroupLimit in Spark 4 — per-partition k-element heaps
+    pushed below the exchange, so each stratum ships at most k
+    candidates per input partition instead of sorting the corpus.
+    doc_id breaks the (practically impossible) hash tie
+    deterministically."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 20)
+        .select("lang", "doc_id")
+    )

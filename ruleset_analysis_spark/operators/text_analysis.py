@@ -610,3 +610,139 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(lift >= 1.3)
         .select("w1", "w2", "n_ab", F.round(lift, 6).alias("lift"))
     )
+
+
+@register(
+    "text_diversity_simpson",
+    category="text",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, term, count(*) AS n FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                FROM documents
+            ) WHERE term <> '' GROUP BY doc_id, term
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(sum(n * (n - 1)) AS BIGINT) AS d2
+            FROM tf GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               round(1.0 - CAST(d2 AS DOUBLE)
+                           / CAST(n_tokens * (n_tokens - 1) AS DOUBLE),
+                     6) AS simpson_diversity
+        FROM per WHERE n_tokens >= 2
+    """,
+)
+def text_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity as the Gini-Simpson index
+    1 − Σ nᵢ(nᵢ−1) / (N(N−1)) — the probability two tokens drawn
+    without replacement differ. The repetition-quality gate's
+    principled cousin (low diversity ⇒ template/boilerplate text).
+
+    Chosen over Shannon entropy deliberately: Simpson is a RATIONAL in
+    the integer counts, so both engines compute exact BIGINTs and one
+    final IEEE division — hash-deterministic with no transcendental
+    whose last ULP could differ cross-engine (the log-sum class needs
+    quantization; this needs nothing). Two keyed aggregations
+    (doc,term)→doc, both map-side partial; single-token docs are
+    excluded (index undefined at N<2) on both sides."""
+    tf = (
+        _tokens_exploded(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = tf.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("d2"),
+    )
+    return per.filter(F.col("n_tokens") >= 2).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.lit(1.0)
+            - F.col("d2").cast("double")
+            / (F.col("n_tokens") * (F.col("n_tokens") - 1)).cast("double"),
+            6,
+        ).alias("simpson_diversity"),
+    )
+
+
+@register(
+    "text_zipf_slope",
+    category="text",
+    oracle="""
+        WITH tf AS (
+            SELECT term, count(*) AS freq FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS term
+                FROM documents
+            ) WHERE term <> '' GROUP BY term
+        ),
+        ranked AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, term) AS rnk
+            FROM tf
+        ),
+        pts AS (
+            SELECT CAST(round(ln(rnk) * 1000) AS BIGINT) AS x,
+                   CAST(round(ln(freq) * 1000) AS BIGINT) AS y
+            FROM ranked WHERE rnk <= 500
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM pts
+        )
+        SELECT n AS n_terms,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+        FROM s
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus: the least-squares slope of
+    log-frequency against log-rank over the top-500 vocabulary —
+    natural text sits near −1; synthetic or templated corpora drift,
+    making the slope a cheap corpus-health check.
+
+    Exactness discipline (the repo's integer-moments pattern): each
+    (ln rank, ln freq) point is quantized to milli-units ONCE —
+    ln of a small integer agrees across engines far beyond 1e-3 —
+    and the regression runs entirely on BIGINT sufficient statistics
+    (n·Σxy − ΣxΣy)/(n·Σxx − Σx²), bounded well inside int64 at
+    n=500. One double division at the end. Scale shape: the ranking
+    sorts the VOCABULARY (already aggregated), never the token
+    stream; everything before it is two map-side-partial aggs."""
+    tf = (
+        _tokens_exploded(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = tf.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("term")))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 500)
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000).cast("long").alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+            6,
+        ).alias("zipf_slope"),
+    )

@@ -143,6 +143,13 @@ DRIVER_PRIORITY = (
     "tpch_q18_large_orders",
     "tpch_q19_bracket_revenue",
     "tpch_q22_dormant_accounts",
+    "stream_late_data_policy",
+    "event_interpolate_linear",
+    "window_ewma",
+    "text_diversity_simpson",
+    "text_zipf_slope",
+    "sample_topk_reservoir",
+    "agg_decimal_money",
     "limit_topk",
     "setop_union_all",
     "setop_intersect",

@@ -301,6 +301,7 @@ BNLJ_ALLOWED = {
     "text_collocations_lift",   # 1-row corpus total
     "multimodal_frame_sample",  # 1-row broadcast frame params
     "text_tfidf_topterms",      # 1-row doc-count relation
+    "tpch_q22_dormant_accounts",  # 1-row broadcast (total_cents, n_pos) scalar
     "text_lang_stats",          # 1-row corpus totals
     "dedup_near_minhash",       # 1-row signature params
     "join_cross",               # the graded cross-join op (dim × dim)
