@@ -647,3 +647,105 @@ def test_round2_additions_invariants(spark):
     assert [(r["item"], r["cnt"]) for r in hh] == [
         (r["item"], r["count"]) for r in exact
     ]
+
+
+def test_round3_additions_invariants(spark):
+    """Structural invariants of the round-3 additions (TPC-H tail,
+    late-data audit, interpolation, EWMA, diversity, reservoir) on
+    sf0.001 — oracle-independent cross-checks."""
+    from ruleset_analysis_spark.plans.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    specs = all_specs()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+
+    # late-data audit: kept + late == total per type, totals == |events|
+    late = specs["stream_late_data_policy"].builder(spark, sf).collect()
+    assert sum(r["n_events"] for r in late) == ev.count()
+    for r in late:
+        assert r["n_late"] + r["n_kept"] == r["n_events"]
+
+    # interpolation: every estimate lies inside its bracket's value
+    # range is NOT guaranteed (linear extrapolation never happens here:
+    # two-sided brackets only), so assert the weaker invariant that
+    # holds exactly: estimates are finite and the row set is a subset
+    # of error events
+    interp = specs["event_interpolate_linear"].builder(spark, sf).collect()
+    n_errors = ev.filter(F.col("event_type") == "error").count()
+    assert 0 < len(interp) <= n_errors
+    assert all(r["interp_value"] is not None for r in interp)
+
+    # EWMA: recompute the fold in plain Python from the raw table
+    ewma = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in specs["window_ewma"].builder(spark, sf).collect()
+    }
+    rows = ev.select("user_id", "ts", "event_id", "value").collect()
+    series: dict = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        series.setdefault(r["user_id"], []).append(r["value"])
+    for uid, vals in series.items():
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = acc * 0.7 + x * 0.3
+        n, got = ewma[uid]
+        assert n == len(vals)
+        assert abs(got - round(acc, 6)) < 1e-9, uid
+
+    # Simpson diversity: bounded to [0, 1], single-token docs excluded
+    div = specs["text_diversity_simpson"].builder(spark, sf).collect()
+    for r in div:
+        assert r["n_tokens"] >= 2
+        assert 0.0 <= r["simpson_diversity"] <= 1.0
+
+    # Zipf: negative slope on any frequency-ranked vocabulary
+    z = specs["text_zipf_slope"].builder(spark, sf).collect()[0]
+    assert z["n_terms"] <= 500 and z["zipf_slope"] < 0
+
+    # reservoir: at most 20 per stratum, deterministic across runs
+    res1 = sorted(map(tuple, specs["sample_topk_reservoir"].builder(spark, sf).collect()))
+    res2 = sorted(map(tuple, specs["sample_topk_reservoir"].builder(spark, sf).collect()))
+    assert res1 == res2
+    per_lang: dict = {}
+    for lang, _doc in res1:
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    assert all(n <= 20 for n in per_lang.values())
+
+    # decimal money: digit-exact vs the BIGINT-cents discipline
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    cents_sum = {
+        r["l_returnflag"]: r["c"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("c"))
+        .collect()
+    }
+    for r in specs["agg_decimal_money"].builder(spark, sf).collect():
+        assert int(r["sum_price"] * 100) == cents_sum[r["l_returnflag"]]
+
+    # TPC-H tail
+    q13 = specs["tpch_q13_order_distribution"].builder(spark, sf).collect()
+    n_cust = spark.read.parquet(f"{sf}/customer.parquet").count()
+    assert sum(r["custdist"] for r in q13) == n_cust
+
+    q14 = specs["tpch_q14_promo_revenue"].builder(spark, sf).collect()[0]
+    assert 0.0 <= q14["promo_revenue_pct"] <= 100.0
+
+    q15 = specs["tpch_q15_top_supplier"].builder(spark, sf).collect()
+    assert len(q15) >= 1
+    assert len({r["total_revenue_cents"] for r in q15}) == 1  # ties kept, all == max
+
+    q18 = specs["tpch_q18_large_orders"].builder(spark, sf).collect()
+    assert len(q18) <= 100
+    assert all(r["total_qty"] > 250 for r in q18)
+
+    q16 = specs["tpch_q16_supplier_variety"].builder(spark, sf).collect()
+    assert all(r["supplier_cnt"] >= 1 for r in q16)
+    assert all(r["p_size"] in (1, 4, 9, 14, 23, 36, 45, 49) for r in q16)
+
+    q19 = specs["tpch_q19_bracket_revenue"].builder(spark, sf).collect()
+    assert len(q19) == 1 and q19[0]["revenue_cents"] >= 0
+
+    q7 = specs["tpch_q7_volume_shipping"].builder(spark, sf).collect()
+    for r in q7:
+        assert {r["supp_nation"], r["cust_nation"]} == {"NATION_3", "NATION_7"}
+        assert r["l_year"] in (1995, 1996)
