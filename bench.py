@@ -51,17 +51,27 @@ def main() -> int:
     # warmup: JVM + parquet footer caches + Arrow/python worker pool +
     # whole-stage-codegen JIT for the shared heavy substrates. One
     # query per substrate family — JVM agg, pandas-UDF worker pool,
-    # shingle/dedup pipeline, vector HOFs, window frames — so the
-    # first *timed* query of each family measures the engine, not
-    # one-time generated-code compilation (measured: the alphabetically
-    # first dedup query otherwise pays ~30 s of JIT that every later
-    # family member then skips).
+    # shingle/dedup pipeline, vector HOFs, window frames, plus the
+    # substrate families added in rounds 2-3: the ASA parse pipeline
+    # (regexp + rules dim), Arrow binary kernels (mapInPandas), the
+    # HOF sequence/chunk/md5 chain, the iterative checkpointed loop,
+    # sufficient-statistics partials, and the sign-bit LSH bucket
+    # join — so the first *timed* query of each family measures the
+    # engine, not one-time generated-code compilation (measured: the
+    # alphabetically first dedup query otherwise pays ~30 s of JIT
+    # that every later family member then skips).
     for w in (
         "agg_count_by_key",
         "udf_scalar_pandas",
         "dedup_ngram_jaccard",
         "embed_array_stats",
         "window_lag_lead",
+        "firewall_rule_hits",
+        "multimodal_binary_features",
+        "doc_chunk_fixed_tokens",
+        "dedup_cluster_components",
+        "embed_pca_project",
+        "sim_ann_lsh",
     ):
         run(specs[w].builder(spark, sf_dir))
 

@@ -917,3 +917,51 @@ def agg_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(dec).cast("decimal(18,2)").alias("max_price"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    category="agg",
+    oracle="""
+        WITH words AS (
+            SELECT event_type,
+                   CAST(user_id // 32 AS BIGINT) AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER))
+                       AS mask
+            FROM events GROUP BY event_type, word
+        )
+        SELECT event_type,
+               CAST(sum(bit_count(mask)) AS BIGINT) AS users
+        FROM words GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via mergeable integer bitmaps — the
+    roaring-bitmap pattern composed from pure relational ops: bucket
+    the key space into 32-bit words, OR the membership bits per
+    (group, word), then popcount-sum. Same answer as count(DISTINCT)
+    but the partial state is one BIGINT per occupied word — mergeable
+    across days/partitions like the HLL sketch family, yet exact.
+
+    At 100 TB this is the incremental-distinct pattern for DENSE
+    integer key spaces (user ids): per-day word masks persist and
+    re-aggregate with bit_or — touch-history-once, no re-scan; HLL
+    (agg_hll_mergeable) remains the sparse/unbounded-key fallback.
+    Both aggregation levels are map-side partial; 32-bit words keep
+    every shifted value positive in an int64 on both engines (shifting
+    into bit 63 would flip the sign — semantically fine for bit_or,
+    needlessly engine-sensitive)."""
+    ev = load(spark, sf_dir, "events")
+    words = ev.groupBy(
+        "event_type",
+        F.floor(F.col("user_id") / 32).alias("word"),
+    ).agg(
+        F.bit_or(
+            # shiftleft's numBits parameter is Python-int-only in the
+            # DataFrame API; the SQL form takes a per-row column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("mask")
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).alias("users")
+    )

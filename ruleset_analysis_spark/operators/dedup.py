@@ -615,3 +615,108 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(containment >= 0.08)
         .select("doc_a", "doc_b", F.round(containment, 6).alias("containment"))
     )
+
+
+@register(
+    "dedup_weighted_jaccard",
+    category="dedup",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(string_split(lower(text), ' ')) AS term,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS i
+            FROM documents
+        ),
+        tri AS (
+            SELECT DISTINCT t1.doc_id, t1.source,
+                   t1.term || ' ' || t2.term || ' ' || t3.term AS tri
+            FROM toks t1
+            JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+            JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+        ),
+        d AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tri),
+        wt AS (
+            SELECT tri.tri,
+                   CAST(round(ln(CAST(n_docs AS DOUBLE) / count(DISTINCT doc_id))
+                              * 1000) AS BIGINT) AS w
+            FROM tri, d GROUP BY tri.tri, n_docs
+        ),
+        wtri AS (
+            SELECT tri.doc_id, tri.source, tri.tri, wt.w
+            FROM tri JOIN wt ON wt.tri = tri.tri
+        ),
+        totals AS (
+            SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw
+            FROM wtri GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(sum(a.w) AS BIGINT) AS iw
+            FROM wtri a JOIN wtri b
+              ON a.tri = b.tri AND a.source = b.source
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(iw AS DOUBLE) / (ta.tw + tb.tw - iw), 6)
+                   AS weighted_jaccard
+        FROM inter
+        JOIN totals ta ON ta.doc_id = doc_a
+        JOIN totals tb ON tb.doc_id = doc_b
+        WHERE ta.tw + tb.tw > iw
+          AND CAST(iw AS DOUBLE) / (ta.tw + tb.tw - iw) >= 0.02
+    """,
+)
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted near-duplicate pairs: trigram Jaccard where each
+    shingle counts its corpus rarity — Σ_{A∩B} idf / Σ_{A∪B} idf — so
+    two docs sharing boilerplate trigrams (idf ≈ 0) no longer look
+    similar, while sharing rare content weighs heavily. The soft-dedup
+    refinement every curation pipeline reaches for once plain Jaccard
+    starts deleting templated-but-distinct documents.
+
+    Exactness: idf is milli-quantized to BIGINT ONCE per vocabulary
+    entry (ln agrees across engines far beyond 1e-3), then everything
+    is integer sums and one final division — the repo's
+    integer-moments discipline. Scale shape: the weight table is
+    VOCABULARY-sized and joins the shingle relation on the same key
+    (s) the pair join uses; candidate pairs still come only from
+    shared shingles within a source block — disjoint docs never meet.
+    Ubiquitous shingles (df = D, idf = 0) contribute nothing and a
+    df > D/2 prune would drop them from the join entirely at 100 TB
+    (kept here for oracle parity)."""
+    tri = _exploded_shingles(spark, sf_dir).withColumnRenamed("s", "tri")
+    n_docs = tri.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    wt = (
+        tri.groupBy("tri")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tri",
+            F.round(F.log(F.col("n_docs") / F.col("df")) * 1000)
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    wtri = tri.join(wt, "tri")
+    totals = wtri.groupBy("doc_id").agg(F.sum("w").alias("tw"))
+    a, b = wtri.alias("a"), wtri.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tri") == F.col("b.tri"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w")).alias("iw"))
+    )
+    wj = F.col("iw").cast("double") / (F.col("ta") + F.col("tb") - F.col("iw"))
+    return (
+        inter.join(totals.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("ta")), "doc_a")
+        .join(totals.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("tb")), "doc_b")
+        .filter((F.col("ta") + F.col("tb") > F.col("iw")) & (wj >= 0.02))
+        .select("doc_a", "doc_b", F.round(wj, 6).alias("weighted_jaccard"))
+    )

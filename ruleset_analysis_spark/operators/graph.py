@@ -84,6 +84,12 @@ def graph_pagerank_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - _DAMPING) / n
     for i in range(_ITERATIONS):
+        # Keyed join, deliberately NOT a broadcast: re-broadcasting the
+        # refreshed ranks relation would collect it to the driver every
+        # round (10 driver round-trips — measured slower hot, and an
+        # anti-pattern at any scale). The edge relation keeps its
+        # persisted hashpartitioning(src); only the node-sized ranks
+        # relation shuffles to meet it.
         contribs = (
             out.join(ranks, out.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
@@ -94,13 +100,13 @@ def graph_pagerank_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("node"),
             (F.lit(base) + F.lit(_DAMPING) * F.col("mass")).alias("rank"),
         )
-        # Checkpoint every SECOND round (and the last): unlike
-        # dedup_cluster_components, each round references `ranks`
-        # exactly once, so lineage grows linearly and a 2-round plan
-        # is still cheap to analyze — halving the eager materialization
-        # barriers (measured ~2x fewer jobs, same values; the NumPy
-        # property test pins the output element-wise).
-        if i % 2 == 1 or i == _ITERATIONS - 1:
+        # Checkpoint every THIRD round (and the last): each round
+        # references `ranks` exactly once, so lineage grows linearly
+        # and a 3-round plan is still cheap to analyze — fewer eager
+        # materialization barriers than checkpointing every round
+        # (measured fewer jobs, same values; the NumPy property test
+        # pins the output element-wise).
+        if i % 3 == 2 or i == _ITERATIONS - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return (
         ranks.orderBy(F.desc("rank"), F.asc("node"))

@@ -150,6 +150,8 @@ DRIVER_PRIORITY = (
     "text_zipf_slope",
     "sample_topk_reservoir",
     "agg_decimal_money",
+    "dedup_weighted_jaccard",
+    "agg_bitmap_distinct",
     "limit_topk",
     "setop_union_all",
     "setop_intersect",
