@@ -31,7 +31,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from .text_logs import ASA_106100_RE
@@ -181,7 +183,75 @@ class AsaSyslogDataSource(DataSource):
     def streamReader(self, schema) -> AsaSyslogStreamReader:
         return AsaSyslogStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "AsaSyslogWriter":
+        return AsaSyslogWriter(self.options, overwrite)
+
 
 def register_asa_syslog(spark) -> None:
     """Idempotently register the datasource on a session."""
     spark.dataSource.register(AsaSyslogDataSource)
+
+
+# --------------------------------------------------------------- writer
+
+class _AsaCommit(WriterCommitMessage):
+    """Per-task commit message: the temp file this task produced."""
+
+    def __init__(self, tmp_path: str, n_rows: int) -> None:
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class AsaSyslogWriter(DataSourceWriter):
+    """Transactional batch writer: DataFrame rows of the hit schema →
+    gzipped syslog files that ``format("asa_syslog")`` (and any real
+    ASA tooling that reads 106100 messages) can read back.
+
+    Two-phase commit, the contract every distributed sink needs:
+    each task writes ``part-<uuid>.log.gz.tmp`` and reports it in its
+    commit message; only the driver-side ``commit()`` renames the temp
+    files into place (atomic per file on POSIX), and ``abort()``
+    removes any temp that straggler/failed tasks left behind. A reader
+    can never observe a half-written file under its final name —
+    task-level idempotence without a manifest (the rename IS the
+    manifest; at object-store scale the same shape carries a manifest
+    file instead, because rename is not atomic there).
+
+    One file per partition — matching the reader's one-partition-per-
+    file planning, so a write→read round-trip preserves parallelism."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("asa_syslog: .save(path) is required")
+        self._path = path
+        self._overwrite = overwrite
+
+    def write(self, iterator: Iterator) -> _AsaCommit:
+        import uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(self._path, f"part-{uuid.uuid4().hex}.log.gz.tmp")
+        n = 0
+        with gzip.open(tmp, "wt", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(
+                    f"%ASA-6-106100: access-list {row.acl} {row.action} "
+                    f"{row.protocol} {row.src_if}/{row.src_ip}({row.src_port})"
+                    f" -> {row.dst_if}/{row.dst_ip}({row.dst_port})"
+                    f" hit-cnt {row.hit_cnt} [0x0, 0x0]\n"
+                )
+                n += 1
+        return _AsaCommit(tmp, n)
+
+    def commit(self, messages: Sequence[_AsaCommit]) -> None:
+        if self._overwrite:
+            for old in glob.glob(os.path.join(self._path, "*.log.gz")):
+                os.remove(old)
+        for m in messages:
+            os.rename(m.tmp_path, m.tmp_path[: -len(".tmp")])
+
+    def abort(self, messages: Sequence[_AsaCommit]) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

@@ -532,3 +532,42 @@ def test_event_stream_bootstraps_on_empty_directory(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == [
         "event_id", "ts", "user_id", "event_type", "value", "props",
     ]
+
+
+def test_python_datasource_writer_roundtrip(spark, tmp_path):
+    """The asa_syslog DataSourceWriter emits gzipped 106100 syslog that
+    the SAME datasource (and the JVM parse path) reads back row-exact,
+    with two-phase commit: no .tmp files survive a successful write,
+    and mode('overwrite') replaces prior output."""
+    from ruleset_analysis_spark.sources.python_datasource import (
+        register_asa_syslog,
+    )
+
+    register_asa_syslog(spark)
+    out = tmp_path / "export"
+    rows = [
+        ("OUTSIDE_IN", "permitted", "tcp", "outside", "203.0.113.7", 51514,
+         "dmz", "10.0.1.5", 443, 3),
+        ("OUTSIDE_IN", "denied", "udp", "outside", "198.51.100.9", 4099,
+         "dmz", "10.0.1.9", 53, 1),
+        ("MGMT", "permitted", "tcp", "inside", "10.9.9.9", 1024,
+         "mgmt", "10.0.2.2", 22, 7),
+    ]
+    cols = ["acl", "action", "protocol", "src_if", "src_ip", "src_port",
+            "dst_if", "dst_ip", "dst_port", "hit_cnt"]
+    df = spark.createDataFrame(rows, cols).withColumn(
+        "src_port", F.col("src_port").cast("int")
+    ).withColumn("dst_port", F.col("dst_port").cast("int"))
+    df.write.format("asa_syslog").mode("append").save(str(out))
+
+    import glob as _glob
+    assert not _glob.glob(str(out / "*.tmp")), "temp files must not survive commit"
+    files = _glob.glob(str(out / "*.log.gz"))
+    assert files, "committed .log.gz files expected"
+
+    back = spark.read.format("asa_syslog").load(str(out))
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+    # overwrite replaces prior committed files
+    df.limit(1).write.format("asa_syslog").mode("overwrite").save(str(out))
+    assert spark.read.format("asa_syslog").load(str(out)).count() == 1
