@@ -420,3 +420,51 @@ def profile_corpus_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(entry("lang"), entry("source"), entry("text"), entry("n_chars"))
         ).alias("p")
     ).select("p.col", "p.n_nonnull", "p.n_distinct")
+
+
+@register(
+    "curation_mix_weights",
+    category="curation",
+    oracle="""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                            t -> t <> ''))) AS BIGINT)
+                       AS tok_count
+            FROM documents GROUP BY source
+        )
+        SELECT source, tok_count,
+               CAST(least(tok_count, 10000) AS BIGINT) AS alloc_tokens,
+               round(CAST(least(tok_count, 10000) AS DOUBLE) / tok_count, 6)
+                   AS sample_rate
+        FROM per_source
+    """,
+)
+def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix allocation: per-source token counts → capped token
+    allocations and the deterministic sampling rate that realizes them
+    — the 'data mixing' step between curation and tokenization (cap a
+    dominant crawl source, keep small curated sources whole; the
+    downstream sampler is ``sample_hash_deterministic`` with
+    rate-sized hash buckets per source).
+
+    Policy graded here is single-step proportional-with-cap
+    (alloc = min(tokens, cap); rate = alloc/tokens, never > 1 — no
+    silent upsampling). Exactness: counts and allocations are BIGINTs;
+    the rate is one division of exact integers rounded 6dp. Scale
+    shape: ONE corpus scan with a map-side-partial sum to
+    source-cardinality rows; everything after is dimension-sized."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).alias("tok_count")
+    )
+    cap = F.lit(10000).cast("long")
+    alloc = F.least(F.col("tok_count"), cap)
+    return per.select(
+        "source",
+        "tok_count",
+        alloc.alias("alloc_tokens"),
+        F.round(alloc.cast("double") / F.col("tok_count"), 6).alias(
+            "sample_rate"
+        ),
+    )

@@ -746,3 +746,103 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "text_bigram_surprisal",
+    category="text",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, term, i AS pos FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS term,
+                       generate_subscripts(string_split(lower(text), ' '), 1)
+                           AS i
+                FROM documents
+            ) WHERE term <> ''
+        ),
+        big AS (
+            SELECT doc_id, term AS w1,
+                   lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM tok
+        ),
+        big2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+        c2 AS (SELECT w1, w2, count(*) AS n2 FROM big2 GROUP BY w1, w2),
+        c1 AS (SELECT w1, count(*) AS n1 FROM big2 GROUP BY w1),
+        v AS (SELECT count(DISTINCT term) AS vocab FROM tok),
+        sc AS (
+            SELECT c2.w1, c2.w2,
+                   CAST(round(-log2(CAST(n2 + 1 AS DOUBLE)
+                                    / CAST(n1 + vocab AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS micro_bits
+            FROM c2 JOIN c1 ON c1.w1 = c2.w1 CROSS JOIN v
+        )
+        SELECT big2.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(micro_bits) AS DOUBLE)
+                     / (count(*) * 1000000.0), 6) AS avg_surprisal_bits
+        FROM big2 JOIN sc ON sc.w1 = big2.w1 AND sc.w2 = big2.w2
+        GROUP BY big2.doc_id
+    """,
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, the real pipeline shape: train a
+    bigram LM on the corpus (add-one smoothing over the corpus
+    vocabulary) and score each document by its average per-bigram
+    surprisal, −log2 P(w₂|w₁) — high-surprisal docs are gibberish or
+    off-distribution, low-surprisal docs are templated; both tails get
+    human review in a curation run. The perplexity-proxy step up from
+    ``text_rarity_score``'s unigram document frequencies.
+
+    Exactness: surprisal is quantized to micro-bits BIGINT ONCE per
+    bigram TYPE (log2 of a ratio of exact integers agrees across
+    engines far beyond 1e-6), then the per-doc average is exact
+    integer sums and a single final division — no
+    order-of-double-summation anywhere. Scale shape: bigram model
+    counts are vocabulary²-bounded (not corpus-bounded) and partial-
+    aggregate map-side; the scoring join keys the token stream once on
+    (w1, w2); the vocab scalar is a 1-row broadcast."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.col("term").alias("w1"),
+            F.lead("term", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = tok.agg(F.countDistinct("term").alias("vocab"))
+    sc = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1", "w2",
+            F.round(
+                -F.log2(
+                    (F.col("n2") + 1).cast("double")
+                    / (F.col("n1") + F.col("vocab")).cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("micro_bits"),
+        )
+    )
+    return (
+        big.join(sc, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("micro_bits").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                6,
+            ).alias("avg_surprisal_bits"),
+        )
+    )

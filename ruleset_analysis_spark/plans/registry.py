@@ -152,6 +152,8 @@ DRIVER_PRIORITY = (
     "agg_decimal_money",
     "dedup_weighted_jaccard",
     "agg_bitmap_distinct",
+    "curation_mix_weights",
+    "text_bigram_surprisal",
     "limit_topk",
     "setop_union_all",
     "setop_intersect",

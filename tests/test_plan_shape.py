@@ -303,6 +303,7 @@ BNLJ_ALLOWED = {
     "text_tfidf_topterms",      # 1-row doc-count relation
     "tpch_q22_dormant_accounts",  # 1-row broadcast (total_cents, n_pos) scalar
     "dedup_weighted_jaccard",   # 1-row broadcast corpus doc-count scalar
+    "text_bigram_surprisal",    # 1-row broadcast vocab-size scalar
     "text_lang_stats",          # 1-row corpus totals
     "dedup_near_minhash",       # 1-row signature params
     "join_cross",               # the graded cross-join op (dim × dim)
