@@ -685,23 +685,36 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ubiquitous shingles (df = D, idf = 0) contribute nothing and a
     df > D/2 prune would drop them from the join entirely at 100 TB
     (kept here for oracle parity)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
     tri = _exploded_shingles(spark, sf_dir).withColumnRenamed("s", "tri")
     n_docs = tri.agg(
         F.countDistinct("doc_id").cast("double").alias("n_docs")
     )
-    wt = (
-        tri.groupBy("tri")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "tri",
-            F.round(F.log(F.col("n_docs") / F.col("df")) * 1000)
-            .cast("long")
-            .alias("w"),
+    # df and the per-doc weight total both ride WINDOWS over the one
+    # weighted-shingle relation instead of aggregate+rejoin (tri rows
+    # are distinct per (doc, shingle), so count-over-(tri) IS the
+    # document frequency): two keyed exchanges replace four and the
+    # pair join carries each side's total inline — no totals join at
+    # all (tw is functionally dependent on doc_id, so grouping by it
+    # is free). The relation is persisted because the self-join scans
+    # it twice; it is shingle-sized, same budget as the substrate.
+    wtri = (
+        tri.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("tri"))
         )
+        .withColumn(
+            "w",
+            F.round(F.log(F.col("n_docs") / F.col("df")) * 1000).cast("long"),
+        )
+        .withColumn(
+            "tw", F.sum("w").over(Window.partitionBy("doc_id"))
+        )
+        .select("doc_id", "source", "tri", "w", "tw")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    wtri = tri.join(wt, "tri")
-    totals = wtri.groupBy("doc_id").agg(F.sum("w").alias("tw"))
     a, b = wtri.alias("a"), wtri.alias("b")
     inter = (
         a.join(
@@ -710,13 +723,16 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.tw").alias("ta"),
+            F.col("b.tw").alias("tb"),
+        )
         .agg(F.sum(F.col("a.w")).alias("iw"))
     )
     wj = F.col("iw").cast("double") / (F.col("ta") + F.col("tb") - F.col("iw"))
     return (
-        inter.join(totals.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("ta")), "doc_a")
-        .join(totals.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("tb")), "doc_b")
-        .filter((F.col("ta") + F.col("tb") > F.col("iw")) & (wj >= 0.02))
+        inter.filter((F.col("ta") + F.col("tb") > F.col("iw")) & (wj >= 0.02))
         .select("doc_a", "doc_b", F.round(wj, 6).alias("weighted_jaccard"))
     )
