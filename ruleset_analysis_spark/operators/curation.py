@@ -428,15 +428,17 @@ def profile_corpus_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH per_source AS (
             SELECT source,
-                   CAST(sum(len(list_filter(string_split(lower(text), ' '),
-                                            t -> t <> ''))) AS BIGINT)
-                       AS tok_count
+                   CAST(coalesce(sum(len(list_filter(
+                            string_split(lower(text), ' '),
+                            t -> t <> ''))), 0) AS BIGINT) AS tok_count
             FROM documents GROUP BY source
         )
         SELECT source, tok_count,
                CAST(least(tok_count, 10000) AS BIGINT) AS alloc_tokens,
-               round(CAST(least(tok_count, 10000) AS DOUBLE) / tok_count, 6)
-                   AS sample_rate
+               CASE WHEN tok_count > 0
+                    THEN round(CAST(least(tok_count, 10000) AS DOUBLE)
+                               / tok_count, 6)
+                    ELSE 0.0 END AS sample_rate
         FROM per_source
     """,
 )
@@ -456,15 +458,22 @@ def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-cardinality rows; everything after is dimension-sized."""
     d = load(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(
-        F.sum(F.size(tokens("text"))).alias("tok_count")
+        F.coalesce(F.sum(F.size(tokens("text"))), F.lit(0))
+        .cast("long")
+        .alias("tok_count")
     )
     cap = F.lit(10000).cast("long")
     alloc = F.least(F.col("tok_count"), cap)
+    # a source of only empty/NULL docs allocates 0 at rate 0 — one
+    # dirty source must not ANSI-abort the whole mix computation
     return per.select(
         "source",
         "tok_count",
         alloc.alias("alloc_tokens"),
-        F.round(alloc.cast("double") / F.col("tok_count"), 6).alias(
-            "sample_rate"
-        ),
+        F.when(
+            F.col("tok_count") > 0,
+            F.round(alloc.cast("double") / F.col("tok_count"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("sample_rate"),
     )

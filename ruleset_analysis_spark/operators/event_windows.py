@@ -881,3 +881,109 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+@register(
+    "event_concurrency_sweep",
+    category="stream",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   min(ts) AS s_start, max(ts) AS s_end
+            FROM (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ) GROUP BY user_id, sid
+        ),
+        pts AS (
+            SELECT s_start AS t, 1 AS delta FROM sess
+            UNION ALL
+            SELECT s_end AS t, -1 AS delta FROM sess
+        ),
+        intra AS (
+            SELECT date_trunc('day', t) AS d, t, delta,
+                   sum(delta) OVER (PARTITION BY date_trunc('day', t)
+                                    ORDER BY t, delta DESC
+                                    ROWS UNBOUNDED PRECEDING) AS run
+            FROM pts
+        ),
+        per_day AS (
+            SELECT d, CAST(max(run) AS BIGINT) AS intra_peak,
+                   CAST(sum(delta) AS BIGINT) AS day_delta,
+                   CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sessions_started
+            FROM intra GROUP BY d
+        )
+        SELECT CAST(epoch(d) AS BIGINT) AS day_epoch,
+               CAST(intra_peak
+                    + coalesce(sum(day_delta) OVER (ORDER BY d
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0)
+                    AS BIGINT) AS peak_concurrency,
+               n_sessions_started
+        FROM per_day
+    """,
+)
+def event_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line workload
+    behind every 'max concurrent users / licenses / connections'
+    dashboard: sessions (30-min inactivity islands) become +1/−1
+    boundary points, and the peak is the max of the running sum.
+
+    The textbook formulation sorts ALL points in one global window —
+    the single-partition trap. The scale shape used here decomposes
+    the prefix sum: an intra-day running sum over a DAY-partitioned
+    window (one keyed exchange) plus a day-level offset computed by a
+    window over the day-cardinality relation (bounded by the calendar,
+    not the data). peak(day) = intra_peak(day) + Σ earlier days' net
+    delta. Boundary semantics, pinned identically both sides: +1
+    sorts before −1 at equal timestamps (delta DESC), so touching or
+    zero-length sessions count as concurrent; sessions crossing
+    midnight contribute their boundary points to their own days and
+    the carryover is exact by construction. All-integer arithmetic —
+    hash-exact at any partitioning."""
+    ev = load(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    pts = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    d = F.date_trunc("day", "t")
+    wi = (
+        Window.partitionBy(d)
+        .orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = pts.select(
+        d.alias("d"), "delta", F.sum("delta").over(wi).alias("run")
+    )
+    per_day = intra.groupBy("d").agg(
+        F.max("run").cast("long").alias("intra_peak"),
+        F.sum("delta").cast("long").alias("day_delta"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+            "n_sessions_started"
+        ),
+    )
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    return per_day.select(
+        F.unix_timestamp("d").alias("day_epoch"),
+        (
+            F.col("intra_peak")
+            + F.coalesce(F.sum("day_delta").over(wd), F.lit(0))
+        ).cast("long").alias("peak_concurrency"),
+        "n_sessions_started",
+    )

@@ -154,6 +154,7 @@ DRIVER_PRIORITY = (
     "agg_bitmap_distinct",
     "curation_mix_weights",
     "text_bigram_surprisal",
+    "event_concurrency_sweep",
     "limit_topk",
     "setop_union_all",
     "setop_intersect",

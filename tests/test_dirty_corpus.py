@@ -48,6 +48,11 @@ DIRTY_QUERIES = [
     "embed_centroid_per_label", "dedup_containment",
     "event_path_3gram", "event_cdc_upsert", "agg_heavy_hitters_topk",
     "json_variant_extract",
+    # round-3 additions over the same tables
+    "stream_late_data_policy", "event_interpolate_linear", "window_ewma",
+    "text_diversity_simpson", "text_zipf_slope", "sample_topk_reservoir",
+    "dedup_weighted_jaccard", "agg_bitmap_distinct", "curation_mix_weights",
+    "text_bigram_surprisal", "event_concurrency_sweep",
 ]
 
 
