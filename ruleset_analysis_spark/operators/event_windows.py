@@ -684,45 +684,70 @@ def event_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_late_data_policy",
     category="stream",
     oracle="""
-        WITH m AS (
+        WITH a AS (
             SELECT event_type, ts,
-                   max(ts) OVER (PARTITION BY user_id ORDER BY event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                          AND 1 PRECEDING) AS hwm
+                   (epoch_us(ts) + ((event_id * 40503) % 1801) * 1000000)
+                       // 60000000 AS batch
             FROM events
+        ),
+        bm AS (SELECT batch, max(ts) AS bmax FROM a GROUP BY batch),
+        wm AS (
+            SELECT batch,
+                   max(bmax) OVER (ORDER BY batch
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS wm
+            FROM bm
         )
         SELECT event_type, count(*) AS n_events,
-               CAST(sum(CASE WHEN ts < hwm - INTERVAL '10 minutes'
+               CAST(sum(CASE WHEN a.ts < wm.wm - INTERVAL '10 minutes'
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-               CAST(sum(CASE WHEN ts < hwm - INTERVAL '10 minutes'
+               CAST(sum(CASE WHEN a.ts < wm.wm - INTERVAL '10 minutes'
                              THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
-        FROM m GROUP BY event_type
+        FROM a JOIN wm USING (batch)
+        GROUP BY event_type
     """,
 )
 def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark late-data semantics, batch-audited: an event is LATE if
-    its event time sits more than 10 minutes behind the high-water mark
-    of what already arrived (arrival order = event_id, the append-log
-    position). This is exactly the row a ``withWatermark('ts', '10
-    minutes')`` stream would drop; the batch form counts kept/dropped
-    per type so an operator can size the delay before deploying the
-    stream (the streaming twin lives in ``streaming/event_streams.py``).
+    """Watermark late-data semantics, batch-audited the way Structured
+    Streaming actually applies them: the watermark advances at
+    MICRO-BATCH boundaries (max event time seen in earlier batches),
+    and an event whose time sits more than 10 minutes behind the
+    watermark of its own arrival batch is the row
+    ``withWatermark('ts', '10 minutes')`` would drop. Arrival time is
+    event time plus a deterministic collector jitter of 0-30 min
+    (``(event_id·40503) mod 1801`` seconds — the corpus itself is
+    perfectly ordered, so the audit would be vacuous without modeling
+    the out-of-orderness a real multi-source collector produces);
+    arrival minutes are the micro-batches.
 
-    The watermark is tracked per user key, which is both the scale
-    shape (one keyed exchange, no global ordering bottleneck) and the
-    stricter audit: a global watermark only lags more. First arrival
-    per user has a NULL high-water mark → never late (SQL NULL
-    comparison is false in both engines' CASE). Timestamp arithmetic
-    is exact integer microseconds — no float anywhere."""
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    Scale shape: per-batch max is one tiny aggregate (calendar-
+    cardinality), the running max rides a window over THAT relation —
+    never a global ordering of the fact table — and the watermark
+    joins back as a broadcast. First batch has a NULL watermark →
+    never late (CASE semantics identical both engines). All integer
+    microseconds."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        "ts",
+        # integer `div`, not float division: bit-exact batch ids
+        F.expr(
+            "(unix_micros(ts) + ((event_id * 40503) % 1801) * 1000000)"
+            " div 60000000"
+        ).alias("batch"),
     )
-    late = F.col("ts") < F.col("hwm") - F.expr("INTERVAL 10 MINUTES")
+    bm = b.groupBy("batch").agg(F.max("ts").alias("bmax"))
+    wm = bm.select(
+        "batch",
+        F.max("bmax")
+        .over(
+            Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("wm"),
+    )
+    late = F.col("ts") < F.col("wm") - F.expr("INTERVAL 10 MINUTES")
     return (
-        load(spark, sf_dir, "events")
-        .withColumn("hwm", F.max("ts").over(w))
+        b.join(F.broadcast(wm), "batch")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -986,4 +1011,89 @@ def event_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.sum("day_delta").over(wd), F.lit(0))
         ).cast("long").alias("peak_concurrency"),
         "n_sessions_started",
+    )
+
+
+@register(
+    "stream_lateness_histogram",
+    category="stream",
+    oracle="""
+        WITH a AS (
+            SELECT ts,
+                   (epoch_us(ts) + ((event_id * 40503) % 1801) * 1000000)
+                       // 60000000 AS batch
+            FROM events
+        ),
+        bm AS (SELECT batch, max(ts) AS bmax FROM a GROUP BY batch),
+        wm AS (
+            SELECT batch,
+                   max(bmax) OVER (ORDER BY batch
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS wm
+            FROM bm
+        ),
+        lat AS (
+            SELECT CAST(epoch(date_trunc('second', wm.wm))
+                        - epoch(date_trunc('second', a.ts)) AS BIGINT)
+                       AS late_s
+            FROM a JOIN wm USING (batch)
+            WHERE wm.wm IS NOT NULL AND a.ts < wm.wm
+        )
+        SELECT CASE WHEN late_s <= 60 THEN 'a_1min'
+                    WHEN late_s <= 300 THEN 'b_5min'
+                    WHEN late_s <= 1800 THEN 'c_30min'
+                    ELSE 'd_over_30min' END AS lateness_bucket,
+               count(*) AS n,
+               CAST(max(late_s) AS BIGINT) AS max_late_s
+        FROM lat GROUP BY 1
+    """,
+)
+def stream_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late is late? The distribution every watermark delay is
+    tuned from: for each out-of-order event (event time behind the
+    key's arrival high-water mark), bucket its lateness and report
+    counts + the worst case. Pairs with ``stream_late_data_policy``:
+    that op audits one candidate delay, this one shows the whole
+    curve so the operator can pick the delay that bounds state while
+    dropping ~nothing.
+
+    Same micro-batch watermark substrate as the policy audit (same
+    deterministic 0-30 min collector jitter, same calendar-sized
+    batch relation and broadcast join back); lateness is exact
+    integer seconds (second-truncated identically both sides); the
+    bucket CASE and the final tiny aggregate are pure codegen."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "ts",
+        F.expr(
+            "(unix_micros(ts) + ((event_id * 40503) % 1801) * 1000000)"
+            " div 60000000"
+        ).alias("batch"),
+    )
+    bm = b.groupBy("batch").agg(F.max("ts").alias("bmax"))
+    wm = bm.select(
+        "batch",
+        F.max("bmax")
+        .over(
+            Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("wm"),
+    )
+    late_s = F.unix_timestamp(F.date_trunc("second", "wm")) - F.unix_timestamp(
+        F.date_trunc("second", "ts")
+    )
+    lat = (
+        b.join(F.broadcast(wm), "batch")
+        .filter(F.col("wm").isNotNull() & (F.col("ts") < F.col("wm")))
+        .select(late_s.alias("late_s"))
+    )
+    bucket = (
+        F.when(F.col("late_s") <= 60, "a_1min")
+        .when(F.col("late_s") <= 300, "b_5min")
+        .when(F.col("late_s") <= 1800, "c_30min")
+        .otherwise("d_over_30min")
+    )
+    return lat.groupBy(bucket.alias("lateness_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("late_s").alias("max_late_s"),
     )

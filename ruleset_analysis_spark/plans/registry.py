@@ -155,6 +155,7 @@ DRIVER_PRIORITY = (
     "curation_mix_weights",
     "text_bigram_surprisal",
     "event_concurrency_sweep",
+    "stream_lateness_histogram",
     "limit_topk",
     "setop_union_all",
     "setop_intersect",

@@ -749,3 +749,48 @@ def test_round3_additions_invariants(spark):
     for r in q7:
         assert {r["supp_nation"], r["cust_nation"]} == {"NATION_3", "NATION_7"}
         assert r["l_year"] in (1995, 1996)
+
+
+def test_concurrency_sweep_matches_python_replay(spark):
+    """event_concurrency_sweep against a brute-force Python sweep-line
+    over the same session intervals at sf0.001 — exact per-day peaks,
+    including cross-midnight carryover."""
+    from ruleset_analysis_spark.plans.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["day_epoch"]: (r["peak_concurrency"], r["n_sessions_started"])
+        for r in all_specs()["event_concurrency_sweep"].builder(spark, sf).collect()
+    }
+
+    ev = sorted(
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id", "ts", "event_id")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    sessions = []
+    for r in ev:
+        if sessions and sessions[-1][0] == r["user_id"] and (
+            r["ts"] - sessions[-1][2]
+        ) <= timedelta(minutes=30):
+            sessions[-1][2] = r["ts"]
+        else:
+            sessions.append([r["user_id"], r["ts"], r["ts"]])
+    pts = [(s[1], 1) for s in sessions] + [(s[2], -1) for s in sessions]
+    # +1 before -1 at equal timestamps == (ts, -delta) ascending
+    pts.sort(key=lambda p: (p[0], -p[1]))
+    run, day_peak, day_started = 0, {}, {}
+    for t, delta in pts:
+        run += delta
+        d = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        day_peak[d] = max(day_peak.get(d, run), run)
+        if delta == 1:
+            day_started[d] = day_started.get(d, 0) + 1
+    import calendar
+
+    expect = {
+        int(calendar.timegm(d.timetuple())): (day_peak[d], day_started.get(d, 0))
+        for d in day_peak
+    }
+    assert got == expect
