@@ -164,3 +164,103 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+@register(
+    "graph_link_prediction",
+    category="graph",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING count(*) >= 2
+        ),
+        adj AS (
+            SELECT u AS w, v AS n FROM e
+            UNION ALL
+            SELECT v AS w, u AS n FROM e
+        ),
+        deg AS (SELECT w, count(*) AS d FROM adj GROUP BY w),
+        cand AS (
+            SELECT x.n AS a, y.n AS b, count(*) AS common
+            FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+            GROUP BY x.n, y.n
+        ),
+        nonedge AS (
+            SELECT cand.* FROM cand
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e WHERE e.u = cand.a AND e.v = cand.b
+            ) AND common >= 2
+        )
+        SELECT a AS part_a, b AS part_b,
+               CAST(common AS BIGINT) AS common_neighbors,
+               round(CAST(common AS DOUBLE) / (da.d + db.d - common), 6)
+                   AS jaccard_score
+        FROM nonedge
+        JOIN deg da ON da.w = a
+        JOIN deg db ON db.w = b
+        ORDER BY jaccard_score DESC, part_a, part_b
+        LIMIT 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the strong co-occurrence
+    graph: the top-20 part pairs that are NOT yet linked but share the
+    most neighborhood (Jaccard of adjacency sets) — the
+    recommender/graph-completion primitive ('these two parts co-occur
+    with the same things; expect them together').
+
+    Same wedge substrate and Σ deg(w)² cost bound as the triangle
+    count (the ≥2-orders threshold is the guard); candidate pairs come
+    only from shared neighbors, never from an all-pairs scan; the
+    existing-edge exclusion is a left-anti hash join. Jaccard is an
+    exact rational of BIGINT counts (|N(a)∩N(b)| over the inclusion-
+    exclusion union), so the ranking is bit-identical cross-engine;
+    top-20 plans as TakeOrderedAndProject with a full deterministic
+    tie-break."""
+    from .joins import basket_pair_counts
+
+    e = (
+        basket_pair_counts(spark, sf_dir)
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+    )
+    adj = e.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
+        e.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    x, y = adj.alias("x"), adj.alias("y")
+    cand = (
+        x.join(y, (F.col("x.w") == F.col("y.w")) & (F.col("x.n") < F.col("y.n")))
+        .groupBy(F.col("x.n").alias("a"), F.col("y.n").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    nonedge = cand.join(
+        e,
+        (cand.a == e.u) & (cand.b == e.v),
+        "left_anti",
+    )
+    da = deg.select(F.col("w").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("w").alias("b"), F.col("d").alias("db"))
+    score = F.round(
+        F.col("common").cast("double")
+        / (F.col("da") + F.col("db") - F.col("common")),
+        6,
+    )
+    return (
+        nonedge.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("common").alias("common_neighbors"),
+            score.alias("jaccard_score"),
+        )
+        .orderBy(F.desc("jaccard_score"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

@@ -156,6 +156,7 @@ DRIVER_PRIORITY = (
     "text_bigram_surprisal",
     "event_concurrency_sweep",
     "stream_lateness_histogram",
+    "graph_link_prediction",
     "limit_topk",
     "setop_union_all",
     "setop_intersect",
