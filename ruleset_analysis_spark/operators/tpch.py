@@ -1,7 +1,7 @@
-"""§2 addendum — TPC-H composite analytics (Q3/Q5/Q6/Q10 shapes).
+"""§2 addendum — TPC-H composite analytics (all 22 query shapes).
 
 The single-operator queries in §2.B-§2.F grade each relational
-primitive in isolation; these four grade their *composition* — the
+primitive in isolation; these grade their *composition* — the
 multi-join, filter-heavy, top-k-reporting shapes every warehouse
 workload reduces to, adapted to this corpus's column subset (no
 partsupp table; no o_shippriority / l_shipmode / l_commitdate
@@ -736,4 +736,676 @@ def tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             (F.sum(cents("c_acctbal")) / F.lit(100.0)).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    category="composite",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount))
+                                   * 100.0) AS BIGINT))
+                    AS BIGINT) AS sum_disc_cents,
+               CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                                    * (1 + l_tax)) * 100.0) AS BIGINT))
+                    AS BIGINT) AS sum_charge_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   * 1.0 / count(*) AS avg_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) * 1.0 / count(*) AS avg_price_cents,
+               CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                   * 1.0 / count(*) AS avg_disc_pct,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the pricing summary report — full-table
+    scan-filter-aggregate over 6 measures with tiny group cardinality
+    (returnflag × linestatus ≤ 6 groups), the canonical map-side
+    partial-aggregation benchmark: at 100 TB every executor reduces its
+    partitions to ≤6 rows before the single 6-row exchange.
+
+    Exactness: every sum is an order-independent BIGINT (quantity is
+    integral; prices/discounts are 2dp-exact so round(x*100) is the
+    true integer; the 2- and 3-factor products floor identically both
+    engines). The avg_* outputs are derived as exact-BIGINT ÷ count —
+    one IEEE division of bit-identical operands — never a running
+    double mean, so no engine pair can disagree in the last ULP."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-09-01"
+    )
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(_revenue_cents()).alias("sum_disc_cents"),
+            F.sum(
+                F.floor(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1.0) - F.col("l_discount"))
+                        * (F.lit(1.0) + F.col("l_tax"))
+                    )
+                    * F.lit(100.0)
+                ).cast("long")
+            ).alias("sum_charge_cents"),
+            F.sum(cents("l_discount")).alias("disc_cents"),
+            n.alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_cents",
+            "sum_disc_cents",
+            "sum_charge_cents",
+            (F.col("sum_qty") * F.lit(1.0) / F.col("count_order")).alias(
+                "avg_qty"
+            ),
+            (
+                F.col("sum_base_cents") * F.lit(1.0) / F.col("count_order")
+            ).alias("avg_price_cents"),
+            (F.col("disc_cents") * F.lit(1.0) / F.col("count_order")).alias(
+                "avg_disc_pct"
+            ),
+            "count_order",
+        )
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    category="composite",
+    oracle="""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ),
+        eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        cand AS (
+            SELECT p_partkey, s_name, s_acctbal, n_name
+            FROM part
+            JOIN ps ON p_partkey = l_partkey
+            JOIN eu ON l_suppkey = s_suppkey
+            WHERE p_size <= 15 AND p_type = 'LARGE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey
+        FROM cand
+        JOIN (
+            SELECT p_partkey AS mk, min(s_acctbal) AS mb
+            FROM cand GROUP BY p_partkey
+        ) m ON p_partkey = mk AND s_acctbal = mb
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part in a size/type slice, the
+    EU supplier with the minimum account balance — the correlated
+    min-subquery pattern (partsupp's supplycost is proxied by
+    s_acctbal over the part↔supplier pairs observed in lineitem;
+    documented corpus adaptation).
+
+    Scale shape: the part↔supplier pair relation is DISTINCT over two
+    key columns of the fact table (shuffles 16-byte pairs, never
+    payloads); both dimension paths (filtered part slice, EU supplier
+    roster) broadcast into it; the per-part minimum then joins back as
+    a broadcast equality — the standard argmin-without-window recipe
+    when the candidate set is dimension-sized. No fact-table sort, no
+    window over the fact table."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
+        .select("p_partkey", "s_name", "s_acctbal", "n_name")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("mb")
+    )
+    return cand.join(
+        F.broadcast(mn),
+        (cand.p_partkey == mn.mk) & (cand.s_acctbal == mn.mb),
+    ).select("s_acctbal", "s_name", "n_name", "p_partkey")
+
+
+@register(
+    "tpch_q4_priority_check",
+    category="composite",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1996-07-01'
+          AND o_orderdate <  DATE '1996-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority bucket, in one quarter,
+    having at least one late line (corpus has no l_commitdate /
+    l_receiptdate — 'late' adapts to shipped >30 days after the order
+    date, preserving the EXISTS-semi-join-then-count plan).
+
+    Scale shape: the quarter predicate pushes into the orders scan;
+    the semi-join keys both sides on orderkey (the natural co-location
+    at 100 TB — no dimension here, both sides are facts) and the
+    date-lag predicate rides along as a join residual; LEFT SEMI means
+    lineitem multiplicity never inflates the count."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-07-01")
+            & (F.col("o_orderdate") < "1996-10-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    category="composite",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                             THEN vol_cents ELSE 0 END) AS BIGINT)
+                   * 1.0
+                   / CAST(sum(vol_cents) AS BIGINT) AS mkt_share
+        FROM (
+            SELECT o_orderdate,
+                   n1.n_name AS supp_nation,
+                   CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
+                        AS BIGINT) AS vol_cents
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region   ON n2.n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        ) v
+        GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of the ASIA market for one
+    product family, by order year — the ratio-of-conditional-sums
+    pattern over a 5-table join with two independent dimension paths
+    (supplier nation names the competitor; customer nation⋈region
+    scopes the market).
+
+    Exactness: numerator and denominator are both exact-BIGINT cent
+    sums; the share is ONE IEEE division of bit-identical integers, so
+    the quotient is reproducible to the last bit on any engine and any
+    partition order — never round a float sum. Scale shape: part slice,
+    supplier⋈nation, and customer⋈nation⋈region all broadcast; the
+    fact table shuffles once for the per-year groupBy."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    n = load(spark, sf_dir, "nation")
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    asia_keys = (
+        n.join(
+            F.broadcast(
+                load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("asia_key"))
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(asia_keys), F.col("c_nationkey") == F.col("asia_key"))
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = _revenue_cents()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("num_cents"),
+            F.sum(vol).alias("den_cents"),
+        )
+        .select(
+            "o_year",
+            (F.col("num_cents") * F.lit(1.0) / F.col("den_cents")).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    category="composite",
+    oracle="""
+        WITH v AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, value_cents
+        FROM v, (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents
+                 FROM v) t
+        WHERE value_cents * 800 > total_cents
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value through EUROPE
+    suppliers exceeds a fixed fraction (1/500) of the region's total —
+    the scalar-subquery-threshold pattern (partsupp value proxied by
+    lineitem extended price through the region's suppliers).
+
+    Exactness: the HAVING threshold is the cross-multiplied inequality
+    value_cents·500 > total_cents over exact BIGINTs — the fraction is
+    never materialized as a float, so no engine pair can disagree at
+    the boundary (same discipline as q22's above-average test). Scale
+    shape: region roster broadcasts; per-part value is one keyed
+    exchange of (partkey, cents); the grand total is a 1-row broadcast
+    back onto the per-part relation."""
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("value_cents"))
+    )
+    total = v.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.lit(800) > F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+@register(
+    "tpch_q12_late_shipments",
+    category="composite",
+    oracle="""
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+          AND l_shipdate <  o_orderdate + INTERVAL 60 DAY
+          AND l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate <  DATE '1998-01-01'
+        GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional priority counts over a
+    lag-window join — lines shipped 30-60 days after their order, in
+    one year, split high/low priority per line status (no l_shipmode /
+    l_commitdate in this corpus: linestatus stands in for shipmode and
+    the commit/receipt lag becomes an order→ship lag; the
+    CASE-pivot-over-join plan is the point).
+
+    Scale shape: the year predicate pushes into the lineitem scan;
+    the join keys on orderkey with the 30/60-day lag as a residual;
+    the CASE sums partial-aggregate map-side into ≤2 groups."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    category="composite",
+    oracle="""
+        WITH pl AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#23' AND p_size <= 25
+        ),
+        pavg AS (
+            SELECT l_partkey AS pk,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum,
+                   count(*) AS qn
+            FROM pl GROUP BY l_partkey
+        )
+        SELECT CAST(floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                               AS BIGINT) / 7.0) AS BIGINT) AS avg_yearly_cents
+        FROM pl JOIN pavg ON l_partkey = pk
+        WHERE CAST(l_quantity AS BIGINT) * qn * 5 < qsum
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — lines
+    of one brand/size slice whose quantity is under 20% of that part's
+    average order quantity (p_container adapts to p_size; the
+    correlated-average-then-filter plan is the point).
+
+    Exactness: the 20%-of-average test is the cross-multiplied integer
+    inequality qty·n·5 < Σqty (quantity is integral), so the threshold
+    never becomes a float; the one output row divides an exact BIGINT
+    cent sum by 7 in integer space. Scale shape: the filtered part
+    slice broadcasts into the fact scan ONCE, the per-part average is
+    a groupBy over that pre-shrunk relation, and the average joins
+    back as a broadcast — the fact table is read once and never
+    window-sorted."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 25))
+        .select("p_partkey")
+    )
+    pl = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    pavg = pl.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qsum"),
+        F.count(F.lit(1)).alias("qn"),
+    )
+    return (
+        pl.join(F.broadcast(pavg), pl.l_partkey == pavg.pk)
+        .filter(
+            F.col("l_quantity").cast("long") * F.col("qn") * F.lit(5)
+            < F.col("qsum")
+        )
+        .agg(
+            F.floor(F.sum(cents("l_extendedprice")) / F.lit(7.0))
+            .cast("long")
+            .alias("avg_yearly_cents")
+        )
+    )
+
+
+@register(
+    "tpch_q20_promo_suppliers",
+    category="composite",
+    oracle="""
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND s_suppkey IN (
+              SELECT l_suppkey
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'PROMO'
+                AND l_shipdate >= DATE '1997-01-01'
+                AND l_shipdate <  DATE '1998-01-01'
+              GROUP BY l_suppkey
+              HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 200
+          )
+    """,
+)
+def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one region who moved serious
+    volume of one product family in one year — the nested
+    semi-join-on-an-aggregate pattern (partsupp availability adapts to
+    shipped quantity; 'half the year's demand' becomes a fixed 200-unit
+    threshold over integral quantities — exact BIGINT, no float
+    boundary).
+
+    Scale shape: the PROMO part slice broadcasts into the pushed-down
+    year scan of lineitem; the per-supplier quantity rollup is
+    supplier-cardinality-sized and broadcasts as a LEFT SEMI build into
+    the region's supplier roster — the fact table never joins the
+    dimension directly."""
+    promo = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    movers = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > 200)
+        .select("l_suppkey")
+    )
+    asia = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "ASIA"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return asia.join(
+        movers, asia.s_suppkey == movers.l_suppkey, "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    category="composite",
+    oracle="""
+        SELECT s_name, count(*) AS numwait
+        FROM (
+            SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+            FROM lineitem l1
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY
+              )
+        ) q
+        JOIN supplier ON s_suppkey = q.l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+        GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier finished orders, counted per supplier — the
+    double-correlated EXISTS / NOT EXISTS query ('late' adapts to
+    shipped >45 days after order date; region roster replaces the
+    single-nation filter so the answer is non-vacuous at every SF).
+
+    The Spark plan deliberately does NOT translate the two correlated
+    subqueries: both collapse into ONE per-order aggregate — n
+    distinct suppliers, n distinct LATE suppliers — after which the
+    original predicate is the local test (late ∧ n_supp > 1 ∧
+    n_late = 1). One orderkey-keyed exchange replaces three correlated
+    fact-table probes; the DuckDB oracle keeps the textbook
+    EXISTS/NOT-EXISTS form, so the hash match doubles as an
+    equivalence proof of the rewrite. Supplier⋈nation⋈region is a
+    broadcast closing join on the (order, supplier) survivors."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+        ).cast("int"),
+    )
+    per_pair = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").alias("n_late"),
+    )
+    waiting = (
+        per_pair.join(per_order, "l_orderkey")
+        .filter(
+            (F.col("any_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    am = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "AMERICA"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        waiting.join(F.broadcast(am), waiting.l_suppkey == am.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

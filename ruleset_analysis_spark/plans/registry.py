@@ -134,14 +134,23 @@ DRIVER_PRIORITY = (
     # round 4's rotation), then the deferred never-witnessed keys (3
     # thin wrappers + the rows-only pair), then the r1/r2-witnessed
     # flagship/LLM families in round-2 order.
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
     "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_bracket_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_accounts",
     "stream_late_data_policy",
     "event_interpolate_linear",

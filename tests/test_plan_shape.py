@@ -302,6 +302,7 @@ BNLJ_ALLOWED = {
     "multimodal_frame_sample",  # 1-row broadcast frame params
     "text_tfidf_topterms",      # 1-row doc-count relation
     "tpch_q22_dormant_accounts",  # 1-row broadcast (total_cents, n_pos) scalar
+    "tpch_q11_important_stock",   # 1-row broadcast total_cents scalar
     "dedup_weighted_jaccard",   # 1-row broadcast corpus doc-count scalar
     "text_bigram_surprisal",    # 1-row broadcast vocab-size scalar
     "text_lang_stats",          # 1-row corpus totals
