@@ -13,9 +13,10 @@ The LLM-data-pipeline dedup ladder (BASELINE.json north star):
 Scale notes: every near-dup operator generates candidates through a
 *blocking key* equi-join (LSH band, SimHash band, shared shingle,
 label) so the shuffle is keyed and bounded; nothing ever materializes
-all n² pairs. Hash functions are Spark's built-in ``xxhash64``
-(JVM-side, deterministic for a fixed Spark version) — cross-engine
-hash-unstable, hence rows-only grading where signatures surface.
+all n² pairs. Sketch hash functions are md5-derived 60-bit BIGINTs
+(see ``_mh_expr``): md5 is the one hash both Spark and DuckDB share,
+which makes the MinHash and SimHash queries fully oracle-backed —
+the earlier xxhash64 form was JVM-only and forced rows-only grading.
 """
 
 from __future__ import annotations
@@ -108,19 +109,99 @@ def _exploded_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _mh_expr(seed: int) -> F.Column:
+    # Portable 60-bit minhash: md5 is the ONE hash Spark and DuckDB
+    # share, so conv(substring(md5(seed:s),1,15),16,10) is the same
+    # BIGINT in both engines — which is what lets a MinHash sketch
+    # query carry a full value-hash oracle instead of rows-only
+    # grading (xxhash64 is JVM-only; DuckDB's hash() is its own).
+    return F.expr(
+        f"CAST(conv(substring(md5(concat('{seed}:', s)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n                   ".join(
+        "min(CAST(concat('0x', substring(md5('" + str(seed) + ":' || tri), 1, 15))"
+        f" AS BIGINT)) AS mh_{i}"
+        for i, seed in enumerate(_MH_SEEDS)
+    )
+    band_rows = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band_id,"
+        " concat_ws(','"
+        + "".join(f", mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS))
+        + ") AS band_key FROM per_doc"
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS i
+            FROM documents
+        ),
+        tri AS (
+            SELECT DISTINCT t1.doc_id,
+                   t1.term || ' ' || t2.term || ' ' || t3.term AS tri
+            FROM toks t1
+            JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+            JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   {mh_cols},
+                   count(*) AS n
+            FROM tri GROUP BY doc_id
+        ),
+        bands AS (
+{band_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id
+                        AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT doc_a, doc_b, count(*) AS i
+            FROM cand
+            JOIN tri ta ON ta.doc_id = doc_a
+            JOIN tri tb ON tb.doc_id = doc_b AND tb.tri = ta.tri
+            GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN per_doc sa ON sa.doc_id = doc_a
+        JOIN per_doc sb ON sb.doc_id = doc_b
+        WHERE 3 * i >= sa.n + sb.n
+    """
+
+
 @register(
     "dedup_near_minhash",
     category="dedup",
-    oracle=None,  # rows-only: xxhash64 signatures are engine-specific
+    oracle=_minhash_oracle(),
 )
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH, pure DataFrame ops.
 
     shingle(k=3) → 16 minhashes → 4 bands of 4 → equi-join on
-    (band_id, band_hash) for candidates → exact Jaccard verification on
+    (band_id, band_key) for candidates → exact Jaccard verification on
     the candidate set only, keep ≥ 0.5. Candidate generation is an
-    equi-join on the band hash — the LSH trick that makes near-dedup a
-    keyed shuffle instead of an all-pairs product."""
+    equi-join on the band key — the LSH trick that makes near-dedup a
+    keyed shuffle instead of an all-pairs product.
+
+    Fully oracle-backed (upgraded from rows-only): the permutation
+    hashes are md5-derived (see _mh_expr — identical BIGINTs in both
+    engines), the band key is the plain concat of the band's 4
+    minhashes (an equi-join needs a key, not a hash — hashing the
+    hashes again added nothing but engine dependence), and the ≥0.5
+    keep test is the cross-multiplied integer inequality 3·i ≥ na+nb,
+    so the whole sketch → band → verify cascade is value-hash
+    deterministic cross-engine."""
     # ONE pass over the exploded shingles computes the per-doc sketch:
     # 16 vectorized min() aggregates (each shingle hashed once per
     # seed, map-side partial agg) plus the shingle count. The result is
@@ -141,7 +222,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded.groupBy("doc_id")
         .agg(
             *[
-                F.min(F.xxhash64("s", F.lit(seed))).alias(f"mh_{i}")
+                F.min(_mh_expr(seed)).alias(f"mh_{i}")
                 for i, seed in enumerate(_MH_SEEDS)
             ],
             F.count(F.lit(1)).alias("n"),
@@ -155,22 +236,23 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.hash(
-                            *[f"mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS)]
-                        ).alias("band_hash"),
+                        F.concat_ws(
+                            ",",
+                            *[f"mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS)],
+                        ).alias("band_key"),
                     )
                     for b in range(_MH_BANDS)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_key")
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -204,24 +286,85 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
             "doc_b",
         )
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.lit(3) * F.col("i") >= F.col("na") + F.col("nb"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
+
+
+_SIMHASH_BITS = 60  # the md5-portable hash is 15 hex chars = 60 bits
+_SIMHASH_BAND_BITS = 15  # 4 bands × 15 bits
+
+
+def _simhash_oracle() -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS i
+            FROM documents
+        ),
+        tri AS (
+            SELECT DISTINCT t1.doc_id,
+                   t1.term || ' ' || t2.term || ' ' || t3.term AS tri
+            FROM toks t1
+            JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+            JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substring(md5('sh:' || tri), 1, 15))
+                        AS BIGINT) AS h
+            FROM tri
+        ),
+        bits AS (
+            SELECT doc_id, p.i,
+                   sum(CASE WHEN (h >> p.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM hashed, (SELECT unnest(range({_SIMHASH_BITS})) AS i) p
+            GROUP BY doc_id, p.i
+        ),
+        sk AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, simhash, b.b AS band_id,
+                   (simhash >> ({_SIMHASH_BAND_BITS} * b.b))
+                       & {(1 << _SIMHASH_BAND_BITS) - 1} AS band_val
+            FROM sk, (SELECT unnest(range(4)) AS b) b
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                   AS hamming
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id
+                    AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
 
 
 @register(
     "dedup_simhash",
     category="dedup",
-    oracle=None,  # rows-only: xxhash64-derived sketch
+    oracle=_simhash_oracle(),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs with banded Hamming search.
+    """60-bit SimHash near-dup pairs with banded Hamming search.
 
-    The sketch is computed per document with nested higher-order
-    functions (no shuffle): bit i of the sketch is the sign of
-    Σ_tokens (±1 by bit i of xxhash64(token)). Pairs are blocked on
-    16-bit bands (Hamming ≤ 3 ⇒ at least one of 4 bands equal) and
-    verified with ``bit_count(xor) <= 3``.
+    Bit i of the sketch is the sign of Σ_shingles (±1 by bit i of the
+    shingle's hash). Pairs are blocked on 15-bit bands (Hamming ≤ 3 ⇒
+    at least one of 4 bands equal) and verified with
+    ``bit_count(xor) <= 3``.
+
+    Fully oracle-backed (upgraded from rows-only): the shingle hash is
+    the md5-portable 60-bit BIGINT (see _mh_expr's rationale), so the
+    bit-sum → sign-pack → band-block → Hamming-verify cascade computes
+    the identical sketch in both engines; 60 bits split evenly into
+    4×15-bit bands (the 64-bit form needed the sign-bit
+    two's-complement wrap trick — the portable hash is non-negative,
+    so every shift is plain integer math).
 
     The sketch units are word trigrams, not unigram tokens: the corpus
     vocabulary is tiny (~31 words), so distinct-unigram sets are nearly
@@ -232,25 +375,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     here (same limitation applies to MinHash/Jaccard by construction).
 
     The sketch is built relationally — explode shingles, hash each once,
-    then 64 vectorized sum-aggregates (one per bit) with map-side
+    then 60 vectorized sum-aggregates (one per bit) with map-side
     partial aggregation — and the bits are packed in a final projection.
     (A nested-HOF fold computes the same sketch but re-evaluates the
     hash per bit once Catalyst collapses the projections: measured 15×
     slower.)"""
     exploded = _exploded_shingles(spark, sf_dir).select(
-        "doc_id", F.xxhash64("s").alias("h")
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(concat('sh:', s)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
     )
     bitsums = exploded.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b_{i}")
-            for i in range(64)
+            for i in range(_SIMHASH_BITS)
         ]
     )
     pack = None
-    for i in range(64):
-        # shiftleft(1L, 63) wraps to Long.MIN_VALUE — correct two's-complement bit 63
+    for i in range(_SIMHASH_BITS):
         term = F.expr(f"IF(b_{i} > 0, shiftleft(1L, {i}), 0L)")
         pack = term if pack is None else pack + term
     from pyspark import StorageLevel
@@ -269,8 +415,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(k).alias("band_id"),
-                        F.shiftright("simhash", 16 * k)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", _SIMHASH_BAND_BITS * k)
+                        .bitwiseAND(F.lit((1 << _SIMHASH_BAND_BITS) - 1))
                         .alias("band_val"),
                     )
                     for k in range(4)

@@ -324,7 +324,55 @@ _WINNOW_W = 4  # winnowing window: min token-hash over 4 consecutive
 @register(
     "text_rolling_fingerprint",
     category="text",
-    oracle=None,  # rows-only: xxhash64-derived, engine-specific values
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x != '')) AS term,
+                   generate_subscripts(list_filter(string_split(lower(text),
+                                                                ' '),
+                                       x -> x != ''), 1) AS i
+            FROM documents
+        ),
+        content AS (
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         list_filter(string_split(lower(text), ' '),
+                                     x -> x != ''),
+                         t -> CAST(concat('0x', substring(md5(t), 1, 15))
+                                   AS BIGINT) % {_POLY_M})),
+                     (acc, h) -> (acc * {_POLY_B} + h) % {_POLY_M}
+                   ) AS content_hash
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, i,
+                   CAST(concat('0x', substring(md5(term), 1, 15)) AS BIGINT)
+                       AS h,
+                   count(*) OVER (PARTITION BY doc_id) AS n
+            FROM toks
+        ),
+        wmins AS (
+            SELECT doc_id,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW
+                                AND {_WINNOW_W - 1} FOLLOWING) AS wmin,
+                   i, n
+            FROM hashed
+        ),
+        winnow AS (
+            SELECT doc_id,
+                   md5(string_agg(DISTINCT wmin, ',' ORDER BY wmin))
+                       AS winnow_sig
+            FROM wmins WHERE i + {_WINNOW_W - 1} <= n
+            GROUP BY doc_id
+        )
+        SELECT c.doc_id, c.content_hash,
+               coalesce(w.winnow_sig, '') AS winnow_sig
+        FROM content c LEFT JOIN winnow w ON c.doc_id = w.doc_id
+    """,
 )
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprints via rolling hashes.
@@ -332,10 +380,12 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two sketches per doc, both pure JVM:
 
     * ``content_hash`` — Rabin-Karp polynomial fold over the token
-      sequence: ``acc = (acc*B + h) mod M`` with ``h = xxhash64(token)
-      mod M`` and a Mersenne-prime M. Order-sensitive, so re-ordered
-      boilerplate gets a different key than ``text_fingerprint``'s
-      sorted bag.
+      sequence: ``acc = (acc*B + h) mod M`` with ``h`` the md5-portable
+      60-bit token hash mod a Mersenne-prime M (md5 is the one hash
+      both engines share — see dedup._mh_expr — which upgraded this
+      query from rows-only to fully oracle-backed). Order-sensitive,
+      so re-ordered boilerplate gets a different key than
+      ``text_fingerprint``'s sorted bag.
     * ``winnow_sig`` — winnowing: hash each token once (relational
       explode), take the min hash of every ``_WINNOW_W``-token window
       (lead chain over the doc_id window partitioning — same
@@ -348,16 +398,23 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = d.select("doc_id", tokens("text").alias("toks"))
     content = toked.select(
         "doc_id",
-        F.aggregate(
-            "toks",
-            F.lit(0).cast("long"),
-            lambda acc, t: F.pmod(acc * _POLY_B + F.pmod(F.xxhash64(t), F.lit(_POLY_M)), F.lit(_POLY_M)),
+        F.expr(
+            f"aggregate(toks, 0L, (acc, t) -> "
+            f"(acc * {_POLY_B}L + "
+            f"CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
+            f" % {_POLY_M}L) % {_POLY_M}L)"
         ).alias("content_hash"),
     )
 
     tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    hashed = tok.select("doc_id", "pos", F.xxhash64("term").alias("h"))
+    hashed = tok.select(
+        "doc_id",
+        "pos",
+        F.expr(
+            "CAST(conv(substring(md5(term), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
     leads = [F.lead("h", i).over(w).alias(f"h{i}") for i in range(1, _WINNOW_W)]
     windows = (
         hashed.select("doc_id", "h", *leads)
