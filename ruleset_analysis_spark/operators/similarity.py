@@ -182,6 +182,50 @@ _LSH_BITS = 6
 _PLANES = np.random.RandomState(42).randn(_LSH_TABLES, _LSH_BITS, 64)
 
 
+def _planes_values_sql() -> str:
+    """The hyperplane tensor as a DuckDB VALUES literal.
+
+    ``repr(float)`` is the shortest round-tripping decimal, so DuckDB
+    parses back the bit-identical double the Spark side broadcasts —
+    which is what lets the LSH queries carry full value-hash oracles:
+    both engines bucket with the SAME planes, so the candidate sets
+    (not just the verified cosines) agree exactly."""
+    rows = ", ".join(
+        f"({t}, {b}, {i + 1}, {_PLANES[t, b, i]!r})"
+        for t in range(_LSH_TABLES)
+        for b in range(_LSH_BITS)
+        for i in range(64)
+    )
+    return (
+        "planes(table_id, bit_id, i, v) AS (SELECT * FROM (VALUES "
+        + rows
+        + "))"
+    )
+
+
+def _lsh_buckets_oracle() -> str:
+    """Shared oracle CTE chain: per-vector LSH bucket ids per table,
+    the SQL twin of :func:`_lsh_buckets` (sign of plane dot → packed
+    bits). A hyperplane dot of a unit vector is O(0.1) in magnitude,
+    so the grouped-SUM vs sequential-fold accumulation-order ULP can
+    never flip a sign in practice (same acceptance as the repo's 6dp
+    cosine rounding discipline)."""
+    return f"""
+        , {_planes_values_sql()},
+        sig AS (
+            SELECT n.vec_id, p.table_id, p.bit_id, sum(n.xn * p.v) AS d
+            FROM nelem n JOIN planes p ON p.i = n.i
+            GROUP BY n.vec_id, p.table_id, p.bit_id
+        ),
+        buckets AS (
+            SELECT vec_id, table_id,
+                   CAST(sum(CASE WHEN d > 0 THEN (1 << bit_id)
+                                 ELSE 0 END) AS INTEGER) AS bucket
+            FROM sig GROUP BY vec_id, table_id
+        )
+    """
+
+
 def _lsh_buckets(spark: SparkSession, e: DataFrame) -> DataFrame:
     """(vec_id, table_id, bucket): sign-bit LSH signature per table.
 
@@ -224,7 +268,29 @@ def _lsh_buckets(spark: SparkSession, e: DataFrame) -> DataFrame:
 @register(
     "sim_ann_lsh",
     category="similarity",
-    oracle=None,  # rows-only: ANN candidate set is algorithm-specific by design
+    oracle=_ORACLE_ELEM
+    + _lsh_buckets_oracle()
+    + f"""
+        , cand AS (
+            SELECT DISTINCT b.vec_id
+            FROM buckets b
+            JOIN buckets pb ON pb.vec_id = {_PROBE_ID}
+                           AND b.table_id = pb.table_id
+                           AND b.bucket = pb.bucket
+            WHERE b.vec_id <> {_PROBE_ID}
+        ),
+        dots AS (
+            SELECT e.vec_id, sum(e.xn * p.xn) AS d
+            FROM nelem e
+            JOIN nelem p ON p.i = e.i AND p.vec_id = {_PROBE_ID}
+            JOIN cand c ON c.vec_id = e.vec_id
+            GROUP BY e.vec_id
+        )
+        SELECT vec_id, round(d, 6) AS cos
+        FROM dots
+        ORDER BY d DESC, vec_id ASC
+        LIMIT {_TOP_K}
+    """,
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN via random-hyperplane LSH (4 tables × 6-bit
@@ -265,8 +331,26 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_pairwise_bucketed",
     category="similarity",
-    oracle=None,  # rows-only: LSH candidate recall < 1 by construction;
-    # tests/test_properties.py proves bucketed ⊆ exact + recall bound
+    oracle=_ORACLE_ELEM
+    + _lsh_buckets_oracle()
+    + """
+        , cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM buckets a
+            JOIN buckets b ON a.table_id = b.table_id
+                          AND a.bucket = b.bucket
+                          AND a.vec_id < b.vec_id
+        ),
+        verified AS (
+            SELECT c.vec_a, c.vec_b, sum(ea.xn * eb.xn) AS cos_raw
+            FROM cand c
+            JOIN nelem ea ON ea.vec_id = c.vec_a
+            JOIN nelem eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+            GROUP BY c.vec_a, c.vec_b
+        )
+        SELECT vec_a, vec_b, round(cos_raw, 6) AS cos
+        FROM verified WHERE cos_raw >= 0.25
+    """,
 )
 def sim_pairwise_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cosine ≥ 0.25 with *LSH-bucket blocking* — the
