@@ -965,3 +965,91 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("event_type").agg(
         F.sum(F.bit_count("mask")).alias("users")
     )
+
+
+# Count-Min sketch geometry: 4 independent hash rows × 256 buckets.
+# Width 256 ≫ the ~5k distinct users at sf0.1 would under-size a real
+# deployment — deliberately so here: collisions are what make the
+# overestimate property (est ≥ exact) interesting to witness.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+@register(
+    "agg_countmin_sketch",
+    category="agg",
+    oracle=f"""
+        WITH exact AS (
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        ),
+        cms AS (
+            SELECT d.d,
+                   CAST(concat('0x', substring(md5(d.d || ':' || user_id),
+                                               1, 15)) AS BIGINT)
+                       % {_CMS_WIDTH} AS bucket,
+                   CAST(sum(n) AS BIGINT) AS cnt
+            FROM exact, (SELECT unnest(range({_CMS_DEPTH})) AS d) d
+            GROUP BY 1, 2
+        ),
+        top10 AS (
+            SELECT user_id, n FROM exact
+            ORDER BY n DESC, user_id LIMIT 10
+        )
+        SELECT t.user_id, t.n AS exact_n,
+               CAST(min(c.cnt) AS BIGINT) AS cms_est
+        FROM top10 t
+        JOIN (SELECT unnest(range({_CMS_DEPTH})) AS d) d ON true
+        JOIN cms c
+          ON c.d = d.d
+         AND c.bucket = CAST(concat('0x',
+                 substring(md5(d.d || ':' || t.user_id), 1, 15)) AS BIGINT)
+                 % {_CMS_WIDTH}
+        GROUP BY t.user_id, t.n
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries: per-user event counts estimated
+    from a 4×256 CMS, reported against the exact counts for the 10
+    heaviest users (est ≥ exact always; equality when no collision).
+
+    The mergeable-sketch pattern in exact integers: the sketch table is
+    (depth, bucket) → BIGINT count — 1,024 rows regardless of corpus
+    size — built by ONE keyed aggregation, and sketches from different
+    days/partitions union-merge by summing buckets (same
+    touch-history-once shape as agg_hll_mergeable, but exact-arithmetic
+    and therefore fully oracle-graded: the bucket hash is the
+    md5-portable BIGINT, identical in both engines). The per-user
+    exact rollup feeds BOTH the sketch build and the top-10 truth, so
+    the fact table is scanned and shuffled once.
+
+    At 100 TB: the 1,024-row sketch answers any point query without
+    re-scanning history — the CMS trades a bounded overestimate for
+    O(1) state, where the exact rollup's state is one row per key."""
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    depths = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("d"))
+    bucket = (
+        F.expr(
+            "CAST(conv(substring(md5(concat(d, ':', user_id)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        )
+        % _CMS_WIDTH
+    )
+    cms = (
+        exact.crossJoin(F.broadcast(depths))
+        .select("d", bucket.alias("bucket"), "n")
+        .groupBy("d", "bucket")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    top10 = exact.orderBy(F.desc("n"), F.asc("user_id")).limit(10)
+    return (
+        top10.crossJoin(F.broadcast(depths))
+        .select("user_id", F.col("n").alias("exact_n"), "d", bucket.alias("bucket"))
+        .join(cms, ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -882,3 +882,168 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.filter((F.col("ta") + F.col("tb") > F.col("iw")) & (wj >= 0.02))
         .select("doc_a", "doc_b", F.round(wj, 6).alias("weighted_jaccard"))
     )
+
+
+def _minhash_estimate_oracle() -> str:
+    mh_cols = ",\n                   ".join(
+        "min(CAST(concat('0x', substring(md5('" + str(seed) + ":' || tri), 1, 15))"
+        f" AS BIGINT)) AS mh_{i}"
+        for i, seed in enumerate(_MH_SEEDS)
+    )
+    band_rows = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, {b} AS band_id,"
+        " concat_ws(','"
+        + "".join(f", mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS))
+        + ") AS band_key FROM per_doc"
+        for b in range(_MH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN pa.mh_{i} = pb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(len(_MH_SEEDS))
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS i
+            FROM documents
+        ),
+        tri AS (
+            SELECT DISTINCT t1.doc_id,
+                   t1.term || ' ' || t2.term || ' ' || t3.term AS tri
+            FROM toks t1
+            JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+            JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+        ),
+        per_doc AS (
+            SELECT doc_id,
+                   {mh_cols},
+                   count(*) AS n
+            FROM tri GROUP BY doc_id
+        ),
+        bands AS (
+{band_rows}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id
+                        AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+        ),
+        inter AS (
+            SELECT doc_a, doc_b, count(*) AS i
+            FROM cand
+            JOIN tri ta ON ta.doc_id = doc_a
+            JOIN tri tb ON tb.doc_id = doc_b AND tb.tri = ta.tri
+            GROUP BY doc_a, doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               ({agree}) / 16.0 AS jaccard_est,
+               CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / (pa.n + pb.n - coalesce(i.i, 0)) AS jaccard_exact
+        FROM cand c
+        JOIN per_doc pa ON pa.doc_id = c.doc_a
+        JOIN per_doc pb ON pb.doc_id = c.doc_b
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    """
+
+
+@register(
+    "dedup_minhash_estimate",
+    category="dedup",
+    oracle=_minhash_estimate_oracle(),
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimated vs exact Jaccard for every LSH band candidate:
+    est = (#agreeing minhashes)/16 next to the true shingle Jaccard.
+
+    This is the 100 TB decision point the near-dup pipeline's docs
+    gesture at, made measurable: the estimate costs ZERO extra I/O
+    (the 16-long signature is already in hand from banding) while the
+    exact verify re-joins the exploded shingle relation — at scale one
+    runs the estimate first and verifies only the band candidates
+    whose estimate clears the review threshold. Both columns are exact
+    cross-engine: the signature agreement count is integer, /16.0 is a
+    power-of-two division, and the exact Jaccard is one IEEE division
+    of integers. A candidate pair with an empty shingle intersection
+    (banded together by minhash collision alone) keeps jaccard_exact=0
+    via the LEFT JOIN + coalesce — precisely the false-positive class
+    the estimate column exposes."""
+    from pyspark import StorageLevel
+
+    exploded = _exploded_shingles(spark, sf_dir)
+    per_doc = (
+        exploded.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(_mh_expr(seed)).alias(f"mh_{i}")
+                for i, seed in enumerate(_MH_SEEDS)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            ",",
+                            *[f"mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS)],
+                        ).alias("band_key"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ex = exploded.select("doc_id", "s")
+    inter = (
+        cand.join(ex.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "s"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(len(_MH_SEEDS))],
+    )
+    pb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(len(_MH_SEEDS))],
+    )
+    agree = None
+    for i in range(len(_MH_SEEDS)):
+        t = F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    iv = F.coalesce(F.col("i"), F.lit(0))
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree / F.lit(16.0)).alias("jaccard_est"),
+            (iv.cast("double") / (F.col("na") + F.col("nb") - iv)).alias(
+                "jaccard_exact"
+            ),
+        )
+    )

@@ -166,6 +166,8 @@ DRIVER_PRIORITY = (
     "event_concurrency_sweep",
     "stream_lateness_histogram",
     "graph_link_prediction",
+    "agg_countmin_sketch",
+    "dedup_minhash_estimate",
     "limit_topk",
     "setop_union_all",
     "setop_intersect",

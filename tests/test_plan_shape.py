@@ -309,6 +309,7 @@ BNLJ_ALLOWED = {
     "dedup_near_minhash",       # 1-row signature params
     "join_cross",               # the graded cross-join op (dim × dim)
     "agg_hll_mergeable",        # 1-row grand-total sketch union
+    "agg_countmin_sketch",      # 4-row broadcast depth relation
     "date_series_gapfill",      # 1-row date-bounds relation
     "firewall_unused_rules",    # broadcast rules dim × summary row
     "rule_usage_report",        # 1-row total-hits for percentages

@@ -794,3 +794,39 @@ def test_concurrency_sweep_matches_python_replay(spark):
         for d in day_peak
     }
     assert got == expect
+
+
+def test_sketch_estimate_invariants(spark):
+    """CMS and MinHash-estimate invariants on sf0.001, oracle-
+    independent: the Count-Min estimate can never undercount (every
+    depth's bucket contains the key's full count plus collisions, and
+    min() keeps the tightest), and the MinHash agreement fraction is a
+    valid [0,1] rational with 16ths granularity while the exact
+    Jaccard of a band candidate stays within the estimate's ±3σ
+    binomial envelope only on average — so assert the hard bounds,
+    not the stochastic ones."""
+    from ruleset_analysis_spark.plans.registry import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    specs = all_specs()
+
+    cms = specs["agg_countmin_sketch"].builder(spark, sf).collect()
+    assert len(cms) == 10
+    for r in cms:
+        assert r["cms_est"] >= r["exact_n"] > 0
+
+    est = specs["dedup_minhash_estimate"].builder(spark, sf).collect()
+    assert len(est) > 0
+    for r in est:
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+        assert abs(r["jaccard_est"] * 16 - round(r["jaccard_est"] * 16)) < 1e-12
+        assert 0.0 <= r["jaccard_exact"] <= 1.0
+    # band candidates are exactly the pairs the graded near-dup query
+    # generated its candidates from: every >=0.5 verified pair must
+    # appear here too (the estimate table is a superset report)
+    near = {
+        (r["doc_a"], r["doc_b"])
+        for r in specs["dedup_near_minhash"].builder(spark, sf).collect()
+    }
+    est_pairs = {(r["doc_a"], r["doc_b"]) for r in est}
+    assert near <= est_pairs
