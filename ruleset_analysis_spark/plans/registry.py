@@ -168,6 +168,7 @@ DRIVER_PRIORITY = (
     "graph_link_prediction",
     "agg_countmin_sketch",
     "dedup_minhash_estimate",
+    "embed_kmeans_clusters",
     "limit_topk",
     "setop_union_all",
     "setop_intersect",

@@ -310,6 +310,7 @@ BNLJ_ALLOWED = {
     "join_cross",               # the graded cross-join op (dim × dim)
     "agg_hll_mergeable",        # 1-row grand-total sketch union
     "agg_countmin_sketch",      # 4-row broadcast depth relation
+    "embed_kmeans_clusters",    # 4-row broadcast centroid relation
     "date_series_gapfill",      # 1-row date-bounds relation
     "firewall_unused_rules",    # broadcast rules dim × summary row
     "rule_usage_report",        # 1-row total-hits for percentages

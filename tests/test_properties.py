@@ -830,3 +830,44 @@ def test_sketch_estimate_invariants(spark):
     }
     est_pairs = {(r["doc_a"], r["doc_b"]) for r in est}
     assert near <= est_pairs
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """embed_kmeans_clusters vs a NumPy Lloyd replay with the identical
+    deterministic protocol: unit-normalize, init from the 4 lowest
+    vec_ids, 3 iterations, argmin ties to the lowest cluster, empty
+    clusters keep their centroid. Cluster sizes must match exactly;
+    (only partial-sum ULP noise differs across engines)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ruleset_analysis_spark.operators.similarity import (
+        _KM_ITERS,
+        _KM_K,
+        embed_kmeans_clusters,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    t = t[t["embedding"].notna()].sort_values("vec_id")
+    x = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    keep = nrm[:, 0] > 0
+    x, ids = x[keep] / nrm[keep], t["vec_id"].to_numpy()[keep]
+    cents = x[np.searchsorted(ids, np.arange(_KM_K))].copy()
+    for _ in range(_KM_ITERS):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the first (lowest) index
+        for j in range(_KM_K):
+            if (assign == j).any():
+                cents[j] = x[assign == j].mean(axis=0)
+    # the operator reports the LAST assignment round (against the
+    # iteration-2 centroids), so compare that, not a post-update pass
+    want_sizes = np.bincount(assign, minlength=_KM_K)
+
+    got = {r["cluster"]: r for r in embed_kmeans_clusters(spark, sf_dir).collect()}
+    for j in range(_KM_K):
+        if want_sizes[j] == 0:
+            assert j not in got
+            continue
+        assert got[j]["n_members"] == want_sizes[j], (j, got[j], want_sizes[j])
