@@ -1047,3 +1047,81 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_cluster_representatives",
+    category="dedup",
+    oracle=f"""
+        WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+        ),
+        comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+        sized AS (
+            SELECT c.cluster_id, c.doc_id, d.n_chars
+            FROM comp c JOIN documents d USING (doc_id)
+        ),
+        best AS (
+            SELECT cluster_id, doc_id AS rep_doc, n_chars AS rep_chars,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM sized
+        ),
+        agg AS (
+            SELECT cluster_id, count(*) AS n_members,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM sized GROUP BY cluster_id
+        )
+        SELECT a.cluster_id, b.rep_doc, a.n_members,
+               CAST(a.total_chars - b.rep_chars AS BIGINT) AS chars_dropped
+        FROM agg a
+        JOIN best b ON b.cluster_id = a.cluster_id AND b.rn = 1
+        WHERE a.n_members >= 2
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION list: for every non-singleton near-dup cluster,
+    which document to keep (longest text, ties to the lowest doc_id)
+    and what dropping the rest costs in characters.
+
+    This is the step that turns ``dedup_cluster_components``' labeling
+    into the decision a curation pipeline ships — transitive closure
+    says WHAT is duplicated; this says what SURVIVES. Keep-longest is
+    the standard near-dup policy (the longest member is most often the
+    superset document the others truncate).
+
+    Scale shape: rides the checkpointed label-propagation output, one
+    broadcast-sized join to the documents dimension for lengths, and
+    the per-cluster argmax is ``min(struct(-n_chars, doc_id))`` on the
+    cluster-keyed exchange — no window sort over the corpus. The
+    DuckDB oracle replays the same closure with a recursive CTE, so
+    the hash match re-proves the iterative labeling AND the
+    representative policy in one row."""
+    comp = dedup_cluster_components(spark, sf_dir)
+    sized = comp.join(
+        load(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id",
+    )
+    return (
+        sized.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min(F.struct((-F.col("n_chars")).alias("neg"), "doc_id", "n_chars")).alias("b"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            F.col("b.doc_id").alias("rep_doc"),
+            "n_members",
+            (F.col("total_chars") - F.col("b.n_chars")).alias("chars_dropped"),
+        )
+    )

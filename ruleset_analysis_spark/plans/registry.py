@@ -169,6 +169,7 @@ DRIVER_PRIORITY = (
     "agg_countmin_sketch",
     "dedup_minhash_estimate",
     "embed_kmeans_clusters",
+    "dedup_cluster_representatives",
     "limit_topk",
     "setop_union_all",
     "setop_intersect",
