@@ -170,6 +170,7 @@ DRIVER_PRIORITY = (
     "dedup_minhash_estimate",
     "embed_kmeans_clusters",
     "dedup_cluster_representatives",
+    "firewall_rule_staleness",
     "limit_topk",
     "setop_union_all",
     "setop_intersect",
