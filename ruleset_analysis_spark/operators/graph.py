@@ -222,12 +222,21 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusion union), so the ranking is bit-identical cross-engine;
     top-20 plans as TakeOrderedAndProject with a full deterministic
     tie-break."""
+    from pyspark import StorageLevel
+
     from .joins import basket_pair_counts
 
+    # The thresholded edge relation is tiny (pairs with ≥2 shared
+    # orders) but is referenced three times (both wedge sides via adj,
+    # the existing-edge anti-join) and each reference re-runs the whole
+    # basket pipeline without a cache — column pruning makes the
+    # subtrees canonically different, so ReuseExchange never applies
+    # (measured: persist cut the floor 5.6 → ~3 s at sf0.1).
     e = (
         basket_pair_counts(spark, sf_dir)
         .filter(F.col("n_orders") >= 2)
         .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     adj = e.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
         e.select(F.col("v").alias("w"), F.col("u").alias("n"))
