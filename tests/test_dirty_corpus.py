@@ -53,6 +53,11 @@ DIRTY_QUERIES = [
     "text_diversity_simpson", "text_zipf_slope", "sample_topk_reservoir",
     "dedup_weighted_jaccard", "agg_bitmap_distinct", "curation_mix_weights",
     "text_bigram_surprisal", "event_concurrency_sweep",
+    # round-3 session additions over the same tables
+    "agg_countmin_sketch", "dedup_minhash_estimate",
+    "embed_kmeans_clusters", "dedup_cluster_representatives",
+    "firewall_rule_staleness", "stream_lateness_histogram",
+    "graph_link_prediction",
 ]
 
 
