@@ -147,13 +147,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same gate (or a degree cap) is the standard guard
     before any wedge join. Three keyed equi-joins, all
     shuffle-partitioned on their join keys; edge generation rides the
-    shared HOF pair substrate (joins.basket_pair_counts)."""
+    shared HOF pair substrate (joins.basket_pair_counts). The edge
+    relation is persisted for the same reason as link prediction's:
+    three self-join references with different pruning re-run the whole
+    basket pipeline otherwise (ReuseExchange never fires across
+    canonically-different subtrees)."""
+    from pyspark import StorageLevel
+
     from .joins import basket_pair_counts
 
     e = (
         basket_pair_counts(spark, sf_dir)
         .filter(F.col("n_orders") >= 2)
         .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (
