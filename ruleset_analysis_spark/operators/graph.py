@@ -43,8 +43,14 @@ def cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     item popularity)."""
     from .joins import basket_pair_counts
 
-    pairs = basket_pair_counts(spark, sf_dir).select(
-        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    from pyspark import StorageLevel
+
+    # persisted: the symmetrizing union references the pair relation
+    # twice, re-running the basket pipeline both times otherwise
+    pairs = (
+        basket_pair_counts(spark, sf_dir)
+        .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
