@@ -1053,3 +1053,105 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "exact_n")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+@register(
+    "agg_bitmap_overlap",
+    category="agg",
+    oracle="""
+        WITH words AS (
+            SELECT event_type,
+                   CAST(user_id // 32 AS BIGINT) AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER))
+                       AS mask
+            FROM events GROUP BY event_type, word
+        ),
+        totals AS (
+            SELECT event_type, CAST(sum(bit_count(mask)) AS BIGINT) AS n
+            FROM words GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(sum(bit_count(a.mask & b.mask)) AS BIGINT)
+                       AS n_both
+            FROM words a
+            JOIN words b ON a.word = b.word AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT type_a, type_b, n_both,
+               CAST(ta.n + tb.n - n_both AS BIGINT) AS n_either,
+               n_both * 1.0 / (ta.n + tb.n - n_both) AS jaccard
+        FROM pairs
+        JOIN totals ta ON ta.event_type = type_a
+        JOIN totals tb ON tb.event_type = type_b
+        WHERE n_both > 0
+    """,
+)
+def agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience overlap between event types — |A∩B|, |A∪B| and
+    Jaccard per type pair — via mergeable bitmap set algebra: the
+    per-type word masks that agg_bitmap_distinct builds, intersected
+    and unioned with single AND/OR instructions per 32-user word.
+
+    This is THE reason bitmap indexes exist in analytics engines:
+    distinct-user overlap between segments needs the identity of every
+    member, which a count can't give you — but a bitmap gives it in
+    1/32nd the rows, the set ops vectorize to bitwise instructions,
+    and per-day bitmaps bit_or-merge incrementally like the HLL/CMS
+    family (touch-history-once) while staying EXACT. The pair join is
+    keyed on the word index, so work is Σ_word (types-present)² —
+    bounded by the type cardinality, never by user count. The
+    intersection comes from the shared-word inner join (a word missing
+    from a type contributes no intersection bits); the UNION must not
+    — words private to one type still count, so |A∪B| is
+    inclusion-exclusion over the per-type totals, never a popcount of
+    OR over shared words only. Jaccard is one IEEE division of exact
+    BIGINTs. At 100 TB: dense user-id spaces → bitmaps (this query);
+    sparse/unbounded key spaces → the HLL path (approximate) — both
+    union-mergeable."""
+    ev = load(spark, sf_dir, "events")
+    words = ev.groupBy(
+        "event_type",
+        F.floor(F.col("user_id") / 32).alias("word"),
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("mask")
+    )
+    from pyspark import StorageLevel
+
+    # three consumers (both pair sides + totals) — same persist
+    # discipline as every multi-referenced substrate in this repo
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    totals = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).alias("n")
+    )
+    a = words.select(
+        F.col("event_type").alias("type_a"), "word", F.col("mask").alias("ma")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "word", F.col("mask").alias("mb")
+    )
+    inter = (
+        a.join(b, ["word"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("ma").bitwiseAND(F.col("mb")))).alias("n_both")
+        )
+        .filter(F.col("n_both") > 0)
+    )
+    ta = totals.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    tb = totals.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    either = F.col("na") + F.col("nb") - F.col("n_both")
+    return (
+        inter.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            either.alias("n_either"),
+            (F.col("n_both") * F.lit(1.0) / either).alias("jaccard"),
+        )
+    )

@@ -171,6 +171,7 @@ DRIVER_PRIORITY = (
     "embed_kmeans_clusters",
     "dedup_cluster_representatives",
     "firewall_rule_staleness",
+    "agg_bitmap_overlap",
     "limit_topk",
     "setop_union_all",
     "setop_intersect",

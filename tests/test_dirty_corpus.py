@@ -57,7 +57,7 @@ DIRTY_QUERIES = [
     "agg_countmin_sketch", "dedup_minhash_estimate",
     "embed_kmeans_clusters", "dedup_cluster_representatives",
     "firewall_rule_staleness", "stream_lateness_histogram",
-    "graph_link_prediction",
+    "graph_link_prediction", "agg_bitmap_overlap",
 ]
 
 
