@@ -563,14 +563,23 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive near-dups (A~B, B~C) must collapse to ONE keeper even
     when A and C never pair directly.
 
-    Implementation: min-label propagation with pointer jumping. Each
-    block does a neighbor-min round (label_v := min over v and its
-    neighbors) then a pointer-jump round (label_v := min(label_v,
-    label[label_v])), so the propagation radius follows r ← 2r+1:
-    3 blocks cover every component of diameter ≤ 7 — far beyond any
-    near-dup cluster shape (exact-dup cliques have diameter 1; chained
-    shingle overlaps 2-4; tests/test_properties.py pins a diameter-6
-    chain). Each round ends in ``localCheckpoint(eager=True)`` — the
+    Implementation: min-label propagation with pointer jumping, run TO
+    CONVERGENCE. Each block does a neighbor-min round (label_v := min
+    over v and its neighbors) then a pointer-jump round (label_v :=
+    min(label_v, label[label_v])), so the propagation radius follows
+    r ← 2r+1; blocks repeat until the label-sum fixpoint (labels are
+    element-wise monotone non-increasing, so an unchanged Σcomp ⟺ no
+    label moved — one tiny scalar per round off the already-
+    checkpointed relation), with a 12-block ceiling (radius ≳ 2¹²) as
+    the runaway guard. An earlier fixed-3-block form assumed diameter
+    ≤ 7 "far beyond any near-dup cluster shape" — and the sf0.1
+    differential sweep PROVED that assumption wrong: the denser 10×
+    corpus chains shingle overlaps into a >7-diameter component and
+    the fixed form under-merged (spark 665 clusters vs the oracle's
+    639). Fixed iteration counts on data-dependent closures are a
+    latent scale bug by construction; converge-with-witness is the
+    only 100 TB-safe form. Each round ends in
+    ``localCheckpoint(eager=True)`` — the
     GraphX/GraphFrames iterative-algorithm recipe — because the
     alternative is exponential lineage: every round references the
     label relation 4×, so an unbroken plan re-analyzes/re-optimizes
@@ -604,7 +613,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("comp", F.col("doc_id"))
     )
-    for _ in range(3):
+    prev_sum = None
+    for _ in range(12):
         # neighbor-min: pull the smallest label across each edge
         neigh = (
             edges.join(labels.toDF("v", "vcomp"), "v")
@@ -627,6 +637,12 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.least("comp", "comp2").alias("comp"))
             .localCheckpoint(eager=True)
         )
+        # convergence witness: Σcomp is monotone non-increasing and
+        # stalls exactly at the fixpoint (see docstring)
+        s = labels.agg(F.sum("comp")).first()[0]
+        if s == prev_sum:
+            break
+        prev_sum = s
     return labels.select("doc_id", F.col("comp").alias("cluster_id"))
 
 

@@ -248,18 +248,23 @@ def test_exact_dups_are_near_dup_pairs(spark, tmp_path):
 
 
 def test_cluster_components_collapse_transitive_chain(spark, tmp_path):
-    """A diameter-6 chain (doc_i near-dups doc_{i+1} only) must collapse
-    to ONE cluster — transitivity is the whole point of the components
-    step; pairwise queries alone cannot see A~C. Also pins the bounded
-    propagation radius (3 pointer-jump blocks cover diameter ≤ 7)."""
+    """A diameter-20 chain (doc_i near-dups doc_{i+1} only) must
+    collapse to ONE cluster — transitivity is the whole point of the
+    components step; pairwise queries alone cannot see A~C. The length
+    deliberately exceeds the old fixed-3-block propagation radius
+    (diameter ≤ 7): the sf0.1 differential sweep caught a real
+    >7-diameter component that the fixed form under-merged, so the
+    loop now runs to the label-sum fixpoint and this test would catch
+    any regression to a bounded radius."""
+    _CHAIN = 21
     words = [f"w{i}_{j}" for i in range(8) for j in range(12)]
-    bridges = [[f"b{i}_{j}" for j in range(4)] for i in range(7)]
+    bridges = [[f"b{i}_{j}" for j in range(4)] for i in range(_CHAIN)]
     docs = []
-    for i in range(7):  # chain 0-1-2-...-6
+    for i in range(_CHAIN):  # chain 0-1-2-...-20
         body = [f"u{i}_{j}" for j in range(8)]
         text = " ".join((bridges[i - 1] if i else []) + body + bridges[i])
         docs.append((i, text))
-    docs.append((7, " ".join(words[:20])))  # isolated singleton
+    docs.append((_CHAIN, " ".join(words[:20])))  # isolated singleton
 
     df = spark.createDataFrame(docs, "doc_id long, text string")
     import os, shutil
@@ -276,8 +281,8 @@ def test_cluster_components_collapse_transitive_chain(spark, tmp_path):
 
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup_cluster_components(spark, str(flat)).collect()}
-    assert {got[i] for i in range(7)} == {0}, f"chain not collapsed: {got}"
-    assert got[7] == 7  # singleton keeps its own id
+    assert {got[i] for i in range(_CHAIN)} == {0}, f"chain not collapsed: {got}"
+    assert got[_CHAIN] == _CHAIN  # singleton keeps its own id
 
 
 def _write_embeddings_fixture(spark, tmp_path, n_clusters=6, per_cluster=5, n_noise=40):
