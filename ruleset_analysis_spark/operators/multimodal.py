@@ -535,3 +535,86 @@ def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("sxi") * F.col("sxi")).alias("coord_sq_sum"),
         )
     )
+
+
+_AUDIO_FRAME = 16
+
+
+def _audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: audio-style windowed energy over opaque
+    bytes. Treats each payload as a PCM-ish sample stream and emits
+    per-frame sample count + Σ sample² — the exact plumbing of a real
+    audio feature extractor (fixed-size framing, one row exploding to
+    many, typed Arrow schema both ways), with the codec decode replaced
+    by deterministic byte values. All integer arithmetic: the energy of
+    a 16-byte ASCII frame is < 16·127², so the BIGINT sums are exact
+    and the oracle can replay them byte-for-byte."""
+    for pdf in batches:
+        out_doc, out_idx, out_n, out_e = [], [], [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            if content is None:
+                continue
+            n = len(content)
+            for fi in range((n + _AUDIO_FRAME - 1) // _AUDIO_FRAME):
+                frame = content[fi * _AUDIO_FRAME : (fi + 1) * _AUDIO_FRAME]
+                out_doc.append(doc_id)
+                out_idx.append(fi)
+                out_n.append(len(frame))
+                out_e.append(sum(b * b for b in frame))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int64"),
+                "n_samples": pd.Series(out_n, dtype="int64"),
+                "energy": pd.Series(out_e, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_audio_energy",
+    category="multimodal",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        ),
+        frames AS (
+            SELECT doc_id, text, n,
+                   unnest(range(CAST((n + {_AUDIO_FRAME - 1}) // {_AUDIO_FRAME}
+                                     AS BIGINT))) AS fi
+            FROM d
+        ),
+        samples AS (
+            SELECT doc_id, fi,
+                   ascii(substring(text,
+                         CAST(fi * {_AUDIO_FRAME} + s.s + 1 AS INTEGER),
+                         1)) AS b
+            FROM frames, (SELECT unnest(range({_AUDIO_FRAME})) AS s) s
+            WHERE fi * {_AUDIO_FRAME} + s.s < n
+        )
+        SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+               CAST(count(*) AS BIGINT) AS n_samples,
+               CAST(sum(b * b) AS BIGINT) AS energy
+        FROM samples GROUP BY doc_id, fi
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-style energy per fixed-size frame of an opaque
+    binary payload — the audio sibling of ``multimodal_frame_sample``:
+    framing, per-frame reduction, typed explode through Arrow, with
+    the decode stubbed by deterministic byte values (the container has
+    no media codecs; the Spark-side plumbing — schema, partitioning,
+    batch shape — is the real thing).
+
+    Exactness: energy is an integer Σ byte² per frame, so the oracle
+    (which replays the same framing with substring/ascii arithmetic —
+    corpus text is ASCII, byte == codepoint) hash-matches without any
+    float surface. Scale shape: one Arrow pass over repartitioned
+    payloads, no shuffle (the per-frame reduction happens inside the
+    kernel); a real PCM pipeline swaps the byte slice for a decoder
+    and keeps every other line."""
+    d = _payloads(spark, sf_dir)
+    return d.mapInPandas(
+        _audio_energy, "doc_id long, frame_idx long, n_samples long, energy long"
+    )

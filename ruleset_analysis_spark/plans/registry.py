@@ -172,6 +172,7 @@ DRIVER_PRIORITY = (
     "dedup_cluster_representatives",
     "firewall_rule_staleness",
     "agg_bitmap_overlap",
+    "multimodal_audio_energy",
     "limit_topk",
     "setop_union_all",
     "setop_intersect",

@@ -58,6 +58,7 @@ DIRTY_QUERIES = [
     "embed_kmeans_clusters", "dedup_cluster_representatives",
     "firewall_rule_staleness", "stream_lateness_histogram",
     "graph_link_prediction", "agg_bitmap_overlap",
+    "multimodal_audio_energy",
 ]
 
 

@@ -26,6 +26,7 @@ PYTHON_ALLOWED = {
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "multimodal_resize",
+    "multimodal_audio_energy",
     "udtf_python_native",
     "pack_greedy_bins",
     "embed_pca_project",
