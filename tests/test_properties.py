@@ -876,3 +876,25 @@ def test_kmeans_matches_numpy_lloyd(spark):
             assert j not in got
             continue
         assert got[j]["n_members"] == want_sizes[j], (j, got[j], want_sizes[j])
+
+
+@given(
+    qty=st.integers(1, 50),
+    sums=st.lists(st.integers(1, 50), min_size=1, max_size=40),
+)
+@settings(max_examples=300)
+def test_cross_multiplied_threshold_equals_exact_rational(qty, sums):
+    """The TPC-H adaptations never materialize a fraction: Q17's
+    'quantity below 20% of the part average' ships as qty·n·5 < Σqty.
+    Property: the integer inequality decides EXACTLY the rational
+    comparison qty < (1/5)·(Σ/n) for every input — while the float
+    form round-trips through two divisions whose rounding can (and on
+    adversarial inputs does) disagree at the boundary. This is the
+    algebra that makes every threshold in the composite family safe
+    under any partial-aggregation order and any engine pairing."""
+    n, total = len(sums), sum(sums)
+    exact = qty * n * 5 < total
+    from fractions import Fraction
+
+    rational = Fraction(qty) < Fraction(total, 5 * n)
+    assert exact == rational
