@@ -121,7 +121,13 @@ def _mh_expr(seed: int) -> F.Column:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_base_cte() -> str:
+    """Shared oracle CTE chain: shingles → per-doc signature → bands →
+    band candidates → exact intersection counts. Both MinHash queries
+    (the graded near-dup filter and the estimate-vs-exact report)
+    append their own final SELECT to this one definition, so the
+    sketch protocol lives in exactly one place on the oracle side —
+    mirroring the single Spark-side protocol in _mh_expr/_MH_SEEDS."""
     mh_cols = ",\n                   ".join(
         "min(CAST(concat('0x', substring(md5('" + str(seed) + ":' || tri), 1, 15))"
         f" AS BIGINT)) AS mh_{i}"
@@ -171,6 +177,13 @@ def _minhash_oracle() -> str:
             JOIN tri tb ON tb.doc_id = doc_b AND tb.tri = ta.tri
             GROUP BY doc_a, doc_b
         )
+    """
+
+
+def _minhash_oracle() -> str:
+    return (
+        _minhash_base_cte()
+        + """
         SELECT doc_a, doc_b,
                CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
         FROM inter
@@ -178,6 +191,7 @@ def _minhash_oracle() -> str:
         JOIN per_doc sb ON sb.doc_id = doc_b
         WHERE 3 * i >= sa.n + sb.n
     """
+    )
 
 
 @register(
@@ -901,59 +915,13 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_estimate_oracle() -> str:
-    mh_cols = ",\n                   ".join(
-        "min(CAST(concat('0x', substring(md5('" + str(seed) + ":' || tri), 1, 15))"
-        f" AS BIGINT)) AS mh_{i}"
-        for i, seed in enumerate(_MH_SEEDS)
-    )
-    band_rows = "\n            UNION ALL\n".join(
-        f"            SELECT doc_id, {b} AS band_id,"
-        " concat_ws(','"
-        + "".join(f", mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS))
-        + ") AS band_key FROM per_doc"
-        for b in range(_MH_BANDS)
-    )
     agree = " + ".join(
         f"CASE WHEN pa.mh_{i} = pb.mh_{i} THEN 1 ELSE 0 END"
         for i in range(len(_MH_SEEDS))
     )
-    return f"""
-        WITH toks AS (
-            SELECT doc_id,
-                   unnest(string_split(lower(text), ' ')) AS term,
-                   generate_subscripts(string_split(lower(text), ' '), 1) AS i
-            FROM documents
-        ),
-        tri AS (
-            SELECT DISTINCT t1.doc_id,
-                   t1.term || ' ' || t2.term || ' ' || t3.term AS tri
-            FROM toks t1
-            JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
-            JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
-        ),
-        per_doc AS (
-            SELECT doc_id,
-                   {mh_cols},
-                   count(*) AS n
-            FROM tri GROUP BY doc_id
-        ),
-        bands AS (
-{band_rows}
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a
-            JOIN bands b ON a.band_id = b.band_id
-                        AND a.band_key = b.band_key
-                        AND a.doc_id < b.doc_id
-        ),
-        inter AS (
-            SELECT doc_a, doc_b, count(*) AS i
-            FROM cand
-            JOIN tri ta ON ta.doc_id = doc_a
-            JOIN tri tb ON tb.doc_id = doc_b AND tb.tri = ta.tri
-            GROUP BY doc_a, doc_b
-        )
+    return (
+        _minhash_base_cte()
+        + f"""
         SELECT c.doc_a, c.doc_b,
                ({agree}) / 16.0 AS jaccard_est,
                CAST(coalesce(i.i, 0) AS DOUBLE)
@@ -963,6 +931,7 @@ def _minhash_estimate_oracle() -> str:
         JOIN per_doc pb ON pb.doc_id = c.doc_b
         LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
     """
+    )
 
 
 @register(
