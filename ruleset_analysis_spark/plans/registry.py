@@ -130,10 +130,16 @@ DRIVER_PRIORITY = (
     "setop_except_all",
     "setop_intersect_all",
     # --- entries 51+: past the driver's observed 50-entry correctness
-    # window. First the round-3 additions (never witnessed — they lead
-    # round 4's rotation), then the deferred never-witnessed keys (3
-    # thin wrappers + the rows-only pair), then the r1/r2-witnessed
-    # flagship/LLM families in round-2 order.
+    # window. First the round-3 additions (never witnessed — ROUND 4
+    # MUST FRONT-LOAD THESE: the 9 TPC-H completions, the 18 round-3
+    # ops through graph_link_prediction, and the 7 session additions
+    # agg_countmin_sketch..multimodal_audio_energy, plus re-witnessing
+    # the five md5-upgraded sketch queries whose oracles are new:
+    # dedup_near_minhash, dedup_simhash, text_rolling_fingerprint,
+    # sim_ann_lsh, sim_pairwise_bucketed — and dedup_cluster_components
+    # after its convergence fix), then the deferred never-witnessed
+    # keys (3 thin wrappers + the rows-only pair), then the
+    # r1/r2-witnessed flagship/LLM families in round-2 order.
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_priority_check",
