@@ -614,7 +614,15 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges once, so without the cache the pair-generation lineage is
     # re-planned/re-run ~4^rounds times (measured: 44s → 1.5s at sf0.01).
     # This is the iterative-algorithm persist cadence GraphX bakes in.
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # The pair relation persists BEFORE the symmetrizing union — the
+    # union references it twice, which re-ran the whole Jaccard
+    # verification pipeline both times (same defect class as the
+    # co-occurrence graph builders, fixed the same way).
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     edges = (
         pairs.unionByName(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

@@ -181,10 +181,21 @@ def stream_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded IEEE division, bit-identical across engines. A
     double sum rounded at the edge was partial-order-dependent (the one
     round-2 driver hash miss)."""
+    from pyspark import StorageLevel
+
     ev = load(spark, sf_dir, "events")
-    minute = ev.groupBy(
-        F.date_trunc("minute", "ts").alias("b"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("sv"))
+    # The minute tier IS the materialized continuous aggregate — so
+    # materialize it: the three-tier union references its lineage three
+    # times, and without the persist each coarser tier re-ran the
+    # detail scan + minute aggregation from parquet (measured: 6 scans,
+    # 0 reuses — ReuseExchange does not fire across the union's
+    # branches). One persist makes the docstring's "raw table read
+    # exactly once" literally true in the executed plan.
+    minute = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("b"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents("value")).alias("sv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hour = minute.groupBy(
         F.date_trunc("hour", "b").alias("b"), "event_type"
     ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
