@@ -293,17 +293,35 @@ def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract",
     category="scalar",
     oracle="""
-        SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        SELECT event_id,
+               CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                        '^-?[0-9]+$')
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k
         FROM events
     """,
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured payload access (``events.props`` is a JSON string).
-    try_cast both sides: a non-numeric ``k`` degrades to NULL instead
-    of an ANSI CAST abort."""
+
+    Typed extraction carries a STRICT integer contract, enforced with a
+    regex guard on the extracted string on BOTH engines: a ``k`` that is
+    not an integral JSON literal (``28.0``, ``true``, ``"txt"``) is NULL,
+    never a coercion. Neither engine's native string→BIGINT cast is a
+    safe meeting point — Spark's ``try_cast('28.0')`` is NULL while
+    DuckDB's ``TRY_CAST('28.5')`` *rounds to 29* (measured) — so the
+    regex is the only semantics both engines express identically; the
+    regeneration-fuzz sweep (scripts/fuzz_sweep.py) caught exactly this
+    on a corpus with float-valued ``k``. A non-integral payload degrades
+    to NULL instead of an ANSI CAST abort either way."""
     ev = load(spark, sf_dir, "events")
+    s = F.get_json_object("props", "$.k")
     return ev.select(
-        "event_id", F.get_json_object("props", "$.k").try_cast("bigint").alias("k")
+        "event_id",
+        # try_cast, not cast: an integral literal past the BIGINT range
+        # passes the regex but must degrade to NULL (both engines' TRY
+        # forms do), not raise under ANSI mode
+        F.when(s.rlike("^-?[0-9]+$"), s.try_cast("bigint")).alias("k"),
     )
 
 
@@ -312,7 +330,10 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scalar",
     oracle="""
         SELECT event_id,
-               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                        '^-?[0-9]+$')
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k,
                json_extract_string(props, '$.absent') AS missing,
                (TRY_CAST(props AS JSON) IS NOT NULL) AS valid
         FROM events
@@ -336,19 +357,32 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces the same semantics with DuckDB's JSON functions
     (TRY_CAST to JSON for validity, json_extract_string for access).
 
-    ``k`` extracts as STRING then try_casts to BIGINT — mirroring the
-    oracle's string path exactly: a direct
-    ``try_variant_get(..., 'bigint')`` coerces JSON doubles/booleans
-    (5.0→5, true→1) where DuckDB's TRY_CAST('5.0' AS BIGINT) yields
-    NULL, a divergence a regenerated corpus with non-integer ``k``
-    would expose."""
+    ``k`` carries the same strict integral-literal contract as
+    ``json_extract``, expressed in each engine's own type system: the
+    oracle regex-guards the extracted JSON string (``'17'`` passes,
+    ``'17.0'``/``'true'`` don't), while the Spark side gates on
+    ``schema_of_variant(...) = 'BIGINT'`` — the VARIANT encoder types a
+    JSON integer literal as BIGINT and canonicalizes ``17.0`` to
+    DECIMAL(2,0) (measured; its *string* form is ``'17'``, so a
+    string-side regex can NOT distinguish them — the regeneration-fuzz
+    sweep caught exactly that). A direct untyped
+    ``try_variant_get(..., 'bigint')`` is wrong the other way,
+    coercing doubles/bools 5.0→5, true→1. An integral literal past the
+    BIGINT range types as DECIMAL(20,0) (Spark → NULL) and TRY_CASTs
+    to NULL in DuckDB — agreeing there too."""
     ev = load(spark, sf_dir, "events")
     v = F.expr("try_parse_json(props)")
     return ev.select(
         "event_id",
-        F.expr("try_variant_get(try_parse_json(props), '$.k', 'string')")
-        .try_cast("bigint")
-        .alias("k"),
+        F.when(
+            F.expr(
+                "schema_of_variant(try_variant_get(try_parse_json(props), '$.k'))"
+            )
+            == "BIGINT",
+            F.expr(
+                "try_variant_get(try_parse_json(props), '$.k', 'bigint')"
+            ),
+        ).alias("k"),
         F.expr(
             "try_variant_get(try_parse_json(props), '$.absent', 'string')"
         ).alias("missing"),
