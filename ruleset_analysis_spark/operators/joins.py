@@ -272,20 +272,29 @@ def join_self_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof_backward",
     category="join",
     oracle="""
+        WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+        c AS (SELECT * FROM events WHERE event_type = 'click'),
+        ranked AS (
+            SELECT e.event_id, c.event_id AS click_event_id, c.ts AS cts,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY c.ts DESC, c.event_id DESC
+                   ) AS rn
+            FROM e JOIN c ON c.user_id = e.user_id AND c.ts <= e.ts
+        )
         SELECT e.event_id, e.user_id,
                CAST(epoch(date_trunc('second', e.ts)) AS BIGINT) AS err_epoch,
-               c.event_id AS click_event_id,
-               CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS click_epoch
-        FROM (SELECT * FROM events WHERE event_type = 'error') e
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-          ON e.user_id = c.user_id AND e.ts >= c.ts
+               r.click_event_id,
+               CAST(epoch(date_trunc('second', r.cts)) AS BIGINT) AS click_epoch
+        FROM e
+        LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+          ON r.event_id = e.event_id
     """,
 )
 def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (backward, inclusive) join: for every 'error' event, the
     most recent 'click' by the same user at or before it — the canonical
-    point-in-time lookup Spark has no native operator for (DuckDB does:
-    the oracle is a literal ``ASOF LEFT JOIN``).
+    point-in-time lookup Spark has no native operator for.
 
     Spark-native formulation: tag and union both sides, sort within a
     per-user window (clicks before errors on timestamp ties to make the
@@ -294,11 +303,14 @@ def join_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, no range-condition nested-loop join; at 100 TB both sides
     shuffle once on user_id and the sort is per-partition.
 
-    Tie-break subtlety: multiple clicks can share one timestamp; the
-    fill takes the max event_id among them (same choice DuckDB's ASOF
-    makes ties deterministic with via its internal ordering is NOT
-    guaranteed — so the corpus guarantees per-user-type unique
-    timestamps; asserted by the hash match itself)."""
+    Tie-break subtlety: multiple clicks can share one timestamp, and an
+    as-of operator is only well-defined once that tie is broken — this
+    one takes the max click event_id at the winning timestamp. DuckDB's
+    native ``ASOF JOIN`` leaves the tie ARBITRARY (the fuzz sweep's
+    injected equal-(user, ts) click pairs flipped it between adjacent
+    event_ids), so the oracle spells the same semantics out explicitly:
+    rank candidate clicks per error by (ts DESC, event_id DESC), keep
+    rank 1."""
     ev = load(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts", F.lit(1).alias("is_err")

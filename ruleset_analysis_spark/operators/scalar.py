@@ -444,20 +444,37 @@ def array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id,
                array_to_string(json_keys(props), ',') AS keys,
                CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
-               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+               CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                        '^-?[0-9]+$')
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k_val
         FROM events
     """,
 )
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props JSON → MapType, then map_keys/map_values/size. Keys keep
-    document order in both engines."""
+    document order in both engines.
+
+    The map parses values as STRING, not LONG: with a typed value
+    ``from_json`` nulls the whole map whenever ANY value fails coercion
+    (``{"k": 3.5}``, ``{"k": "txt"}``), so key listing would depend on
+    value types — DuckDB's ``json_keys`` has no such coupling (fuzz-
+    sweep finding). ``keys`` is guarded to stay NULL for a NULL map
+    (``concat_ws`` otherwise collapses NULL input to ''); ``k_val``
+    carries the ``json_extract`` integral-literal contract. ``keys`` is
+    NULL for both a NULL map AND a zero-key map — DuckDB's
+    ``array_to_string([])`` is NULL (measured), so '' for ``{}`` has no
+    portable SQL spelling and NULL is the common ground."""
     ev = load(spark, sf_dir, "events")
-    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    m = F.from_json("props", T.MapType(T.StringType(), T.StringType()))
+    kv = F.element_at(m, "k")
     return ev.select(
         "event_id",
-        F.concat_ws(",", F.map_keys(m)).alias("keys"),
+        F.when(
+            F.size(F.map_keys(m)) > 0, F.concat_ws(",", F.map_keys(m))
+        ).alias("keys"),
         F.size(F.map_keys(m)).alias("n_keys"),
-        F.element_at(m, "k").alias("k_val"),
+        F.when(kv.rlike("^-?[0-9]+$"), kv.try_cast("bigint")).alias("k_val"),
     )
 
 

@@ -22,8 +22,22 @@ from ..plans.registry import register
 from ..sources.parquet import load
 from ._util import bounded_block
 
-_PROBE_ID = 0
+# The probe is the smallest vec_id, resolved at build time — one
+# BIGINT scalar to the driver (model-parameter class, like the IVF
+# centroid matrix). A pinned literal id was a regeneration hazard: the
+# driver rebuilds the corpus each round and owes us no particular id —
+# the fuzz sweep (scripts/fuzz_sweep.py) crashed sim_ann_ivf and
+# silently vacuumed sim_cosine_topk/sim_ann_lsh to 0 rows on a corpus
+# whose ids started above 0.
+_PROBE_SQL = "(SELECT min(vec_id) FROM embeddings)"
 _TOP_K = 10
+
+
+def _probe_id(e: DataFrame) -> int:
+    """Smallest vec_id in the (persisted) normalized-vector relation."""
+    return int(e.agg(F.min("vec_id")).first()[0])
+
+
 # Hard ceiling for the exact label-blocked all-pairs baselines
 # (sim_pairwise_threshold, dedup_embedding_cosine): 10 blocks × 10k²
 # ≈ 1e9 candidate pairs is the most the quadratic oracle form should
@@ -93,8 +107,8 @@ def normalized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
         , dots AS (
             SELECT e.vec_id, sum(e.xn * p.xn) AS d
-            FROM nelem e JOIN nelem p ON p.i = e.i AND p.vec_id = {_PROBE_ID}
-            WHERE e.vec_id <> {_PROBE_ID}
+            FROM nelem e JOIN nelem p ON p.i = e.i AND p.vec_id = {_PROBE_SQL}
+            WHERE e.vec_id <> {_PROBE_SQL}
             GROUP BY e.vec_id
         )
         SELECT vec_id, round(d, 6) AS cos
@@ -104,17 +118,18 @@ def normalized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact k-NN: top-10 cosine neighbors of probe vec_id=0.
+    """Exact k-NN: top-10 cosine neighbors of the probe (min vec_id).
 
     The probe row is a broadcast 1-row join; similarity is a JVM
     higher-order fold per candidate row; top-k plans as
     TakeOrderedAndProject (per-partition heaps)."""
     e = normalized_vectors(spark, sf_dir)
-    probe = e.filter(F.col("vec_id") == _PROBE_ID).select(
+    pid = _probe_id(e)
+    probe = e.filter(F.col("vec_id") == pid).select(
         F.col("vn").alias("probe_vn")
     )
     return (
-        e.filter(F.col("vec_id") != _PROBE_ID)
+        e.filter(F.col("vec_id") != pid)
         .crossJoin(F.broadcast(probe))
         .select("vec_id", dot(F.col("vn"), F.col("probe_vn")).alias("cos_raw"))
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
@@ -274,15 +289,15 @@ def _lsh_buckets(spark: SparkSession, e: DataFrame) -> DataFrame:
         , cand AS (
             SELECT DISTINCT b.vec_id
             FROM buckets b
-            JOIN buckets pb ON pb.vec_id = {_PROBE_ID}
+            JOIN buckets pb ON pb.vec_id = {_PROBE_SQL}
                            AND b.table_id = pb.table_id
                            AND b.bucket = pb.bucket
-            WHERE b.vec_id <> {_PROBE_ID}
+            WHERE b.vec_id <> {_PROBE_SQL}
         ),
         dots AS (
             SELECT e.vec_id, sum(e.xn * p.xn) AS d
             FROM nelem e
-            JOIN nelem p ON p.i = e.i AND p.vec_id = {_PROBE_ID}
+            JOIN nelem p ON p.i = e.i AND p.vec_id = {_PROBE_SQL}
             JOIN cand c ON c.vec_id = e.vec_id
             GROUP BY e.vec_id
         )
@@ -302,9 +317,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-k on the candidate set. This is the IVF/LSH routing
     pattern: at 100 TB the bucket id becomes the partition key and a
     query touches only matching partitions."""
-    e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
+    nv = normalized_vectors(spark, sf_dir)
+    pid = _probe_id(nv)
+    e = nv.select("vec_id", "vn")
     bits = _lsh_buckets(spark, e)
-    probe_buckets = bits.filter(F.col("vec_id") == _PROBE_ID).select(
+    probe_buckets = bits.filter(F.col("vec_id") == pid).select(
         "table_id", F.col("bucket").alias("probe_bucket")
     )
     cand_ids = (
@@ -313,11 +330,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (bits.table_id == probe_buckets.table_id)
             & (bits.bucket == probe_buckets.probe_bucket),
         )
-        .filter(F.col("vec_id") != _PROBE_ID)
+        .filter(F.col("vec_id") != pid)
         .select("vec_id")
         .distinct()
     )
-    probe = e.filter(F.col("vec_id") == _PROBE_ID).select(F.col("vn").alias("probe_vn"))
+    probe = e.filter(F.col("vec_id") == pid).select(F.col("vn").alias("probe_vn"))
     return (
         cand_ids.join(e, "vec_id")
         .crossJoin(F.broadcast(probe))
@@ -427,19 +444,20 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(feats)
     assigned = model.transform(feats).select("vec_id", "vn", "cell")
 
+    pid = _probe_id(e)
     probe_vec = np.array(
-        e.filter(F.col("vec_id") == _PROBE_ID).select("vn").first()[0]
+        e.filter(F.col("vec_id") == pid).select("vn").first()[0]
     )
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
     d2 = ((centers - probe_vec) ** 2).sum(axis=1)
     probe_cells = [int(c) for c in np.argsort(d2)[:_IVF_NPROBE]]
 
-    probe = assigned.filter(F.col("vec_id") == _PROBE_ID).select(
+    probe = assigned.filter(F.col("vec_id") == pid).select(
         F.col("vn").alias("probe_vn")
     )
     return (
         assigned.filter(F.col("cell").isin(probe_cells))
-        .filter(F.col("vec_id") != _PROBE_ID)
+        .filter(F.col("vec_id") != pid)
         .crossJoin(F.broadcast(probe))
         .select("vec_id", dot(F.col("vn"), F.col("probe_vn")).alias("cos_raw"))
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
@@ -570,11 +588,10 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (recursive CTEs cannot re-aggregate per round); the value
     check is a NumPy Lloyd replay with identical init/tie-breaks."""
     e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
-    seeds = (
-        e.filter(F.col("vec_id") < _KM_K)
-        .orderBy("vec_id")
-        .collect()
-    )
+    # the _KM_K LOWEST ids, whatever they are — `vec_id < _KM_K` assumed
+    # ids 0..3 exist and IndexError'd on a renumbered corpus (caught by
+    # scripts/fuzz_sweep.py); orderBy+limit is a TakeOrdered of k rows
+    seeds = e.orderBy("vec_id").limit(_KM_K).collect()
     centroids = [list(r["vn"]) for r in seeds]
 
     dist = F.aggregate(

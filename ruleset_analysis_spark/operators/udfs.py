@@ -128,7 +128,11 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="udf",
     oracle="""
         SELECT event_id, k AS key,
-               CAST(json_extract(props, '$.' || k) AS BIGINT) AS val
+               CASE WHEN regexp_matches(json_extract_string(props, '$.' || k),
+                                        '^-?[0-9]+$')
+                    THEN TRY_CAST(json_extract_string(props, '$.' || k)
+                                  AS BIGINT)
+               END AS val
         FROM (
             SELECT event_id, props, unnest(json_keys(props)) AS k FROM events
         )
@@ -138,11 +142,25 @@ def udtf_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF-shaped expansion: JSON props → one row per key/value. Plain
     ``explode(from_json(...))`` — no Python needed for the table
     function (Spark 3.5 Python UDTFs exist, but the built-in lateral
-    explode is the fast path)."""
+    explode is the fast path).
+
+    Values parse as STRING then cast under the integral-literal
+    contract (see ``json_extract``): a map typed ``<string,bigint>``
+    nulls the WHOLE map when any one value fails coercion, so a single
+    ``{"k": 3.5}`` row would emit zero rows while the oracle emits one
+    with a NULL val (fuzz-sweep finding); the oracle's bare
+    ``CAST(json_extract(...))`` was equally wrong — it ABORTED the
+    whole query on the first string-valued key."""
     ev = load(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,bigint>")
-    return ev.select(
-        "event_id", F.explode(m).alias("key", "val")
+    m = F.from_json("props", "map<string,string>")
+    kv = F.col("raw_val")
+    return (
+        ev.select("event_id", F.explode(m).alias("key", "raw_val"))
+        .select(
+            "event_id",
+            "key",
+            F.when(kv.rlike("^-?[0-9]+$"), kv.try_cast("bigint")).alias("val"),
+        )
     )
 
 
@@ -158,9 +176,11 @@ class _PropsExploder:
         import json
 
         # tolerant of dirty rows: non-JSON / 'null' / non-object props
-        # yield nothing; non-integer values yield NULL — one bad record
-        # must degrade like the oracle's CAST (to NULL), not kill the
-        # stage
+        # yield nothing; values that are not JSON integer literals yield
+        # NULL — the same strict contract as json_extract (Python's
+        # int() would coerce 28.0→28 and True→1, diverging from the
+        # oracle's regex-guarded cast; json.loads already types an
+        # integral literal as int and everything else as float/bool/str)
         try:
             kv = json.loads(props) if props else None
         except (ValueError, TypeError):
@@ -168,10 +188,14 @@ class _PropsExploder:
         if not isinstance(kv, dict):
             return
         for k in kv:
-            try:
-                val = int(kv[k])
-            except (ValueError, TypeError):
-                val = None
+            v = kv[k]
+            val = (
+                v
+                if isinstance(v, int)
+                and not isinstance(v, bool)
+                and -(2**63) <= v < 2**63  # past BIGINT → NULL, like TRY_CAST
+                else None
+            )
             yield event_id, k, val, len(kv)
 
 
@@ -180,7 +204,11 @@ class _PropsExploder:
     category="udf",
     oracle="""
         SELECT event_id, k AS key,
-               CAST(json_extract(props, '$.' || k) AS BIGINT) AS val,
+               CASE WHEN regexp_matches(json_extract_string(props, '$.' || k),
+                                        '^-?[0-9]+$')
+                    THEN TRY_CAST(json_extract_string(props, '$.' || k)
+                                  AS BIGINT)
+               END AS val,
                CAST(len(json_keys(props)) AS INTEGER) AS n_keys
         FROM (
             SELECT event_id, props, unnest(json_keys(props)) AS k FROM events

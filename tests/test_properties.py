@@ -859,7 +859,10 @@ def test_kmeans_matches_numpy_lloyd(spark):
     nrm = np.linalg.norm(x, axis=1, keepdims=True)
     keep = nrm[:, 0] > 0
     x, ids = x[keep] / nrm[keep], t["vec_id"].to_numpy()[keep]
-    cents = x[np.searchsorted(ids, np.arange(_KM_K))].copy()
+    # first _KM_K rows after the vec_id sort — the operator seeds from
+    # the k lowest ids present, not from literal ids 0..k-1 (ids are
+    # labels; a regenerated corpus may start anywhere)
+    cents = x[:_KM_K].copy()
     for _ in range(_KM_ITERS):
         d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)  # argmin takes the first (lowest) index
