@@ -22,19 +22,25 @@ from ..plans.registry import register
 from ..sources.parquet import load
 from ._util import bounded_block
 
-# The probe is the smallest vec_id, resolved at build time — one
-# BIGINT scalar to the driver (model-parameter class, like the IVF
-# centroid matrix). A pinned literal id was a regeneration hazard: the
-# driver rebuilds the corpus each round and owes us no particular id —
-# the fuzz sweep (scripts/fuzz_sweep.py) crashed sim_ann_ivf and
-# silently vacuumed sim_cosine_topk/sim_ann_lsh to 0 rows on a corpus
-# whose ids started above 0.
+# The probe is the smallest vec_id. A pinned literal id was a
+# regeneration hazard: the driver rebuilds the corpus each round and
+# owes us no particular id — the fuzz sweep (scripts/fuzz_sweep.py)
+# crashed sim_ann_ivf and silently vacuumed sim_cosine_topk/sim_ann_lsh
+# to 0 rows on a corpus whose ids started above 0. The lazy queries
+# resolve it IN-PLAN as a 1-row broadcast aggregate (`_probe_row`) so
+# builders stay action-free; only the already-eager IVF builder (which
+# needs the id driver-side to rank centroid cells) uses `_probe_id`.
 _PROBE_SQL = "(SELECT min(vec_id) FROM embeddings)"
 _TOP_K = 10
 
 
+def _probe_row(e: DataFrame) -> DataFrame:
+    """1-row relation ``(pid)`` = min vec_id, for broadcast joining."""
+    return e.agg(F.min("vec_id").alias("pid"))
+
+
 def _probe_id(e: DataFrame) -> int:
-    """Smallest vec_id in the (persisted) normalized-vector relation."""
+    """Smallest vec_id as a driver scalar (eager builders only)."""
     return int(e.agg(F.min("vec_id")).first()[0])
 
 
@@ -120,17 +126,17 @@ def normalized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN: top-10 cosine neighbors of the probe (min vec_id).
 
-    The probe row is a broadcast 1-row join; similarity is a JVM
+    The probe row is a broadcast 1-row join (its id resolved in-plan —
+    min vec_id — so the builder stays lazy); similarity is a JVM
     higher-order fold per candidate row; top-k plans as
     TakeOrderedAndProject (per-partition heaps)."""
     e = normalized_vectors(spark, sf_dir)
-    pid = _probe_id(e)
-    probe = e.filter(F.col("vec_id") == pid).select(
-        F.col("vn").alias("probe_vn")
-    )
+    probe = e.join(
+        F.broadcast(_probe_row(e)), F.col("vec_id") == F.col("pid")
+    ).select(F.col("vn").alias("probe_vn"), "pid")
     return (
-        e.filter(F.col("vec_id") != pid)
-        .crossJoin(F.broadcast(probe))
+        e.crossJoin(F.broadcast(probe))
+        .filter(F.col("vec_id") != F.col("pid"))
         .select("vec_id", dot(F.col("vn"), F.col("probe_vn")).alias("cos_raw"))
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(_TOP_K)
@@ -317,24 +323,25 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-k on the candidate set. This is the IVF/LSH routing
     pattern: at 100 TB the bucket id becomes the partition key and a
     query touches only matching partitions."""
-    nv = normalized_vectors(spark, sf_dir)
-    pid = _probe_id(nv)
-    e = nv.select("vec_id", "vn")
+    e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
     bits = _lsh_buckets(spark, e)
-    probe_buckets = bits.filter(F.col("vec_id") == pid).select(
-        "table_id", F.col("bucket").alias("probe_bucket")
-    )
+    # probe id resolved in-plan (1-row broadcast aggregate) — lazy
+    probe_buckets = bits.join(
+        F.broadcast(_probe_row(e)), F.col("vec_id") == F.col("pid")
+    ).select("table_id", F.col("bucket").alias("probe_bucket"), "pid")
     cand_ids = (
         bits.join(
             F.broadcast(probe_buckets),
             (bits.table_id == probe_buckets.table_id)
-            & (bits.bucket == probe_buckets.probe_bucket),
+            & (bits.bucket == probe_buckets.probe_bucket)
+            & (bits.vec_id != probe_buckets.pid),
         )
-        .filter(F.col("vec_id") != pid)
-        .select("vec_id")
+        .select(bits.vec_id)
         .distinct()
     )
-    probe = e.filter(F.col("vec_id") == pid).select(F.col("vn").alias("probe_vn"))
+    probe = e.join(
+        F.broadcast(_probe_row(e)), F.col("vec_id") == F.col("pid")
+    ).select(F.col("vn").alias("probe_vn"))
     return (
         cand_ids.join(e, "vec_id")
         .crossJoin(F.broadcast(probe))
