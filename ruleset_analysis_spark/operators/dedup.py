@@ -630,9 +630,18 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("u", "v")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Iterate ONLY the edge-connected subgraph. A doc with no near-dup
+    # pair is its own cluster by definition and its label can never
+    # change, yet the earlier form dragged every one of them through
+    # every round's two joins + checkpoint as identity rows. At sf0.1
+    # that is 5,000 iterated rows vs 2,144 connected ones (measured
+    # ~0.9 → ~0.6 s/round); at 100 TB — where the near-dup graph is
+    # typically a few percent of the corpus — it is the difference
+    # between shuffling the corpus 9× and shuffling the pair graph 9×.
+    # Singletons rejoin once, at the end, via a left join + coalesce.
     labels = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
         .withColumn("comp", F.col("doc_id"))
     )
     prev_sum = None
@@ -665,7 +674,15 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if s == prev_sum:
             break
         prev_sum = s
-    return labels.select("doc_id", F.col("comp").alias("cluster_id"))
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
 
 
 @register(
