@@ -60,15 +60,71 @@ def scan_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _schema_oracle() -> str:
+    """DuckDB twin of the schema validation, generated from the SAME
+    ``schemas.EXPECTED`` registry at import time (the declared side can
+    never drift from the Spark side). DuckDB DESCRIBEs each registered
+    view and a CASE maps its type names onto Spark ``simpleString``
+    spellings; a FULL OUTER JOIN against the declared VALUES list
+    reproduces the missing-column and undeclared-column rows. Timestamp
+    flavors collapse on both sides (TIMESTAMP% → 'timestamp'), so the
+    oracle agrees under either events.ts encoding the driver has
+    shipped (us, or ns which ``load`` normalizes)."""
+    actual_union = "\n            UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, column_name, column_type "
+        f"FROM (DESCRIBE {t})"
+        for t in schemas.EXPECTED
+    )
+    declared_rows = ",\n            ".join(
+        f"('{t}', '{f.name}', '{schemas.normalize_type(f.dataType)}')"
+        for t, st in schemas.EXPECTED.items()
+        for f in st.fields
+    )
+    return f"""
+        WITH actual_raw AS (
+            {actual_union}
+        ),
+        actual AS (
+            SELECT table_name, column_name,
+                   CASE WHEN column_type = 'BIGINT' THEN 'bigint'
+                        WHEN column_type = 'INTEGER' THEN 'int'
+                        WHEN column_type = 'DOUBLE' THEN 'double'
+                        WHEN column_type = 'FLOAT' THEN 'float'
+                        WHEN column_type = 'VARCHAR' THEN 'string'
+                        WHEN column_type = 'FLOAT[]' THEN 'array<float>'
+                        WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+                        ELSE lower(column_type)
+                   END AS actual_type
+            FROM actual_raw
+        ),
+        declared(table_name, column_name, declared) AS (VALUES
+            {declared_rows}
+        )
+        SELECT COALESCE(d.table_name, a.table_name) AS table_name,
+               COALESCE(d.column_name, a.column_name) AS column_name,
+               COALESCE(d.declared, '<undeclared>') AS declared,
+               COALESCE(a.actual_type, '<missing>') AS actual,
+               COALESCE(a.actual_type = d.declared, FALSE) AS ok
+        FROM declared d
+        FULL OUTER JOIN actual a
+          ON a.table_name = d.table_name AND a.column_name = d.column_name
+    """
+
+
 @register(
     "scan_schema_validate",
     category="scan",
-    oracle=None,  # rows-only: engine-internal schema introspection
+    oracle=_schema_oracle(),
 )
 def scan_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared StructType vs parquet footer for every table; one row per
     column with an ``ok`` verdict. Fails loudly (ok=false rows) instead
-    of silently inferring — schema drift at 100 TB is an outage."""
+    of silently inferring — schema drift at 100 TB is an outage.
+
+    Fully oracle-graded (upgraded from rows-only): ``_schema_oracle``
+    regenerates the DuckDB twin from the same declared registry, so the
+    hash match witnesses that both engines read identical types out of
+    the same parquet footers."""
     from concurrent.futures import ThreadPoolExecutor
 
     # footer reads are driver-side metadata IO — overlap them (each

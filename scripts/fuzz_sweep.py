@@ -41,7 +41,6 @@ mismatch. Usage:
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import shutil
 import sys
@@ -54,6 +53,11 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/testdata/sf0.01"
+
+
+def _rows(base: str, table: str) -> int:
+    return pq.ParquetFile(os.path.join(base, f"{table}.parquet")).metadata.num_rows
+
 
 VOCAB = (
     "key agg row scan slow fast table value part hash merge batch spark a the "
@@ -74,7 +78,7 @@ def _shuffle(tbl: pa.Table, rng: np.random.Generator) -> pa.Table:
 
 
 def gen_events(rng: np.random.Generator, out_dir: str, n: int = 10_000) -> None:
-    user = rng.integers(1, 400, n)
+    user = rng.integers(1, max(400, n // 25), n)
     # heavy-user skew: one user owns ~5% of traffic
     heavy = rng.random(n) < 0.05
     user[heavy] = 7
@@ -172,8 +176,10 @@ def gen_embeddings(rng: np.random.Generator, out_dir: str, n: int = 500, d: int 
     _write(_shuffle(tbl, rng), out_dir, "embeddings")
 
 
-def mutate_orders_lineitem(rng: np.random.Generator, out_dir: str) -> None:
-    orders = pq.read_table(os.path.join(BASE, "orders.parquet"))
+def mutate_orders_lineitem(
+    rng: np.random.Generator, out_dir: str, base: str = BASE
+) -> None:
+    orders = pq.read_table(os.path.join(base, "orders.parquet"))
     keep = rng.random(orders.num_rows) < 0.9
     orders = orders.filter(pa.array(keep))
     od = orders.to_pydict()
@@ -196,7 +202,7 @@ def mutate_orders_lineitem(rng: np.random.Generator, out_dir: str) -> None:
     _write(_shuffle(otbl, rng), out_dir, "orders")
 
     surviving = set(od["o_orderkey"])
-    li = pq.read_table(os.path.join(BASE, "lineitem.parquet"))
+    li = pq.read_table(os.path.join(base, "lineitem.parquet"))
     mask = pa.array([k in surviving for k in li.column("l_orderkey").to_pylist()])
     li = li.filter(mask)
     ld = li.to_pydict()
@@ -223,29 +229,33 @@ def mutate_orders_lineitem(rng: np.random.Generator, out_dir: str) -> None:
     _write(_shuffle(ltbl, rng), out_dir, "lineitem")
 
 
-def generate(seed: int, out_dir: str) -> None:
+def generate(seed: int, out_dir: str, base: str = BASE) -> None:
+    """Mutated regeneration sized to ``base`` (any scale-factor dir):
+    table row counts follow the base tables, so ``--base sf0.1`` gives
+    a 10x fuzz corpus — the scale tier and the fuzz tier composed."""
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part"):
-        tbl = pq.read_table(os.path.join(BASE, f"{t}.parquet"))
+        tbl = pq.read_table(os.path.join(base, f"{t}.parquet"))
         _write(_shuffle(tbl, rng), out_dir, t)
-    mutate_orders_lineitem(rng, out_dir)
-    gen_events(rng, out_dir)
-    gen_documents(rng, out_dir)
-    gen_embeddings(rng, out_dir)
+    mutate_orders_lineitem(rng, out_dir, base)
+    gen_events(rng, out_dir, n=_rows(base, "events"))
+    gen_documents(rng, out_dir, n=_rows(base, "documents"))
+    gen_embeddings(rng, out_dir, n=_rows(base, "embeddings"))
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="query names (default: all)")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--base", default=BASE, help="sf dir whose sizes to match")
     ap.add_argument("--out", default=None)
     ap.add_argument("--keep", action="store_true", help="keep the mutated dir")
     args = ap.parse_args()
 
     out_dir = args.out or f"/tmp/fuzz_sf0.01_seed{args.seed}"
-    print(f"generating mutated corpus (seed={args.seed}) -> {out_dir}")
-    generate(args.seed, out_dir)
+    print(f"generating mutated corpus (seed={args.seed}, base={args.base}) -> {out_dir}")
+    generate(args.seed, out_dir, args.base)
 
     from ruleset_analysis_spark.oracle import compare, duck_connect
     from ruleset_analysis_spark.plans.registry import all_specs
