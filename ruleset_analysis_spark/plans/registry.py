@@ -61,9 +61,9 @@ OPERATOR_MODULES = (
 # ``firewall_unused_rules`` on now-non-empty data, and (c) 48 of the
 # 51 oracle-backed queries that have never appeared in any round's
 # window (tpch/graph/curation/event/joins/windows/setops tails + the
-# round-2 marquee ops). Entries 51+ hold the 3 deferred thin wrappers,
-# the never-witnessed rows-only pair, then the r1/r2-witnessed
-# families. Names absent from this list keep registration order after
+# round-2 marquee ops). Entries 51+ hold the deferred setop/sort thin
+# wrappers (7 total after the late-round swap at entries 47-50), the
+# never-witnessed rows-only pair, then the r1/r2-witnessed families. Names absent from this list keep registration order after
 # it; a stale name here fails loudly in tests (tests/
 # test_differential.py asserts the priority list ⊆ registry).
 DRIVER_PRIORITY = (
@@ -123,12 +123,17 @@ DRIVER_PRIORITY = (
     "embed_quantize_int8",
     # subqueries tail
     "subquery_lateral_topn",
-    # sorts / setops (5 of 8; 3 thin wrappers deferred to 51+)
-    "sort_multi_key",
-    "setop_union_distinct",
+    # setops: one witness for the family (4 thin wrappers join the
+    # round-4 deferrals below — swapped out for the four queries whose
+    # cross-engine semantics were re-contracted this round and should
+    # be driver-witnessed in THIS window: the integral-literal JSON
+    # pair, the tie-broken as-of join, and the DESCRIBE-oracled schema
+    # validation)
     "setop_except",
-    "setop_except_all",
-    "setop_intersect_all",
+    "map_funcs",
+    "json_extract",
+    "join_asof_backward",
+    "scan_schema_validate",
     # --- entries 51+: past the driver's observed 50-entry correctness
     # window. First the round-3 additions (never witnessed — ROUND 4
     # MUST FRONT-LOAD THESE: the 9 TPC-H completions, the 18 round-3
@@ -138,7 +143,9 @@ DRIVER_PRIORITY = (
     # dedup_near_minhash, dedup_simhash, text_rolling_fingerprint,
     # sim_ann_lsh, sim_pairwise_bucketed — and dedup_cluster_components
     # after its convergence fix), then the deferred never-witnessed
-    # keys (3 thin wrappers + the rows-only pair), then the
+    # keys (the 7 setop/sort thin wrappers + the rows-only pair,
+    # including the 4 swapped out at entries 47-50 for the re-contracted
+    # queries), then the
     # r1/r2-witnessed flagship/LLM families in round-2 order.
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",

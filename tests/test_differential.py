@@ -79,5 +79,10 @@ def test_driver_priority_window():
                 "json_variant_extract", "recursive_hierarchy_walk",
                 "udf_sql_scalar", "agg_heavy_hitters_topk",
                 "agg_rfm_segmentation", "dedup_containment",
-                "embed_knn_classify", "sort_multi_key"):
+                "embed_knn_classify", "setop_except",
+                # the four re-contracted queries swapped into the
+                # window late in round 3 (integral-literal JSON pair,
+                # tie-broken as-of, DESCRIBE-oracled schema validation)
+                "map_funcs", "json_extract", "join_asof_backward",
+                "scan_schema_validate"):
         assert fam in window, f"{fam} outside the driver's 50-entry window"
