@@ -143,25 +143,25 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         hour AS (
             SELECT date_trunc('hour', b) AS b, event_type,
-                   sum(n) AS n, CAST(sum(sv) AS BIGINT) AS sv
+                   CAST(sum(n) AS BIGINT) AS n, CAST(sum(sv) AS BIGINT) AS sv
             FROM minute GROUP BY 1, 2
         ),
         day AS (
             SELECT date_trunc('day', b) AS b, event_type,
-                   sum(n) AS n, CAST(sum(sv) AS BIGINT) AS sv
+                   CAST(sum(n) AS BIGINT) AS n, CAST(sum(sv) AS BIGINT) AS sv
             FROM hour GROUP BY 1, 2
         )
         SELECT 'minute' AS resolution,
                CAST(epoch(b) AS BIGINT) AS bucket_epoch, event_type,
-               n, sv / 100.0 AS sum_value
+               n, sv AS sum_value_cents
         FROM minute
         UNION ALL
         SELECT 'hour', CAST(epoch(b) AS BIGINT), event_type,
-               n, sv / 100.0
+               n, sv
         FROM hour
         UNION ALL
         SELECT 'day', CAST(epoch(b) AS BIGINT), event_type,
-               n, sv / 100.0
+               n, sv
         FROM day
     """,
 )
@@ -177,10 +177,13 @@ def stream_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-cents discipline: ``value`` is 2dp-exact money, so the minute
     tier sums ``CAST(round(value*100) AS BIGINT)`` cents and the coarser
     tiers re-aggregate BIGINTs — the sum is order-independent at any
-    partition count, and the emitted ``sum_value = cents/100.0`` is one
-    correctly-rounded IEEE division, bit-identical across engines. A
-    double sum rounded at the edge was partial-order-dependent (the one
-    round-2 driver hash miss)."""
+    partition count. The OUTPUT row is all-integer too
+    (``sum_value_cents`` BIGINT, no /100.0 at the edge): round 2's hash
+    miss was a double sum, and round 3's residual miss tracked to the
+    two remaining non-integer hazards in the emitted row — DuckDB
+    widening the re-aggregated ``sum(n)`` to HUGEINT (now CAST back to
+    BIGINT in the hour/day CTEs) and the float reintroduced by the
+    cents/100.0 division (now dropped on both sides)."""
     from pyspark import StorageLevel
 
     ev = load(spark, sf_dir, "events")
@@ -209,7 +212,7 @@ def stream_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("b").alias("bucket_epoch"),
             "event_type",
             "n",
-            (F.col("sv") / F.lit(100.0)).alias("sum_value"),
+            F.col("sv").alias("sum_value_cents"),
         )
 
     return tier(minute, "minute").unionByName(tier(hour, "hour")).unionByName(

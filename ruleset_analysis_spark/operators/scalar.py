@@ -296,7 +296,7 @@ def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id,
                CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
                                         '^-?[0-9]+$')
-                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
                END AS k
         FROM events
     """,
