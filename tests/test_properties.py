@@ -463,14 +463,16 @@ def test_pack_greedy_bins_invariants(spark):
 
 def test_pagerank_matches_numpy_power_iteration(spark):
     """graph_pagerank_cooccur vs an independent NumPy power iteration
-    on the identical edge list: same damping, same iteration count,
-    per-node agreement to 1e-9 — the no-SQL-oracle iterative op gets
+    on the identical edge list: same damping, same Σ|Δrank| ≤ _TOL
+    stopping rule (so both sides run the identical number of rounds),
+    per-node agreement to 1e-6 — the no-SQL-oracle iterative op gets
     its exact check here instead."""
     import numpy as np
 
     from ruleset_analysis_spark.operators.graph import (
         _DAMPING,
-        _ITERATIONS,
+        _MAX_ITERATIONS,
+        _TOL,
         _TOP_K,
         cooccur_edges,
         graph_pagerank_cooccur,
@@ -485,11 +487,15 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for u, _ in edges:
         deg[idx[u]] += 1
     r = np.full(n, 1.0 / n)
-    for _ in range(_ITERATIONS):
+    for _ in range(_MAX_ITERATIONS):
         nxt = np.zeros(n)
         for u, v in edges:
             nxt[idx[v]] += r[idx[u]] / deg[idx[u]]
-        r = (1.0 - _DAMPING) / n + _DAMPING * nxt
+        new = (1.0 - _DAMPING) / n + _DAMPING * nxt
+        delta = np.abs(new - r).sum()
+        r = new
+        if delta <= _TOL:
+            break
     order = sorted(range(n), key=lambda i: (-r[i], nodes[i]))[:_TOP_K]
     want = [(nodes[i], r[i]) for i in order]
 
