@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import schemas
 from ..plans.registry import register
-from ..sources.parquet import load
+from ..sources.parquet import load, path_for
 
 
 @register(
@@ -57,6 +57,113 @@ def scan_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.to_date("l_shipdate").alias("ship_date"),
+    )
+
+
+# Hive-partitioned event layouts, materialized once per corpus
+# fingerprint (source path + mtime + size — the grading driver
+# regenerates parquet between rounds, so a stale layout can never be
+# served for refreshed data). The single-file graded corpus can't
+# exercise partition pruning by itself; this scratch layout is how the
+# registry proves the claim in an executed plan instead of prose.
+_LAYOUT_ROOT = "/tmp/ruleset_analysis_spark_layouts"
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once) a ``day=YYYY-MM-DD/`` hive-partitioned copy of
+    ``events`` and return its root. One file per partition
+    (repartition on the partition column before the write — the
+    small-files guard ``sources.sinks`` documents); ``_SUCCESS`` marks
+    a completed layout, anything less is rewritten."""
+    import hashlib
+    import os
+
+    from ..sources.sinks import write_parquet
+
+    src = path_for(sf_dir, "events")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = f"{_LAYOUT_ROOT}/events_by_day_{fp}"
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+        write_parquet(ev.repartition("day"), root, partition_by=["day"])
+    return root
+
+
+@register(
+    "scan_partition_pruning",
+    category="scan",
+    oracle="""
+        WITH busy AS (
+            SELECT CAST(ts AS DATE) AS day
+            FROM events GROUP BY 1
+            HAVING count(*) >= (
+                SELECT CAST(count(*) AS DOUBLE)
+                       / count(DISTINCT CAST(ts AS DATE))
+                FROM events
+            )
+        )
+        SELECT e.event_type, count(*) AS n_events,
+               count(DISTINCT CAST(e.ts AS DATE)) AS n_days
+        FROM events e JOIN busy b ON CAST(e.ts AS DATE) = b.day
+        GROUP BY e.event_type
+    """,
+)
+def scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning on a real partitioned layout: the fact
+    side scans the hive-partitioned ``day=`` copy of events, the dim
+    side is the busier-than-average days (count ≥ corpus mean/day —
+    a predicate NOT derivable from the join key, so Catalyst cannot
+    rewrite it into a static partition filter), and the join key IS the
+    partition column. Catalyst inserts ``dynamicpruningexpression`` on
+    the fact scan's PartitionFilters: the ~half of the partition
+    directories for quiet days are never opened, decided at runtime
+    from the broadcast dim side (asserted in tests/test_plan_shape.py).
+    At 100 TB this is the difference between scanning the month and
+    scanning the busy days — with zero query changes when the
+    threshold moves.
+
+    The busy-day threshold is an integer count against the exact
+    IEEE double mean (two exact int64s divided identically in both
+    engines), so day membership is bit-deterministic cross-engine.
+    Eager-builder exception (registry docstring): first call per
+    corpus materializes the scratch layout."""
+    fact = spark.read.parquet(partitioned_events_path(spark, sf_dir))
+    ev = load(spark, sf_dir, "events")
+    # One scalar to the driver (same O(1)-collect discipline as
+    # pagerank's node count): the threshold must reach the busy-day
+    # filter as a LITERAL — Catalyst's DPP insertion gates on the dim
+    # side having a "likely selective" predicate, and its heuristic
+    # (PredicateHelper.isLikelySelective) recognizes attribute-vs-
+    # literal comparisons, not attribute-vs-attribute ones, so an
+    # in-plan 1-row threshold join planned fine but never pruned.
+    mean_per_day = ev.agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.countDistinct(F.to_date("ts"))
+        ).alias("mean_per_day")
+    ).first()[0]
+    busy = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_day"))
+        .filter(F.col("n_day") >= F.lit(mean_per_day))
+        .select("day")
+    )
+    # The broadcast hint is load-bearing for DPP, not just for the join
+    # strategy: the busy-day relation sits under an aggregate, so the
+    # planner has no size estimate and would fall back to sort-merge —
+    # and the DPP rule (reuseBroadcastOnly, the default) only inserts
+    # the pruning subquery when it can REUSE a planned broadcast
+    # exchange rather than run a separate filtering job.
+    return (
+        fact.join(F.broadcast(busy), "day")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("day").alias("n_days"),
+        )
     )
 
 

@@ -9,9 +9,13 @@ too (SURVEY.md §2 is the binding inventory).
 Conventions enforced here by construction:
 
 * each builder takes ``(spark, sf_dir)`` and returns a *lazy* DataFrame
-  (no action inside builders — one documented exception:
-  ``dedup_cluster_components`` checkpoints its iteration rounds,
-  the standard Spark recipe for iterative algorithms);
+  (no action inside builders — documented exceptions, each justified at
+  its site: the iterative fixpoint pair (``dedup_cluster_components``
+  via the memoized ``_component_labels`` closure,
+  ``graph_pagerank_cooccur``) checkpoints its rounds — the standard
+  Spark recipe for iterative algorithms — and
+  ``scan_partition_pruning`` materializes its hive-partitioned scratch
+  layout once per corpus fingerprint);
 * every computed column is aliased identically in the DataFrame code
   and the oracle SQL (the driver sorts columns by name before hashing);
 * ``oracle=None`` marks a rows-only query (hash-unstable or
@@ -145,6 +149,7 @@ DRIVER_PRIORITY = (
     "embed_kmeans_clusters",
     "embed_pca_project",
     "graph_pagerank_cooccur",
+    "scan_partition_pruning",  # round-4 addition (DPP on day= layout)
     # --- every name below (and every name absent from this list,
     # falling to registration order) already has an r1-r3 driver
     # hash-green record; round-3 window first, then r1/r2 families ---

@@ -59,6 +59,9 @@ DIRTY_QUERIES = [
     "firewall_rule_staleness", "stream_lateness_histogram",
     "graph_link_prediction", "agg_bitmap_overlap",
     "multimodal_audio_energy",
+    # round-4 additions over the same tables (NULL ts rows must land in
+    # the hive default partition and never match the busy-day join)
+    "scan_partition_pruning",
 ]
 
 

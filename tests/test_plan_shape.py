@@ -57,6 +57,23 @@ def test_projection_prunes_scan(spark):
     assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
 
 
+def test_dynamic_partition_pruning_fires(spark):
+    """scan_partition_pruning must carry a dynamicpruning expression in
+    the partitioned fact scan's PartitionFilters — the runtime skip of
+    quiet-day directories is the query's entire reason to exist, and
+    it degrades SILENTLY to a full scan if any of its preconditions
+    regress (join key not the partition column, dim predicate no
+    longer literal-selective, broadcast hint dropped)."""
+    plan = _physical(spark, "scan_partition_pruning")
+    fact_scan = next(
+        l for l in plan.splitlines()
+        if "FileScan" in l and "events_by_day_" in l
+    )
+    assert "dynamicpruning" in fact_scan.lower(), fact_scan
+    # and the layout root really is hive-partitioned on day
+    assert "PartitionFilters" in fact_scan
+
+
 def test_small_dimension_broadcasts(spark):
     assert "BroadcastHashJoin" in _physical(spark, "join_broadcast")
 
