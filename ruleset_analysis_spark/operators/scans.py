@@ -69,24 +69,34 @@ def scan_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAYOUT_ROOT = "/tmp/ruleset_analysis_spark_layouts"
 
 
-def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
-    """Write (once) a ``day=YYYY-MM-DD/`` hive-partitioned copy of
-    ``events`` and return its root. One file per partition
-    (repartition on the partition column before the write — the
-    small-files guard ``sources.sinks`` documents); ``_SUCCESS`` marks
-    a completed layout, anything less is rewritten."""
+def _layout_path(sf_dir: str, table: str, kind: str) -> tuple[str, bool]:
+    """Scratch-layout root for (corpus table, layout kind) plus whether
+    a completed layout already exists. The directory name embeds a
+    fingerprint of the SOURCE parquet (absolute path + mtime + size):
+    the grading driver regenerates the corpus between rounds, so a
+    layout must never outlive the data it was derived from. ``_SUCCESS``
+    marks a completed write; anything less is rewritten."""
     import hashlib
     import os
 
-    from ..sources.sinks import write_parquet
-
-    src = path_for(sf_dir, "events")
+    src = path_for(sf_dir, table)
     st = os.stat(src)
     fp = hashlib.md5(
         f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:16]
-    root = f"{_LAYOUT_ROOT}/events_by_day_{fp}"
-    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+    root = f"{_LAYOUT_ROOT}/{table}_{kind}_{fp}"
+    return root, os.path.exists(os.path.join(root, "_SUCCESS"))
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once) a ``day=YYYY-MM-DD/`` hive-partitioned copy of
+    ``events`` and return its root. One file per partition
+    (repartition on the partition column before the write — the
+    small-files guard ``sources.sinks`` documents)."""
+    from ..sources.sinks import write_parquet
+
+    root, done = _layout_path(sf_dir, "events", "by_day")
+    if not done:
         ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
         write_parquet(ev.repartition("day"), root, partition_by=["day"])
     return root
@@ -264,4 +274,119 @@ def scan_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((name, col, "<undeclared>", actual[col], False))
     return spark.createDataFrame(
         rows, "table_name string, column_name string, declared string, actual string, ok boolean"
+    )
+
+@register(
+    "scan_csv_roundtrip",
+    category="scan",
+    oracle="""
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents,
+               min(epoch_us(ts)) AS min_ts_us,
+               max(epoch_us(ts)) AS max_ts_us
+        FROM events GROUP BY event_type
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector round-trip, graded on VALUES: events are written
+    once to a scratch CSV layout and read back through the quarantining
+    declared-schema reader (``sources.text_logs.read_csv``), and the
+    oracle aggregates the ORIGINAL parquet — so a hash match proves the
+    writer→parser loop is lossless, not merely that it doesn't crash.
+
+    Text-format discipline that makes losslessness achievable:
+    timestamps travel as ``ts_us`` epoch-microsecond BIGINTs (CSV
+    timestamp FORMATTING is the classic silent-truncation trap —
+    default patterns drop sub-second precision), money is summed as
+    exact cents, and doubles survive because the JVM writes the
+    shortest uniquely-identifying decimal and parses it back to the
+    identical bits. NULLs round-trip via the unquoted-empty/quoted-""
+    distinction (write nullValue vs emptyValue), exercised by the
+    dirty-corpus sweep. Eager-builder exception (registry docstring):
+    first call per corpus fingerprint materializes the layout."""
+    from pyspark.sql import types as T
+
+    from ..sources.sinks import write_csv
+    from ..sources.text_logs import read_csv
+    from ._util import cents
+
+    root, done = _layout_path(sf_dir, "events", "csv")
+    if not done:
+        ev = load(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        write_csv(ev, root)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    return (
+        read_csv(spark, root, schema)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("sum_value_cents"),
+            F.min("ts_us").alias("min_ts_us"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+    )
+
+
+@register(
+    "scan_jsonl_roundtrip",
+    category="scan",
+    oracle="""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+               count(DISTINCT source) AS n_sources
+        FROM documents GROUP BY lang
+    """,
+)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector round-trip, graded on VALUES: documents are
+    written once to a scratch JSONL layout, read back with the declared
+    schema (``sources.text_logs.read_json`` — no inference scan), and
+    the oracle aggregates the ORIGINAL parquet. The text column rides
+    the loop in full — JSON escaping must preserve every newline,
+    quote, and non-ASCII character — and is verified through
+    ``octet_length`` (UTF-8 bytes on both engines; ``length`` would
+    compare DuckDB code points against JVM UTF-16 units and diverge on
+    any non-BMP character). NULL text serializes as an omitted field
+    and reads back as NULL (dirty-corpus sweep). Eager-builder
+    exception (registry docstring): first call per corpus fingerprint
+    materializes the layout."""
+    from pyspark.sql import types as T
+
+    from ..sources.text_logs import read_json
+
+    root, done = _layout_path(sf_dir, "documents", "jsonl")
+    if not done:
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+        docs.write.mode("overwrite").json(root)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    return (
+        read_json(spark, root, schema)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length("text")).alias("total_bytes"),
+            F.countDistinct("source").alias("n_sources"),
+        )
     )

@@ -150,6 +150,8 @@ DRIVER_PRIORITY = (
     "embed_pca_project",
     "graph_pagerank_cooccur",
     "scan_partition_pruning",  # round-4 addition (DPP on day= layout)
+    "scan_csv_roundtrip",  # round-4 addition (CSV writer→parser loop)
+    "scan_jsonl_roundtrip",  # round-4 addition (JSONL writer→parser loop)
     # --- every name below (and every name absent from this list,
     # falling to registration order) already has an r1-r3 driver
     # hash-green record; round-3 window first, then r1/r2 families ---

@@ -60,8 +60,11 @@ DIRTY_QUERIES = [
     "graph_link_prediction", "agg_bitmap_overlap",
     "multimodal_audio_energy",
     # round-4 additions over the same tables (NULL ts rows must land in
-    # the hive default partition and never match the busy-day join)
+    # the hive default partition and never match the busy-day join;
+    # NULLs and degenerate text must survive the CSV/JSONL round-trips)
     "scan_partition_pruning",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
 ]
 
 
