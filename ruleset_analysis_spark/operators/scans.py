@@ -81,8 +81,11 @@ def _layout_path(sf_dir: str, table: str, kind: str) -> tuple[str, bool]:
 
     src = path_for(sf_dir, table)
     st = os.stat(src)
+    # v2: bump when WRITER semantics change (e.g. the \N null sentinel)
+    # — the fingerprint guards against stale DATA, the version against
+    # stale FORMAT
     fp = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"v2:{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:16]
     root = f"{_LAYOUT_ROOT}/{table}_{kind}_{fp}"
     return root, os.path.exists(os.path.join(root, "_SUCCESS"))
@@ -301,10 +304,11 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     default patterns drop sub-second precision), money is summed as
     exact cents, and doubles survive because the JVM writes the
     shortest uniquely-identifying decimal and parses it back to the
-    identical bits. NULLs round-trip via the unquoted-empty/quoted-""
-    distinction (write nullValue vs emptyValue), exercised by the
-    dirty-corpus sweep. Eager-builder exception (registry docstring):
-    first call per corpus fingerprint materializes the layout."""
+    identical bits. NULLs round-trip via the explicit ``\\N`` sentinel
+    both sinks and readers share (null stays distinct from the empty
+    string), exercised by the dirty-corpus sweep. Eager-builder
+    exception (registry docstring): first call per corpus fingerprint
+    materializes the layout."""
     from pyspark.sql import types as T
 
     from ..sources.sinks import write_csv

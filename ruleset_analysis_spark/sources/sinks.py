@@ -41,10 +41,26 @@ def write_parquet(
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """CSV sink for human-readable exports. ``single_file`` coalesces to
     one writer task — only for small results (a coalesce(1) on a large
-    result serializes the whole job through one task)."""
+    result serializes the whole job through one task).
+
+    Lossless-value options, paired with ``text_logs.read_csv`` (the
+    nasty-values round-trip in tests/test_sources.py is the contract):
+    the writer's whitespace trimming is OFF (the DEFAULT silently
+    strips leading/trailing spaces from every string on write), and
+    NULL serializes as the explicit ``\\N`` sentinel so it stays
+    distinguishable from the empty string (with the default
+    nullValue="", the reader collapses quoted-empty and null into
+    null)."""
     if single_file:
         df = df.coalesce(1)
-    df.write.mode("overwrite").option("header", True).csv(path)
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
 
 
 def write_partitioned_report(df: DataFrame, path: str, date_col: str) -> None:

