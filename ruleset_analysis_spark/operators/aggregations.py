@@ -1155,3 +1155,108 @@ def agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_both") * F.lit(1.0) / either).alias("jaccard"),
         )
     )
+
+
+@register(
+    "agg_linear_regression",
+    category="agg",
+    oracle="""
+        WITH pairs AS (
+            SELECT event_type,
+                   CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS x,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        s AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sx2,
+                   CAST(sum(y * y) AS BIGINT) AS sy2
+            FROM pairs GROUP BY event_type
+        ),
+        v AS (
+            SELECT event_type, n,
+                   n * sxy - sx * sy AS vxy,
+                   n * sx2 - sx * sx AS vx,
+                   n * sy2 - sy * sy AS vy,
+                   sx, sy
+            FROM s
+        )
+        SELECT event_type, n AS n_pairs,
+               CASE WHEN vx > 0
+                    THEN CAST(vxy AS DOUBLE) / CAST(vx AS DOUBLE)
+               END AS slope_cents_per_day,
+               CASE WHEN vx > 0
+                    THEN (CAST(sy AS DOUBLE)
+                          - (CAST(vxy AS DOUBLE) / CAST(vx AS DOUBLE))
+                            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+               END AS intercept_cents,
+               CASE WHEN vx > 0 AND vy > 0
+                    THEN (CAST(vxy AS DOUBLE) * CAST(vxy AS DOUBLE))
+                         / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+               END AS r2
+        FROM v
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of daily spend: slope (cents/day),
+    intercept, and R² of ``value`` against days-since-2024-01-01 —
+    the drift/trend detector every metrics pipeline carries.
+
+    The engines' native ``regr_slope`` is NOT used, deliberately: its
+    sufficient statistics are double sums, whose partial-aggregation
+    order drifts the last ULPs differently per engine/partitioning —
+    the same failure class the exact-cents discipline (_util.cents)
+    exists to kill. Instead both sides aggregate the five sufficient
+    statistics Σx Σy Σxy Σx² Σy² as EXACT BIGINTs (x = small day
+    offset from a fixed anchor, y = exact cents; a day offset rather
+    than epoch days keeps n·Σxy within int64 at graded scales — the
+    headroom boundary is documented here: at SF≳1 the y² term needs
+    int128/decimal partials) and derive slope = (nΣxy−ΣxΣy)/(nΣx²−Σx²)
+    with one identical IEEE expression tree at the edge — every
+    emitted double is bit-deterministic at any partition count, no
+    rounding needed. Single-point / zero-variance groups emit NULLs
+    (vx=0 guard), never a division error. One keyed shuffle with
+    map-side partial sums; sufficient statistics ARE the mergeable
+    aggregation state, exactly how it distributes at 100 TB."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast(
+        "long"
+    )
+    y = cents("value")
+    s = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    vxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    slope = vxy.cast("double") / vx.cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.when(vx > 0, slope).alias("slope_cents_per_day"),
+        F.when(
+            vx > 0,
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+        ).alias("intercept_cents"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            (vxy.cast("double") * vxy.cast("double"))
+            / (vx.cast("double") * vy.cast("double")),
+        ).alias("r2"),
+    )

@@ -477,3 +477,80 @@ def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("sample_rate"),
     )
+
+
+# Sliding-window chunking stride: windows of _CHUNK_TOKENS starting
+# every _CHUNK_STRIDE tokens (16-token overlap) — the RAG/pretraining
+# recipe that keeps sentence fragments from being orphaned at hard
+# chunk boundaries.
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "doc_chunk_overlap",
+    category="curation",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / {_CHUNK_STRIDE}.0)
+                                        AS BIGINT))) AS chunk_id
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id, chunk_id,
+               chunk_id * {_CHUNK_STRIDE} AS start_token,
+               len(list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+                              chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}))
+                   AS n_tokens,
+               md5(array_to_string(
+                   list_slice(toks, chunk_id * {_CHUNK_STRIDE} + 1,
+                              chunk_id * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}),
+                   ' ')) AS chunk_hash
+        FROM c
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → OVERLAPPING token chunks: 64-token windows starting
+    every 48 tokens (16-token overlap), emitted as (doc_id, chunk_id,
+    start_token, n_tokens, md5-of-chunk). The sibling of
+    ``doc_chunk_fixed_tokens`` for retrieval/pretraining pipelines
+    where a hard boundary mid-sentence loses context — the overlap
+    means every token within 16 of a boundary appears in two chunks.
+
+    Same zero-shuffle HOF shape as the fixed chunker: tokenize once,
+    explode the window-start sequence (one start per stride while
+    start < n_tokens, so the expansion factor is ~n/48 map-side),
+    slice per start, hash. The md5 makes the emitted chunk text
+    hash-checkable cross-engine without shipping it. Empty docs emit
+    zero chunks (guarded sequence), never an abort."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    idx = F.when(
+        F.col("n") > 0,
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.col("n") / F.lit(float(_CHUNK_STRIDE))).cast("long") - 1,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    chunk = F.slice(
+        F.col("toks"),
+        (F.col("chunk_id") * _CHUNK_STRIDE + 1).cast("int"),
+        _CHUNK_TOKENS,
+    )
+    return (
+        tk.select("doc_id", "toks", F.explode(idx).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * _CHUNK_STRIDE).alias("start_token"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )

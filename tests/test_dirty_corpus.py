@@ -65,6 +65,8 @@ DIRTY_QUERIES = [
     "scan_partition_pruning",
     "scan_csv_roundtrip",
     "scan_jsonl_roundtrip",
+    "agg_linear_regression",
+    "doc_chunk_overlap",
 ]
 
 
