@@ -26,14 +26,24 @@ def cents(col: Column | str, scale: int = 100) -> Column:
 
     ``scale=100`` → cents; ``scale=1_000_000`` → micro-units for
     6dp-rounded outputs.
+
+    ``try_cast``, not ``cast``: under Spark 4's default ANSI mode a
+    plain cast ABORTS the whole job on the first NaN/±inf/overflowing
+    double — the one-dirty-row-kills-the-scan failure mode the
+    dirty-data convention (SCALE.md) bans. DuckDB's TRY_CAST degrades
+    the same three classes to NULL (its plain CAST likewise raises),
+    so :func:`cents_sql` mirrors it and both engines stay symmetric on
+    clean AND poisoned money columns; pinned by the extreme-value rows
+    in tests/test_dirty_corpus.py.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * scale).cast("long")
+    return F.round(c * scale).try_cast("long")
 
 
 def cents_sql(expr: str, scale: int = 100) -> str:
-    """The DuckDB-side twin of :func:`cents` (same rounding, same type)."""
-    return f"CAST(round(({expr}) * {scale}) AS BIGINT)"
+    """The DuckDB-side twin of :func:`cents` (same rounding, same type,
+    same NULL degrade on NaN/inf/overflow — see :func:`cents`)."""
+    return f"TRY_CAST(round(({expr}) * {scale}) AS BIGINT)"
 
 
 def bounded_block(df, key: str, cap: int, what: str):

@@ -41,10 +41,10 @@ def agg_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
-               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                    / 100.0 AS sum_base_price,
                round(sum(l_quantity), 2) / count(*) AS avg_qty,
-               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                    / 100.0 / count(*) AS avg_price,
                round(min(l_extendedprice), 2) AS min_price,
                round(max(l_extendedprice), 2) AS max_price,
@@ -141,7 +141,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="agg",
     oracle="""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               CAST(sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    / 100.0 AS total,
                count(*) AS n
         FROM orders
@@ -186,7 +186,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                    round(median(value), 6) AS med,
                    round(quantile_cont(value, 0.25), 6) AS q1
             FROM (SELECT event_type, value,
-                         CAST(round(value * 100) AS BIGINT) AS c
+                         TRY_CAST(round(value * 100) AS BIGINT) AS c
                   FROM events)
             GROUP BY event_type
         )
@@ -321,7 +321,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH b AS (
             SELECT l_returnflag,
                    CAST(l_quantity AS BIGINT) AS q,
-                   CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                   TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS c
             FROM lineitem
         ),
         g AS (
@@ -586,7 +586,7 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
                o_orderpriority AS pri,
                count(*) AS n,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               CAST(sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    / 100.0 AS total
         FROM orders
         GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority))
@@ -617,7 +617,7 @@ def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                count(*) AS n_all,
                count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT))
                     FILTER (WHERE year(l_shipdate) = 1996) AS BIGINT)
                    / 100.0 AS rev_1996,
                round(avg(l_quantity) FILTER (WHERE l_quantity >= 25),
@@ -1165,9 +1165,10 @@ def agg_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type,
                    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
                         AS BIGINT) AS x,
-                   CAST(round(value * 100) AS BIGINT) AS y
+                   TRY_CAST(round(value * 100) AS BIGINT) AS y
             FROM events
-            WHERE ts IS NOT NULL AND value IS NOT NULL
+            WHERE ts IS NOT NULL
+              AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
         ),
         s AS (
             SELECT event_type,
@@ -1224,8 +1225,12 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vx=0 guard), never a division error. One keyed shuffle with
     map-side partial sums; sufficient statistics ARE the mergeable
     aggregation state, exactly how it distributes at 100 TB."""
+    # filter on cents-castability, not mere non-null: a NaN/inf/1e300
+    # value degrades cents() to NULL (try_cast contract) and must drop
+    # the PAIR — otherwise n counts rows whose y the sums skipped and
+    # every statistic silently skews
     ev = load(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        F.col("ts").isNotNull() & cents("value").isNotNull()
     )
     x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast(
         "long"

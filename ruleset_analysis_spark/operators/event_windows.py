@@ -138,7 +138,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH minute AS (
             SELECT date_trunc('minute', ts) AS b, event_type,
                    count(*) AS n,
-                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+                   CAST(sum(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
             FROM events GROUP BY 1, 2
         ),
         hour AS (

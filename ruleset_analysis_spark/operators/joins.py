@@ -44,8 +44,8 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
     oracle="""
         SELECT p.p_brand,
-               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               CAST(sum(TRY_CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - TRY_CAST(round(l.l_discount * 100) AS BIGINT)))
                     AS BIGINT) / 10000.0 AS revenue,
                count(*) AS n_items
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -81,8 +81,8 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
     oracle="""
         SELECT r.r_name, n.n_name,
-               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               CAST(sum(TRY_CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - TRY_CAST(round(l.l_discount * 100) AS BIGINT)))
                     AS BIGINT) / 10000.0 AS revenue
         FROM region r
         JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -400,7 +400,7 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="join",
     oracle="""
         SELECT o.o_orderpriority,
-               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+               CAST(sum(TRY_CAST(round(l.l_extendedprice * 100) AS BIGINT))
                     AS BIGINT) / 100.0 AS revenue,
                count(*) AS n_items
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey

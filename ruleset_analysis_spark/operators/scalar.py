@@ -108,7 +108,7 @@ def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                count(*) AS n_total,
                count(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 END) AS n_zero_disc,
-               CAST(sum(coalesce(nullif(CAST(round(l_discount * 100) AS BIGINT),
+               CAST(sum(coalesce(nullif(TRY_CAST(round(l_discount * 100) AS BIGINT),
                                         0), 5)) AS BIGINT)
                    / 100.0 / count(*) AS avg_disc_subst
         FROM lineitem GROUP BY l_returnflag
@@ -270,7 +270,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN o_totalprice > 100000 THEN 'mid'
                     ELSE 'low' END AS tier,
                count(*) AS n_orders,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               CAST(sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    / 100.0 AS total
         FROM orders GROUP BY 1
     """,

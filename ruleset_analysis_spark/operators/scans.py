@@ -284,7 +284,7 @@ def scan_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="scan",
     oracle="""
         SELECT event_type, count(*) AS n_events,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               CAST(sum(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                    AS sum_value_cents,
                min(epoch_us(ts)) AS min_ts_us,
                max(epoch_us(ts)) AS max_ts_us

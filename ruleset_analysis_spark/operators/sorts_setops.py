@@ -20,7 +20,7 @@ from ._util import cents
     category="sort",
     oracle="""
         SELECT o_custkey,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               CAST(sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    / 100.0 AS revenue
         FROM orders GROUP BY o_custkey
         ORDER BY revenue DESC, o_custkey ASC

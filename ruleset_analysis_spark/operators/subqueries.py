@@ -53,7 +53,7 @@ def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="subquery",
     oracle="""
         SELECT p.p_brand,
-               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+               CAST(sum(TRY_CAST(round(l.l_extendedprice * 100) AS BIGINT))
                     AS DOUBLE) / 100.0 AS total_below,
                count(*) AS n_items
         FROM lineitem l
@@ -79,7 +79,7 @@ def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT p.p_brand,
-               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+               CAST(sum(TRY_CAST(round(l.l_extendedprice * 100) AS BIGINT))
                     AS DOUBLE) / 100.0 AS total_below,
                count(*) AS n_items
         FROM {li} l

@@ -327,7 +327,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
                CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
                              AS BIGINT)
-                        - CAST(round(p_retailprice * 100) AS BIGINT)
+                        - TRY_CAST(round(p_retailprice * 100) AS BIGINT)
                           * CAST(l_quantity AS BIGINT) / 2)
                     AS BIGINT) AS profit_cents
         FROM lineitem
@@ -684,16 +684,16 @@ def tpch_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="composite",
     oracle="""
         WITH pos AS (
-            SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+            SELECT CAST(sum(TRY_CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
                        AS total_cents,
                    count(*) AS n_pos
             FROM customer WHERE c_acctbal > 0
         )
         SELECT c_nationkey AS nation, count(*) AS numcust,
-               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               CAST(sum(TRY_CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
                    / 100.0 AS totacctbal
         FROM customer, pos
-        WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > total_cents
+        WHERE TRY_CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > total_cents
           AND NOT EXISTS (
               SELECT 1 FROM orders
               WHERE o_custkey = c_custkey
@@ -745,7 +745,7 @@ def tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT))
                     AS BIGINT) AS sum_base_cents,
                CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount))
                                    * 100.0) AS BIGINT))
@@ -755,9 +755,9 @@ def tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS sum_charge_cents,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
                    * 1.0 / count(*) AS avg_qty,
-               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT))
                     AS BIGINT) * 1.0 / count(*) AS avg_price_cents,
-               CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+               CAST(sum(TRY_CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
                    * 1.0 / count(*) AS avg_disc_pct,
                count(*) AS count_order
         FROM lineitem
@@ -1055,7 +1055,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH v AS (
             SELECT l_partkey,
-                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT))
                         AS BIGINT) AS value_cents
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
@@ -1187,7 +1187,7 @@ def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
                    count(*) AS qn
             FROM pl GROUP BY l_partkey
         )
-        SELECT CAST(floor(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        SELECT CAST(floor(CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT))
                                AS BIGINT) / 7.0) AS BIGINT) AS avg_yearly_cents
         FROM pl JOIN pavg ON l_partkey = pk
         WHERE CAST(l_quantity AS BIGINT) * qn * 5 < qsum

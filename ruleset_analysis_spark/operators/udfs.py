@@ -88,7 +88,7 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
         WITH b AS (
             SELECT event_id, user_id,
-                   CAST(round(value * 100) AS BIGINT) AS c
+                   TRY_CAST(round(value * 100) AS BIGINT) AS c
             FROM events
         ),
         g AS (

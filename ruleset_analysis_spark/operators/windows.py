@@ -63,7 +63,7 @@ def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="window",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+               CAST(sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS BIGINT) / 100.0 AS running_total
@@ -120,7 +120,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
                         AS BIGINT) AS d,
                    CAST(o_orderdate AS DATE) AS order_date,
-                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   CAST(sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                        AS dc
             FROM orders GROUP BY 1, 2
         )

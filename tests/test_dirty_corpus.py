@@ -133,6 +133,13 @@ def dirty_dir(tmp_path_factory, spark):
                 (900003, _ts(1704067202), 2, "error", 1.0, "not json"),  # garbage
                 (900004, _ts(1704067203), 2, "error", 1.0, '{"x": 5}'),  # no "k"
                 (900005, _ts(1704067204), 3, None, None, '{"k": "abc"}'),# non-int k
+                # poisoned money values: under ANSI a plain
+                # round(v*100)::BIGINT cast ABORTS the whole job on any
+                # of these three; the cents() try_cast contract degrades
+                # them to NULL instead (operators/_util.py)
+                (900006, _ts(1704067205), 4, "purchase", 1e300, "{}"),   # overflow
+                (900007, _ts(1704067206), 4, "view", float("nan"), "{}"),
+                (900008, _ts(1704067207), 4, "click", float("inf"), "{}"),
             ],
             ev.schema,
         )
