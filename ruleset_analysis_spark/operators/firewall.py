@@ -416,3 +416,107 @@ def firewall_rule_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+@register(
+    "firewall_shadowed_rules",
+    category="firewall",
+    oracle="""
+        WITH rules AS (
+            SELECT p_partkey AS ord,
+                   'acl_' || (p_partkey % 4) AS acl,
+                   CASE p_partkey % 3 WHEN 0 THEN 'any'
+                                      WHEN 1 THEN 'tcp'
+                                      ELSE 'udp' END AS proto,
+                   CAST(16 + (p_partkey % 16) AS INTEGER) AS prefix,
+                   CAST((10 * 16777216) + ((p_partkey % 8) * 65536)
+                        AS BIGINT) AS net,
+                   CAST((p_partkey % 16) * 64 AS BIGINT) AS port_lo,
+                   CAST((p_partkey % 16) * 64 + (p_partkey % 4) * 256 + 63
+                        AS BIGINT) AS port_hi
+            FROM part WHERE p_partkey <= 400
+        ),
+        m AS (
+            SELECT *,
+                   CAST(4294967296 - (CAST(1 AS BIGINT) << (32 - prefix))
+                        AS BIGINT) AS mask
+            FROM rules
+        )
+        SELECT b.acl, b.ord AS rule_id,
+               min(a.ord) AS shadowed_by,
+               count(*) AS n_shadowers
+        FROM m a JOIN m b
+          ON a.acl = b.acl AND a.ord < b.ord
+         AND (a.proto = 'any' OR a.proto = b.proto)
+         AND a.prefix <= b.prefix
+         AND (b.net & a.mask) = a.net
+         AND a.port_lo <= b.port_lo AND a.port_hi >= b.port_hi
+        GROUP BY b.acl, b.ord
+    """,
+)
+def firewall_shadowed_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shadowed-rule detection — the ruleset-OPTIMIZATION half of the
+    reference's domain that hit counting can't see: under first-match-
+    wins, a rule whose entire match space (protocol × source CIDR ×
+    port range) is covered by ANY earlier rule in the same ACL can
+    never fire, yet it still shows up ACTIVE in hit reports whenever
+    the earlier rule logs under its id. For every shadowed rule:
+    the first shadowing rule (the one an operator diffs against) and
+    how many earlier rules each independently cover it.
+
+    The rule dimension is derived deterministically from ``part``
+    (capped at 400 rules — rulesets are DIMENSIONS, 10³-10⁶ entries,
+    never corpus-sized, so the per-ACL pairwise coverage check is a
+    bounded self-join of a broadcastable relation; blocking on the ACL
+    is what a 10⁶-rule set would shard on). Containment is pure integer
+    algebra on both engines: CIDR ⊇ via ``(b.net & a.mask) = a.net``
+    with prefix monotonicity, port ranges via interval inclusion,
+    protocol via the 'any' wildcard — no string parsing in the join.
+    Note the deliberately stricter semantics than pairwise overlap:
+    SINGLE-rule coverage only (the classic Al-Shaer shadowing
+    definition); a rule covered only by the UNION of several earlier
+    rules is not flagged."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    rules = p.select(
+        F.col("p_partkey").alias("ord"),
+        F.concat(F.lit("acl_"), (F.col("p_partkey") % 4)).alias("acl"),
+        F.when(F.col("p_partkey") % 3 == 0, "any")
+        .when(F.col("p_partkey") % 3 == 1, "tcp")
+        .otherwise("udp")
+        .alias("proto"),
+        (F.lit(16) + F.col("p_partkey") % 16).cast("int").alias("prefix"),
+        (
+            F.lit(10 * 16777216) + (F.col("p_partkey") % 8) * 65536
+        ).alias("net"),
+        ((F.col("p_partkey") % 16) * 64).alias("port_lo"),
+        (
+            (F.col("p_partkey") % 16) * 64
+            + (F.col("p_partkey") % 4) * 256
+            + 63
+        ).alias("port_hi"),
+    ).withColumn(
+        "mask",
+        # shiftleft() takes only literal bit counts; the SQL operator
+        # form accepts a column — same exact integer algebra as the
+        # oracle's (1::BIGINT << (32 - prefix))
+        F.expr("CAST(4294967296 - shiftleft(CAST(1 AS BIGINT), 32 - prefix) AS BIGINT)"),
+    )
+    a = rules.alias("a")
+    b = rules.alias("b")
+    cond = (
+        (F.col("a.acl") == F.col("b.acl"))
+        & (F.col("a.ord") < F.col("b.ord"))
+        & ((F.col("a.proto") == "any") | (F.col("a.proto") == F.col("b.proto")))
+        & (F.col("a.prefix") <= F.col("b.prefix"))
+        & (F.col("b.net").bitwiseAND(F.col("a.mask")) == F.col("a.net"))
+        & (F.col("a.port_lo") <= F.col("b.port_lo"))
+        & (F.col("a.port_hi") >= F.col("b.port_hi"))
+    )
+    return (
+        a.join(F.broadcast(b), cond)
+        .groupBy(F.col("b.acl").alias("acl"), F.col("b.ord").alias("rule_id"))
+        .agg(
+            F.min("a.ord").alias("shadowed_by"),
+            F.count(F.lit(1)).alias("n_shadowers"),
+        )
+    )
