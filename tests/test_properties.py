@@ -907,3 +907,98 @@ def test_cross_multiplied_threshold_equals_exact_rational(qty, sums):
 
     rational = Fraction(qty) < Fraction(total, 5 * n)
     assert exact == rational
+
+
+def test_shadowed_rules_match_bruteforce(spark):
+    """firewall_shadowed_rules vs an independent pure-Python O(n²)
+    replay of the Al-Shaer single-rule shadowing definition over the
+    same part-derived ruleset — a third implementation, so the Spark
+    side and the SQL oracle can't both be wrong the same way."""
+    import pyarrow.parquet as pq
+
+    from ruleset_analysis_spark.operators.firewall import (
+        firewall_shadowed_rules,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    pk = sorted(
+        k
+        for k in pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey"]
+        )["p_partkey"].to_pylist()
+        if k <= 400
+    )
+
+    def rule(k):
+        prefix = 16 + k % 16
+        return {
+            "ord": k,
+            "acl": f"acl_{k % 4}",
+            "proto": ("any", "tcp", "udp")[k % 3],
+            "prefix": prefix,
+            "net": (10 << 24) + ((k % 8) << 16),
+            "mask": (0xFFFFFFFF << (32 - prefix)) & 0xFFFFFFFF,
+            "lo": (k % 16) * 64,
+            "hi": (k % 16) * 64 + (k % 4) * 256 + 63,
+        }
+
+    rules = [rule(k) for k in pk]
+    want = {}
+    for b in rules:
+        shadowers = [
+            a["ord"]
+            for a in rules
+            if a["acl"] == b["acl"]
+            and a["ord"] < b["ord"]
+            and (a["proto"] == "any" or a["proto"] == b["proto"])
+            and a["prefix"] <= b["prefix"]
+            and (b["net"] & a["mask"]) == a["net"]
+            and a["lo"] <= b["lo"]
+            and a["hi"] >= b["hi"]
+        ]
+        if shadowers:
+            want[(b["acl"], b["ord"])] = (min(shadowers), len(shadowers))
+
+    got = {
+        (r["acl"], r["rule_id"]): (r["shadowed_by"], r["n_shadowers"])
+        for r in firewall_shadowed_rules(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_linear_regression_matches_numpy(spark):
+    """agg_linear_regression vs NumPy lstsq on the identical
+    (day-offset, cents) pairs: slope/intercept/R² agree to 1e-9
+    relative — the float-free sufficient-statistics derivation is
+    checked against a conventional solver, not just the SQL twin."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ruleset_analysis_spark.operators.aggregations import (
+        agg_linear_regression,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).to_pandas()
+    t = t[t["ts"].notna() & t["value"].notna()]
+    anchor = np.datetime64("2024-01-01")
+    t["x"] = (
+        t["ts"].values.astype("datetime64[D]") - anchor
+    ).astype("int64")
+    t["y"] = np.round(t["value"].to_numpy() * 100).astype("int64")
+
+    got = {r["event_type"]: r for r in agg_linear_regression(spark, sf_dir).collect()}
+    assert set(got) == set(t["event_type"].unique())
+    for et, g in t.groupby("event_type"):
+        x, y = g["x"].to_numpy(float), g["y"].to_numpy(float)
+        A = np.vstack([x, np.ones_like(x)]).T
+        (slope, intercept), res, *_ = np.linalg.lstsq(A, y, rcond=None)
+        ss_tot = ((y - y.mean()) ** 2).sum()
+        r2 = 1.0 - (res[0] / ss_tot if len(res) else 0.0)
+        r = got[et]
+        assert r["n_pairs"] == len(g)
+        assert abs(r["slope_cents_per_day"] - slope) <= 1e-9 * max(1, abs(slope))
+        assert abs(r["intercept_cents"] - intercept) <= 1e-9 * max(1, abs(intercept))
+        assert abs(r["r2"] - r2) <= 1e-9
