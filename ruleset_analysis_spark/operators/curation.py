@@ -432,14 +432,19 @@ def profile_corpus_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                             string_split(lower(text), ' '),
                             t -> t <> ''))), 0) AS BIGINT) AS tok_count
             FROM documents GROUP BY source
+        ),
+        capped AS (
+            SELECT source, tok_count,
+                   (SELECT max(tok_count) * 4 FROM per_source) // 5 AS cap
+            FROM per_source
         )
         SELECT source, tok_count,
-               CAST(least(tok_count, 10000) AS BIGINT) AS alloc_tokens,
+               CAST(least(tok_count, cap) AS BIGINT) AS alloc_tokens,
                CASE WHEN tok_count > 0
-                    THEN round(CAST(least(tok_count, 10000) AS DOUBLE)
+                    THEN round(CAST(least(tok_count, cap) AS DOUBLE)
                                / tok_count, 6)
                     ELSE 0.0 END AS sample_rate
-        FROM per_source
+        FROM capped
     """,
 )
 def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,22 +452,31 @@ def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     allocations and the deterministic sampling rate that realizes them
     — the 'data mixing' step between curation and tokenization (cap a
     dominant crawl source, keep small curated sources whole; the
-    downstream sampler is ``sample_hash_deterministic`` with
-    rate-sized hash buckets per source).
+    downstream sampler realizing the rates is
+    ``curation_sample_apply``).
 
     Policy graded here is single-step proportional-with-cap
     (alloc = min(tokens, cap); rate = alloc/tokens, never > 1 — no
-    silent upsampling). Exactness: counts and allocations are BIGINTs;
-    the rate is one division of exact integers rounded 6dp. Scale
-    shape: ONE corpus scan with a map-side-partial sum to
-    source-cardinality rows; everything after is dimension-sized."""
+    silent upsampling), with the cap RELATIVE: ⌊4/5 of the largest
+    source⌋ in pure integer arithmetic (an earlier absolute 10k-token
+    cap was a config constant that stopped binding at small scale
+    factors and would bind EVERYTHING at 100 TB — a relative cap
+    down-weights the head of the source distribution identically at
+    any corpus size, and its exact-BIGINT form has no double-rounding
+    seam between engines). Exactness: counts, cap, and allocations
+    are BIGINTs; the rate is one division of exact integers rounded
+    6dp. Scale shape: ONE corpus scan with a map-side-partial sum to
+    source-cardinality rows; the cap is a 1-row broadcast onto that
+    dimension-sized relation."""
     d = load(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(
         F.coalesce(F.sum(F.size(tokens("text"))), F.lit(0))
         .cast("long")
         .alias("tok_count")
     )
-    cap = F.lit(10000).cast("long")
+    mx = per.agg(F.expr("max(tok_count) * 4 div 5").alias("cap"))
+    per = per.join(F.broadcast(mx))
+    cap = F.col("cap")
     alloc = F.least(F.col("tok_count"), cap)
     # a source of only empty/NULL docs allocates 0 at rate 0 — one
     # dirty source must not ANSI-abort the whole mix computation
@@ -553,4 +567,67 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(chunk).alias("n_tokens"),
             F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
         )
+    )
+
+
+@register(
+    "curation_sample_apply",
+    category="curation",
+    oracle="""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(coalesce(sum(len(list_filter(
+                            string_split(lower(text), ' '),
+                            t -> t <> ''))), 0) AS BIGINT) AS tok_count
+            FROM documents GROUP BY source
+        ),
+        rates AS (
+            SELECT source,
+                   CASE WHEN tok_count > 0
+                        THEN round(CAST(least(tok_count,
+                                   (SELECT max(tok_count) * 4
+                                    FROM per_source) // 5) AS DOUBLE)
+                                   / tok_count, 6)
+                        ELSE 0.0 END AS sample_rate
+            FROM per_source
+        )
+        SELECT d.doc_id, d.source, r.sample_rate
+        FROM documents d JOIN rates r ON r.source = d.source
+        WHERE CAST(CAST(concat('0x', substring(md5(d.text), 1, 15))
+                        AS BIGINT) AS DOUBLE)
+              / 1152921504606846976.0 < r.sample_rate
+    """,
+)
+def curation_sample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REALIZE the training mix: apply ``curation_mix_weights``'
+    per-source sampling rates as a deterministic content-hash keep/drop
+    — the step that turns the allocation table into an actual sampled
+    corpus, closing the mix-weights loop (compute rates → sample by
+    them) inside the graded surface.
+
+    The keep test is ``u < rate`` with u = the md5-portable 60-bit
+    BIGINT (dedup._mh_expr protocol) scaled by 2⁻⁶⁰ — a power-of-two
+    scaling, so u is EXACTLY the integer's value in double on both
+    engines, and the rate is one 6dp-rounded division of exact BIGINTs:
+    the comparison is bit-deterministic cross-engine with no boundary
+    hazard. Membership is a pure function of (text, source-level rate):
+    re-runs reproduce the split, corpus growth only dilutes the rate,
+    engine swaps agree. A rate-1.0 source keeps every document
+    (u < 1.0 always: u ∈ [0,1)); a NULL-text document hashes to NULL
+    and drops — under-sampling, never a crash (dirty-data convention).
+
+    Scale shape: the rates relation is source-cardinality and
+    broadcast; the keep test is per-row expression algebra inside
+    codegen — ONE corpus scan beyond the rate aggregation, no new
+    shuffle of the corpus."""
+    rates = curation_mix_weights(spark, sf_dir).select("source", "sample_rate")
+    d = load(spark, sf_dir, "documents")
+    u = F.expr(
+        "CAST(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"
+        " AS DOUBLE)"
+    ) / F.lit(float(2**60))
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(u < F.col("sample_rate"))
+        .select("doc_id", "source", "sample_rate")
     )

@@ -155,6 +155,7 @@ DRIVER_PRIORITY = (
     "agg_linear_regression",  # round-4 addition (exact-int trend fit)
     "doc_chunk_overlap",  # round-4 addition (sliding-window chunking)
     "firewall_shadowed_rules",  # round-4 addition (first-match shadowing)
+    "curation_sample_apply",  # round-4 addition (realize the mix rates)
     # --- every name below (and every name absent from this list,
     # falling to registration order) already has an r1-r3 driver
     # hash-green record; round-3 window first, then r1/r2 families ---

@@ -67,6 +67,7 @@ DIRTY_QUERIES = [
     "scan_jsonl_roundtrip",
     "agg_linear_regression",
     "doc_chunk_overlap",
+    "curation_sample_apply",
 ]
 
 
