@@ -1111,3 +1111,112 @@ def stream_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.max("late_s").alias("max_late_s"),
     )
+
+
+@register(
+    "funnel_conversion_lag",
+    category="stream",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        ),
+        lag AS (
+            SELECT p.user_id,
+                   CAST(epoch(date_trunc('second', p.t3))
+                        - epoch(date_trunc('second', v.t1)) AS BIGINT)
+                       AS lag_sec
+            FROM p JOIN v USING (user_id)
+        ),
+        ranked AS (
+            SELECT user_id, lag_sec,
+                   row_number() OVER (ORDER BY lag_sec, user_id) AS rn,
+                   count(*) OVER () AS n
+            FROM lag
+        )
+        SELECT max(n) AS n_converted,
+               max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                        THEN lag_sec END) AS p50_sec,
+               max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                        THEN lag_sec END) AS p90_sec
+        FROM ranked
+    """,
+)
+def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view→click→purchase funnel:
+    how many users complete it, and the EXACT median / p90 seconds from
+    first view to the completing purchase — the latency half of funnel
+    analytics (``funnel_ordered_steps`` counts stages; an operator
+    deciding where the funnel leaks needs to know how LONG conversion
+    takes, not just whether it happens).
+
+    Percentiles are exact rank-based selection (value at rank ⌈q·n⌉ of
+    the total order (lag, user_id)) — integer seconds in, integer
+    seconds out, no interpolation, so both engines agree bit-for-bit;
+    the engines' native continuous percentile/median interpolate
+    doubles and disagree at even counts. The ranked selection costs one
+    global sort — of the CONVERTED-USERS relation, which two
+    aggregations already reduced far below corpus size (the same
+    aggregated-dimension justification as the pairwise-exact queries);
+    for percentiles OVER THE RAW CORPUS the sketch path is
+    ``agg_quantiles_approx``. Funnel staging reuses the single-exchange
+    bounded-state window cascade of ``funnel_ordered_steps``."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+    )
+    w = Window.partitionBy("user_id")
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
+        ev.withColumn("t1", F.min(F.when(is_type("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(is_type("click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    is_type("purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    lag = (
+        staged.groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t3").alias("t3"))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp(F.date_trunc("second", "t3"))
+                - F.unix_timestamp(F.date_trunc("second", "t1"))
+            ).alias("lag_sec"),
+        )
+    )
+    ranked = lag.withColumn(
+        "rn", F.row_number().over(Window.orderBy("lag_sec", "user_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.col("n") * q).cast("long"), F.col("lag_sec")
+        )
+    )
+    return ranked.agg(
+        F.max("n").alias("n_converted"),
+        pick(0.5).alias("p50_sec"),
+        pick(0.9).alias("p90_sec"),
+    )

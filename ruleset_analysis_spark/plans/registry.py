@@ -156,6 +156,7 @@ DRIVER_PRIORITY = (
     "doc_chunk_overlap",  # round-4 addition (sliding-window chunking)
     "firewall_shadowed_rules",  # round-4 addition (first-match shadowing)
     "curation_sample_apply",  # round-4 addition (realize the mix rates)
+    "funnel_conversion_lag",  # round-4 addition (exact time-to-convert)
     # --- every name below (and every name absent from this list,
     # falling to registration order) already has an r1-r3 driver
     # hash-green record; round-3 window first, then r1/r2 families ---

@@ -68,6 +68,7 @@ DIRTY_QUERIES = [
     "agg_linear_regression",
     "doc_chunk_overlap",
     "curation_sample_apply",
+    "funnel_conversion_lag",
 ]
 
 
