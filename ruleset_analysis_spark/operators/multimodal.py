@@ -618,3 +618,85 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         _audio_energy, "doc_id long, frame_idx long, n_samples long, energy long"
     )
+
+
+_DHASH_BITS = 60  # keep the packed fingerprint positive in int64
+
+
+def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: difference-hash perceptual fingerprint over
+    opaque bytes. Real dHash compares adjacent pixels of a decoded,
+    downsampled image; with no codecs in the container the byte stream
+    stands in for the pixel row (decode = the documented
+    ``decode_image`` stub boundary) — bit i is set iff byte i > byte
+    i+1, packed little-endian into a 60-bit BIGINT. The plumbing a real
+    perceptual hash needs — per-row kernel, typed Arrow schema, exact
+    integer output a blocking join can key on — is all live."""
+    for pdf in batches:
+        ids, hs = [], []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            if content is None or len(content) < _DHASH_BITS + 1:
+                continue  # too short to fingerprint; skip, never crash
+            h = 0
+            for i in range(_DHASH_BITS):
+                if content[i] > content[i + 1]:
+                    h |= 1 << i
+            ids.append(doc_id)
+            hs.append(h)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "dhash": pd.Series(hs, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_dhash_fingerprint",
+    category="multimodal",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) >= {_DHASH_BITS + 1}
+        ),
+        bits AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN ascii(substring(text,
+                                     CAST(s.s + 1 AS INTEGER), 1))
+                               > ascii(substring(text,
+                                     CAST(s.s + 2 AS INTEGER), 1))
+                            THEN (CAST(1 AS BIGINT) << CAST(s.s AS INTEGER))
+                            ELSE 0 END) AS BIGINT) AS dhash
+            FROM d, (SELECT unnest(range({_DHASH_BITS})) AS s) s
+            GROUP BY doc_id
+        )
+        SELECT doc_id, dhash,
+               count(*) OVER (PARTITION BY dhash) AS n_dups
+        FROM bits
+    """,
+)
+def multimodal_dhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-fingerprint dedup blocking for media payloads: a
+    60-bit difference hash per payload (adjacent-byte comparisons
+    standing in for adjacent-pixel comparisons — see the kernel's stub
+    note) plus how many payloads share each fingerprint. The visual
+    near-dup analog of ``dedup_exact``'s content hash: identical media
+    re-encodes collide here even when raw bytes differ post-decode, and
+    the fingerprint is the BLOCKING KEY a Hamming-radius candidate join
+    would band on (exactly the SimHash banding already graded on text,
+    ``dedup_simhash``).
+
+    Exactness: the hash is packed integer comparisons, so the oracle
+    replays it byte-for-byte with substring/ascii arithmetic (ASCII
+    corpus: byte == codepoint). Scale shape: one Arrow pass over
+    repartitioned payloads, then ONE fingerprint-keyed exchange for the
+    collision counts — never a pairwise comparison."""
+    from pyspark.sql import Window
+
+    fp = _payloads(spark, sf_dir).mapInPandas(
+        _dhash, "doc_id long, dhash long"
+    )
+    return fp.withColumn(
+        "n_dups", F.count(F.lit(1)).over(Window.partitionBy("dhash"))
+    )

@@ -157,6 +157,7 @@ DRIVER_PRIORITY = (
     "firewall_shadowed_rules",  # round-4 addition (first-match shadowing)
     "curation_sample_apply",  # round-4 addition (realize the mix rates)
     "funnel_conversion_lag",  # round-4 addition (exact time-to-convert)
+    "multimodal_dhash_fingerprint",  # round-4 addition (perceptual block key)
     # --- every name below (and every name absent from this list,
     # falling to registration order) already has an r1-r3 driver
     # hash-green record; round-3 window first, then r1/r2 families ---

@@ -69,6 +69,7 @@ DIRTY_QUERIES = [
     "doc_chunk_overlap",
     "curation_sample_apply",
     "funnel_conversion_lag",
+    "multimodal_dhash_fingerprint",
 ]
 
 

@@ -27,6 +27,7 @@ PYTHON_ALLOWED = {
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_audio_energy",
+    "multimodal_dhash_fingerprint",
     "udtf_python_native",
     "pack_greedy_bins",
     "embed_pca_project",
