@@ -1265,3 +1265,70 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (vx.cast("double") * vy.cast("double")),
         ).alias("r2"),
     )
+
+
+@register(
+    "agg_exact_percentiles_grouped",
+    category="agg",
+    oracle="""
+        WITH y AS (
+            SELECT event_type, event_id,
+                   TRY_CAST(round(value * 100) AS BIGINT) AS y
+            FROM events
+            WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_type, y,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY y, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM y
+        )
+        SELECT event_type, max(n) AS n,
+               max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                        THEN y END) AS p50_cents,
+               max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                        THEN y END) AS p90_cents,
+               max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                        THEN y END) AS p99_cents
+        FROM ranked GROUP BY event_type
+    """,
+)
+def agg_exact_percentiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (p50/p90/p99 of cents per event
+    type) by rank selection — the deterministic twin of
+    ``agg_quantiles_approx``: that query grades the GK-sketch path
+    (rank-error-bounded, mergeable, the raw-corpus tool); this one
+    grades the exact path and is what a billing/SLA report that cannot
+    tolerate sketch error runs. Value at rank ⌈q·n⌉ of the per-group
+    total order (cents, event_id) — integers in, integers out, no
+    interpolation, so both engines agree bit-for-bit where their
+    native continuous percentiles interpolate doubles and drift.
+
+    Scale shape: one keyed exchange; the rank and count are two window
+    functions over the SAME partitioning (no re-exchange), and the
+    final groupBy reuses it too. Exact grouped percentiles
+    fundamentally require a per-group sort — that sort is per-PARTITION
+    after the exchange (never a global sort), and at 100 TB the skew
+    guard is the usual salting of a hot group. Poisoned money values
+    degrade out via the cents try_cast contract before ranking."""
+    ev = load(spark, sf_dir, "events")
+    y = ev.select(
+        "event_type", "event_id", cents("value").alias("y")
+    ).filter(F.col("y").isNotNull())
+    w = Window.partitionBy("event_type")
+    ranked = y.select(
+        "event_type",
+        "y",
+        F.row_number().over(w.orderBy("y", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.col("n") * q).cast("long"), F.col("y"))
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        pick(0.5).alias("p50_cents"),
+        pick(0.9).alias("p90_cents"),
+        pick(0.99).alias("p99_cents"),
+    )

@@ -597,3 +597,79 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "join_asof_forward",
+    category="join",
+    oracle="""
+        WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+        c AS (SELECT * FROM events WHERE event_type = 'click'),
+        ranked AS (
+            SELECT e.event_id, c.event_id AS click_event_id, c.ts AS cts,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY c.ts ASC, c.event_id ASC
+                   ) AS rn
+            FROM e JOIN c ON c.user_id = e.user_id AND c.ts > e.ts
+        )
+        SELECT e.event_id, e.user_id,
+               CAST(epoch(date_trunc('second', e.ts)) AS BIGINT) AS err_epoch,
+               r.click_event_id,
+               CAST(epoch(date_trunc('second', r.cts)) AS BIGINT) AS click_epoch
+        FROM e
+        LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+          ON r.event_id = e.event_id
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (forward, EXCLUSIVE) join: for every 'error' event, the
+    first 'click' by the same user strictly after it — the
+    what-happened-next lookup (did the user retry after the failure?),
+    completing the as-of family (`join_asof_backward` is
+    most-recent-at-or-before; `join_self_asof` the self-table form).
+
+    Same single-keyed-shuffle union trick as the backward join, run in
+    the other direction: tag and union both sides, order the per-user
+    window ascending with clicks BEFORE errors on timestamp ties (a
+    same-timestamp click must NOT match — strict '>'), and backward-
+    fill with ``first(..., ignorenulls=True)`` over the
+    current-row→unbounded-following frame. Tie-break: the MIN click
+    event_id at the winning timestamp, spelled out in both engines
+    (DuckDB's native ASOF JOIN leaves equal-timestamp winners
+    arbitrary — the same hazard the backward join's fuzz sweep
+    caught)."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_err")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_err")
+    )
+    tagged = errors.unionByName(clicks)
+    # ascending (ts, is_err, event_id): same-ts clicks (is_err=0) sort
+    # BEFORE the error row, so the following-frame fill sees only
+    # strictly-later clicks — and among same-ts later clicks the min
+    # event_id comes first
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_err", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    click_id = F.when(F.col("is_err") == 0, F.col("event_id"))
+    click_ts = F.when(F.col("is_err") == 0, F.col("ts"))
+    filled = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_err",
+        F.first(click_id, ignorenulls=True).over(w).alias("click_event_id"),
+        F.first(click_ts, ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return filled.filter(F.col("is_err") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("err_epoch"),
+        "click_event_id",
+        F.unix_timestamp(F.date_trunc("second", "click_ts")).alias("click_epoch"),
+    )
