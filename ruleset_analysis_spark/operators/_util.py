@@ -46,6 +46,29 @@ def cents_sql(expr: str, scale: int = 100) -> str:
     return f"TRY_CAST(round(({expr}) * {scale}) AS BIGINT)"
 
 
+def floor_long(expr: Column) -> Column:
+    """``floor(double) → BIGINT`` with TRY_CAST NULL-degrade semantics.
+
+    Spark's ``floor(double)`` never fails — even under ANSI it maps
+    NaN→0 and ±inf/overflow→Long.MIN/MAX silently — which diverges
+    from the DuckDB oracle's ``TRY_CAST(floor(x) AS BIGINT)`` (NULL on
+    all three classes). Guard explicitly so a poisoned money value
+    degrades to NULL identically on both engines instead of injecting
+    a silent 0/Long.MAX into a BIGINT sum. The guard bound 9.0e18 is
+    slightly inside Long.MAX (9.223e18); doubles in that sliver would
+    diverge (DuckDB converts, we NULL) but no 2dp-exact money product
+    can reach 9e16 dollars. Same one-dirty-row-never-kills-the-job
+    convention as :func:`cents` (SCALE.md)."""
+    ok = (~F.isnan(expr)) & (F.abs(expr) < F.lit(9.0e18))
+    return F.when(ok, F.floor(expr)).otherwise(F.lit(None)).cast("long")
+
+
+def floor_cents_sql(expr: str, scale: str = "100.0") -> str:
+    """DuckDB twin of ``floor_long((expr) * scale)`` — the floored
+    exact-cents pattern used by the TPC-H revenue oracles."""
+    return f"TRY_CAST(floor(({expr}) * {scale}) AS BIGINT)"
+
+
 def bounded_block(df, key: str, cap: int, what: str):
     """In-plan guard: fail LOUDLY if any blocking-key group exceeds
     ``cap`` rows, instead of letting a label-blocked exact all-pairs

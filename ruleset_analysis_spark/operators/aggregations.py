@@ -1332,3 +1332,86 @@ def agg_exact_percentiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame
         pick(0.9).alias("p90_cents"),
         pick(0.99).alias("p99_cents"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    category="agg",
+    oracle="""
+        WITH base AS (
+            SELECT l_returnflag,
+                   TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS px,
+                   CAST(l_quantity AS BIGINT) AS qty
+            FROM lineitem
+            WHERE TRY_CAST(round(l_extendedprice * 100) AS BIGINT)
+                      IS NOT NULL
+              AND l_quantity IS NOT NULL
+        ),
+        g AS (
+            SELECT l_returnflag, px, sum(qty) AS w
+            FROM base GROUP BY l_returnflag, px
+        ),
+        c AS (
+            SELECT l_returnflag, px, w,
+                   sum(w) OVER (PARTITION BY l_returnflag
+                                ORDER BY px
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cumw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS tw
+            FROM g
+        )
+        SELECT l_returnflag,
+               CAST(max(tw) AS BIGINT) AS total_weight,
+               min(CASE WHEN cumw * 2 >= tw THEN px END) AS w_median_cents,
+               min(CASE WHEN cumw * 10 >= tw * 9 THEN px END) AS w_p90_cents
+        FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted percentiles (quantity-weighted median + p90 of
+    unit price cents per return flag) — the aggregate engines don't
+    ship: each row counts with its weight, so the median is the price
+    at which half the total QUANTITY (not half the rows) has been
+    covered. The training-mix analog is 'the quality score below which
+    half the corpus TOKENS sit' — row-weighted quantiles misstate
+    token-weighted budgets whenever document lengths skew.
+
+    Formulation: collapse to one row per (group, value) with summed
+    weight FIRST (bounds the windowed relation by distinct values, not
+    corpus rows, and makes the cumulative sum deterministic — no
+    tie-order dependence), then a cumulative-weight window ordered by
+    value, then the smallest value whose cumulative weight clears the
+    q·total threshold — integer cents, integer weights, integer
+    threshold algebra (cumw·2 ≥ W, cumw·10 ≥ 9W), bit-identical
+    cross-engine. Scale shape: one keyed exchange for the (group,
+    value) rollup; the two windows share its partitioning; poisoned
+    money degrades out via the cents try_cast contract (NULLs filtered
+    identically both sides — Spark sorts NULLs first ascending while
+    DuckDB sorts them last, so an unfiltered NULL would silently shift
+    every quantile)."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        cents("l_extendedprice").alias("px"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).filter(F.col("px").isNotNull() & F.col("qty").isNotNull())
+    g = base.groupBy("l_returnflag", "px").agg(F.sum("qty").alias("w"))
+    wp = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "px",
+        "w",
+        F.sum("w")
+        .over(wp.orderBy("px").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumw"),
+        F.sum("w").over(wp).alias("tw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.max("tw").alias("total_weight"),
+        F.min(F.when(F.col("cumw") * 2 >= F.col("tw"), F.col("px"))).alias(
+            "w_median_cents"
+        ),
+        F.min(
+            F.when(F.col("cumw") * 10 >= F.col("tw") * 9, F.col("px"))
+        ).alias("w_p90_cents"),
+    )

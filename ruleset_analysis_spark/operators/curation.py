@@ -631,3 +631,117 @@ def curation_sample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < F.col("sample_rate"))
         .select("doc_id", "source", "sample_rate")
     )
+
+
+def _quality_verdict_cte() -> str:
+    """The corpus_quality_filter verdict chain as a reusable oracle CTE
+    (text_analysis.py owns the Spark twin; same rule precedence)."""
+    from .text_analysis import ALL_STOPWORDS
+
+    stop = ", ".join(repr(w) for w in ALL_STOPWORDS)
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, lang, n_chars, text,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '')
+                       AS toks
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, text,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE
+                       WHEN text IS NULL THEN 'empty'
+                       WHEN n_chars < 20 THEN 'too_short'
+                       WHEN len(toks) < 5 THEN 'too_few_tokens'
+                       WHEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                                / len(toks) < 0.3 THEN 'repetitive'
+                       WHEN CAST(len(list_filter(toks, t ->
+                                list_contains([{stop}], t))) AS DOUBLE)
+                                / len(toks) < 0.02 THEN 'no_function_words'
+                       ELSE 'keep'
+                   END AS verdict
+            FROM toked
+        )
+    """
+
+
+def _pipeline_oracle() -> str:
+    return _quality_verdict_cte() + """
+        , fp AS (
+            SELECT q.*,
+                   md5(text) AS f,
+                   CAST(CAST(concat('0x', substring(md5(text), 1, 15))
+                             AS BIGINT) AS DOUBLE)
+                       / 1152921504606846976.0 AS u,
+                   min(CASE WHEN verdict = 'keep' THEN doc_id END)
+                       OVER (PARTITION BY md5(text)) AS canon
+            FROM q
+        )
+        SELECT doc_id, n_tokens,
+               CASE
+                   WHEN verdict <> 'keep' THEN concat('drop:', verdict)
+                   WHEN doc_id <> canon THEN 'dup'
+                   WHEN u < 0.7 THEN 'train'
+                   WHEN u < 0.9 THEN 'eval'
+                   ELSE 'test'
+               END AS disposition
+        FROM fp
+    """
+
+
+@register(
+    "curation_pipeline_e2e",
+    category="curation",
+    oracle=_pipeline_oracle(),
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP curation pipeline, end to end in one plan: quality
+    gate → exact dedup → deterministic train/eval/test split, emitting
+    one auditable disposition row per document ('drop:<reason>' /
+    'dup' / 'train' / 'eval' / 'test') plus its token count — the
+    lineage record a 100 TB curation run has to be able to produce for
+    every input document.
+
+    Stage composition (all graded primitives, composed not re-derived):
+    the verdict chain IS ``corpus_quality_filter`` (imported, not
+    copied); dedup keeps the min doc_id per md5(text) fingerprint
+    AMONG KEEPERS (a dropped doc never canonicalizes away a kept dup —
+    the FILTERed window min does this in one pass, no separate dedup
+    join); the split is the ``curation_sample_apply`` content-hash
+    protocol (60-bit md5 prefix scaled by 2⁻⁶⁰ — exact in double, so
+    the 0.7/0.9 cuts are bit-deterministic cross-engine and re-runs
+    reproduce the split under corpus growth).
+
+    Scale shape: one corpus scan computes tokens + verdict + hash in
+    codegen; the ONLY exchange is the fingerprint window (keyed on
+    md5(text) — uniform by construction, no skew); disposition is pure
+    row algebra after it. NULL text hashes to a NULL fingerprint
+    partition, but every such row is already 'drop:empty' before the
+    dedup rule looks at it."""
+    from .text_analysis import corpus_quality_filter
+
+    q = corpus_quality_filter(spark, sf_dir).select(
+        "doc_id", "n_tokens", "verdict"
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    j = d.join(q, "doc_id")
+    u = F.expr(
+        "CAST(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"
+        " AS DOUBLE)"
+    ) / F.lit(float(2**60))
+    canon = F.min(
+        F.when(F.col("verdict") == "keep", F.col("doc_id"))
+    ).over(Window.partitionBy(F.md5("text")))
+    disposition = (
+        F.when(
+            F.col("verdict") != "keep",
+            F.concat(F.lit("drop:"), F.col("verdict")),
+        )
+        .when(F.col("doc_id") != canon, "dup")
+        .when(u < 0.7, "train")
+        .when(u < 0.9, "eval")
+        .otherwise("test")
+    )
+    return j.select(
+        "doc_id", "n_tokens", disposition.alias("disposition")
+    )

@@ -50,8 +50,8 @@ def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = _lines(spark, sf_dir)
     return lines.select(
         F.regexp_extract("line", _LINE_RE, 1).alias("acl"),
-        F.regexp_extract("line", _LINE_RE, 2).cast("bigint").alias("rule_id"),
-        F.regexp_extract("line", _LINE_RE, 3).cast("bigint").alias("src_user"),
+        F.regexp_extract("line", _LINE_RE, 2).try_cast("bigint").alias("rule_id"),
+        F.regexp_extract("line", _LINE_RE, 3).try_cast("bigint").alias("src_user"),
     )
 
 
@@ -64,9 +64,9 @@ _ORACLE_PARSED = rf"""
     parsed AS (
         SELECT regexp_extract(line, 'access-list (\w+) rule (\d+) matched user (\d+)', 1)
                    AS acl,
-               CAST(regexp_extract(line, 'access-list (\w+) rule (\d+) matched user (\d+)', 2)
+               TRY_CAST(regexp_extract(line, 'access-list (\w+) rule (\d+) matched user (\d+)', 2)
                     AS BIGINT) AS rule_id,
-               CAST(regexp_extract(line, 'access-list (\w+) rule (\d+) matched user (\d+)', 3)
+               TRY_CAST(regexp_extract(line, 'access-list (\w+) rule (\d+) matched user (\d+)', 3)
                     AS BIGINT) AS src_user
         FROM lines
     )
@@ -315,10 +315,10 @@ _TS_LINE_RE = r"access-list (\w+) rule (\d+) matched user (\d+) at (\d+)"
             SELECT regexp_extract(line,
                        'access-list (\w+) rule (\d+) matched user (\d+) at (\d+)',
                        1) AS acl,
-                   CAST(regexp_extract(line,
+                   TRY_CAST(regexp_extract(line,
                        'access-list (\w+) rule (\d+) matched user (\d+) at (\d+)',
                        2) AS BIGINT) AS rule_id,
-                   CAST(regexp_extract(line,
+                   TRY_CAST(regexp_extract(line,
                        'access-list (\w+) rule (\d+) matched user (\d+) at (\d+)',
                        4) AS BIGINT) AS hit_epoch
             FROM lines
@@ -380,8 +380,8 @@ def firewall_rule_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parsed = lines.select(
         F.regexp_extract("line", _TS_LINE_RE, 1).alias("acl"),
-        F.regexp_extract("line", _TS_LINE_RE, 2).cast("bigint").alias("rule_id"),
-        F.regexp_extract("line", _TS_LINE_RE, 4).cast("bigint").alias("hit_epoch"),
+        F.regexp_extract("line", _TS_LINE_RE, 2).try_cast("bigint").alias("rule_id"),
+        F.regexp_extract("line", _TS_LINE_RE, 4).try_cast("bigint").alias("hit_epoch"),
     )
     per_rule = parsed.groupBy("acl", "rule_id").agg(
         F.count(F.lit(1)).alias("hits"),

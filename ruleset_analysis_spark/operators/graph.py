@@ -47,21 +47,50 @@ _MAX_ITERATIONS = 20
 _TOP_K = 20
 
 
-def cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric (src, dst) part pairs sharing ≥1 order — the basket
-    co-occurrence graph, riding the shared HOF pair substrate
-    (joins.basket_pair_counts: pair cost bounded by basket size, not
-    item popularity)."""
-    from .joins import basket_pair_counts
+# The STRONG (≥2 shared orders) canonical edge relation feeds both the
+# triangle count and link prediction, each referencing it 3× in
+# self-joins. It is persisted (not just derived from the memoized base
+# pairs): a persisted tiny relation carries exact size stats, so the
+# wedge self-joins keep planning as broadcast joins — deriving it
+# lazily per query lost those stats and regressed link prediction's
+# floor measurably. Same cache key discipline as joins._PAIR_CACHE.
+_STRONG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+
+def strong_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v) canonical u<v part pairs sharing ≥2 orders — the
+    thresholded co-occurrence graph (the ≥2 gate is the Σ deg² guard
+    for every wedge join downstream), memoized + persisted per
+    (SparkContext, corpus)."""
     from pyspark import StorageLevel
 
-    # persisted: the symmetrizing union references the pair relation
-    # twice, re-running the basket pipeline both times otherwise
-    pairs = (
+    from .joins import basket_pair_counts
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STRONG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = (
         basket_pair_counts(spark, sf_dir)
-        .select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _STRONG_CACHE[key] = e
+    return e
+
+
+def cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (src, dst) part pairs sharing ≥1 order — the basket
+    co-occurrence graph, riding the shared MEMOIZED pair substrate
+    (joins.basket_pair_counts: pair cost bounded by basket size, not
+    item popularity; persisted once per session/corpus, so the
+    symmetrizing union's two references are two in-memory scans, not
+    two basket-pipeline runs)."""
+    from .joins import basket_pair_counts
+
+    pairs = basket_pair_counts(spark, sf_dir).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     )
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -174,21 +203,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same gate (or a degree cap) is the standard guard
     before any wedge join. Three keyed equi-joins, all
     shuffle-partitioned on their join keys; edge generation rides the
-    shared HOF pair substrate (joins.basket_pair_counts). The edge
-    relation is persisted for the same reason as link prediction's:
-    three self-join references with different pruning re-run the whole
-    basket pipeline otherwise (ReuseExchange never fires across
-    canonically-different subtrees)."""
-    from pyspark import StorageLevel
-
-    from .joins import basket_pair_counts
-
-    e = (
-        basket_pair_counts(spark, sf_dir)
-        .filter(F.col("n_orders") >= 2)
-        .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    shared MEMOIZED pair substrate (joins.basket_pair_counts — its
+    session cache persists the base pair relation, so the three
+    self-join references here are three in-memory filter scans, not
+    three basket-pipeline runs; ReuseExchange never fires across
+    canonically-different subtrees, the caches are what dedup them)."""
+    e = strong_cooccur_edges(spark, sf_dir)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -256,22 +276,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusion union), so the ranking is bit-identical cross-engine;
     top-20 plans as TakeOrderedAndProject with a full deterministic
     tie-break."""
-    from pyspark import StorageLevel
-
-    from .joins import basket_pair_counts
-
-    # The thresholded edge relation is tiny (pairs with ≥2 shared
-    # orders) but is referenced three times (both wedge sides via adj,
-    # the existing-edge anti-join) and each reference re-runs the whole
-    # basket pipeline without a cache — column pruning makes the
-    # subtrees canonically different, so ReuseExchange never applies
-    # (measured: persist cut the floor 5.6 → ~3 s at sf0.1).
-    e = (
-        basket_pair_counts(spark, sf_dir)
-        .filter(F.col("n_orders") >= 2)
-        .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # The thresholded edge relation is referenced three times (both
+    # wedge sides via adj, the existing-edge anti-join): the shared
+    # persisted strong-edge cache serves all three with exact size
+    # stats (pre-cache measurement: 5.6 → ~3 s at sf0.1 from
+    # persisting; stats keep the wedge joins broadcast-planned).
+    e = strong_cooccur_edges(spark, sf_dir)
     adj = e.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
         e.select(F.col("v").alias("w"), F.col("u").alias("n"))
     )

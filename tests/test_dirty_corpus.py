@@ -22,55 +22,14 @@ from ruleset_analysis_spark.plans.registry import all_specs
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# every registered query that reads documents, embeddings, or events
-DIRTY_QUERIES = [
-    "dedup_exact", "dedup_near_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "sim_cosine_topk", "sim_pairwise_threshold",
-    "sim_ann_lsh", "text_tokenize_counts", "text_lang_stats",
-    "text_langid_heuristic", "text_quality_score", "text_token_count",
-    "text_fingerprint", "text_rolling_fingerprint", "multimodal_join",
-    "embed_array_stats", "multimodal_binary_features", "multimodal_frame_sample",
-    "multimodal_resize", "json_extract", "string_regex_extract", "map_funcs",
-    "udtf_split_props", "udtf_python_native", "udf_scalar_pandas",
-    "udaf_grouped_pandas", "array_funcs", "agg_collect_sorted",
-    # round-2 additions over the same tables
-    "dedup_cluster_components", "sim_pairwise_bucketed", "text_normalize",
-    "text_pii_redact", "sample_hash_deterministic", "sample_stratified_hash",
-    "funnel_ordered_steps", "agg_quantiles_approx",
-    # curation ops over documents (empty/NULL-text rows must chunk to
-    # zero rows, not abort)
-    "text_repetition_ratio", "text_contamination_ngram",
-    "doc_chunk_fixed_tokens", "pack_greedy_bins", "text_rarity_score",
-    "event_transition_matrix", "embed_pca_project",
-    "profile_corpus_columns", "event_anomaly_mad", "event_scd2_intervals",
-    "window_gaps_islands", "window_rate_limit_quota",
-    "text_collocations_lift", "event_time_weighted_avg",
-    "embed_centroid_per_label", "dedup_containment",
-    "event_path_3gram", "event_cdc_upsert", "agg_heavy_hitters_topk",
-    "json_variant_extract",
-    # round-3 additions over the same tables
-    "stream_late_data_policy", "event_interpolate_linear", "window_ewma",
-    "text_diversity_simpson", "text_zipf_slope", "sample_topk_reservoir",
-    "dedup_weighted_jaccard", "agg_bitmap_distinct", "curation_mix_weights",
-    "text_bigram_surprisal", "event_concurrency_sweep",
-    # round-3 session additions over the same tables
-    "agg_countmin_sketch", "dedup_minhash_estimate",
-    "embed_kmeans_clusters", "dedup_cluster_representatives",
-    "firewall_rule_staleness", "stream_lateness_histogram",
-    "graph_link_prediction", "agg_bitmap_overlap",
-    "multimodal_audio_energy",
-    # round-4 additions over the same tables (NULL ts rows must land in
-    # the hive default partition and never match the busy-day join;
-    # NULLs and degenerate text must survive the CSV/JSONL round-trips)
-    "scan_partition_pruning",
-    "scan_csv_roundtrip",
-    "scan_jsonl_roundtrip",
-    "agg_linear_regression",
-    "doc_chunk_overlap",
-    "curation_sample_apply",
-    "funnel_conversion_lag",
-    "multimodal_dhash_fingerprint",
-]
+# EVERY registered query runs against the doctored corpus. Earlier
+# rounds curated a by-hand list of documents/embeddings/events readers;
+# the r4 advice caught it lagging (and 29 more readers were missing
+# behind helper indirection like _payloads/cooccur_edges). The TPC-H
+# tables are copied unchanged, so the relational queries cost only
+# harness overhead at sf0.001 — a price worth paying for a
+# maintenance-free no-crash guarantee over the full surface.
+DIRTY_QUERIES = sorted(all_specs())
 
 
 def _flatten(spark, df, out_dir, name):
@@ -143,6 +102,16 @@ def dirty_dir(tmp_path_factory, spark):
                 (900006, _ts(1704067205), 4, "purchase", 1e300, "{}"),   # overflow
                 (900007, _ts(1704067206), 4, "view", float("nan"), "{}"),
                 (900008, _ts(1704067207), 4, "click", float("inf"), "{}"),
+                # NULL ts rows: must land in the hive default partition
+                # (scan_partition_pruning), never positionally pair in
+                # the as-of windows (join_asof_forward/backward filter
+                # them — NULLs sort first ascending in Spark while an
+                # oracle ts comparison never matches NULL), and stay
+                # out of time-keyed aggregates. One error and one click
+                # on users that HAVE real counterparts, so a missing
+                # filter would actually mispair.
+                (900009, None, 1, "error", 1.0, "{}"),    # NULL-ts error
+                (900010, None, 2, "click", 1.0, "{}"),    # NULL-ts click
             ],
             ev.schema,
         )

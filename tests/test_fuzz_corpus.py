@@ -41,6 +41,7 @@ ORACLE_QUERIES = [
     # dynamic probe id (renumbered vec_ids with gaps)
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "sim_ann_ivf",  # r5: deterministic quantizer earned it a SQL oracle
     # canaries: money discipline / injected dup structure
     "stream_rollup_multires",
     "dedup_exact",
@@ -48,7 +49,7 @@ ORACLE_QUERIES = [
 ]
 
 # Rows-only ops whose fuzz failure mode was a CRASH (seed/probe init):
-EXEC_QUERIES = ["sim_ann_ivf", "embed_kmeans_clusters"]
+EXEC_QUERIES = ["embed_kmeans_clusters"]
 
 
 def _load_fuzz_module():

@@ -28,6 +28,7 @@ PYTHON_ALLOWED = {
     "multimodal_resize",
     "multimodal_audio_energy",
     "multimodal_dhash_fingerprint",
+    "multimodal_phash_radius_join",
     "udtf_python_native",
     "pack_greedy_bins",
     "embed_pca_project",
@@ -312,7 +313,7 @@ BNLJ_ALLOWED = {
     "sim_cosine_topk",          # 1-row broadcast probe vector
     "sim_pairwise_bucketed",    # 1-row broadcast hyperplane set
     "sim_ann_lsh",              # 1-row broadcast hyperplane set
-    "sim_ann_ivf",              # broadcast 16-row centroid relation
+    "sim_ann_ivf",              # 1-row broadcast probe vector
     "embed_knn_classify",       # broadcast probe batch
     "embed_pca_project",        # 1-row broadcast mean/components
     "agg_rfm_segmentation",     # 1-row broadcast quartile thresholds
@@ -334,6 +335,8 @@ BNLJ_ALLOWED = {
     "firewall_unused_rules",    # broadcast rules dim × summary row
     "firewall_rule_staleness",  # 1-row broadcast horizon epoch scalar
     "rule_usage_report",        # 1-row total-hits for percentages
+    "curation_mix_weights",     # 1-row broadcast relative-cap scalar
+    "curation_sample_apply",    # 1-row broadcast relative-cap scalar
 }
 
 
