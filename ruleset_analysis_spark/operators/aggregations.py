@@ -1347,18 +1347,14 @@ def agg_exact_percentiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame
                       IS NOT NULL
               AND l_quantity IS NOT NULL
         ),
-        g AS (
-            SELECT l_returnflag, px, sum(qty) AS w
-            FROM base GROUP BY l_returnflag, px
-        ),
         c AS (
-            SELECT l_returnflag, px, w,
-                   sum(w) OVER (PARTITION BY l_returnflag
-                                ORDER BY px
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                         AND CURRENT ROW) AS cumw,
-                   sum(w) OVER (PARTITION BY l_returnflag) AS tw
-            FROM g
+            SELECT l_returnflag, px,
+                   sum(qty) OVER (PARTITION BY l_returnflag
+                                  ORDER BY px
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cumw,
+                   sum(qty) OVER (PARTITION BY l_returnflag) AS tw
+            FROM base
         )
         SELECT l_returnflag,
                CAST(max(tw) AS BIGINT) AS total_weight,
@@ -1376,35 +1372,37 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     half the corpus TOKENS sit' — row-weighted quantiles misstate
     token-weighted budgets whenever document lengths skew.
 
-    Formulation: collapse to one row per (group, value) with summed
-    weight FIRST (bounds the windowed relation by distinct values, not
-    corpus rows, and makes the cumulative sum deterministic — no
-    tie-order dependence), then a cumulative-weight window ordered by
-    value, then the smallest value whose cumulative weight clears the
-    q·total threshold — integer cents, integer weights, integer
+    Formulation: a cumulative-weight window over the base rows ordered
+    by value, then the smallest value whose cumulative weight clears
+    the q·total threshold — integer cents, integer weights, integer
     threshold algebra (cumw·2 ≥ W, cumw·10 ≥ 9W), bit-identical
-    cross-engine. Scale shape: one keyed exchange for the (group,
-    value) rollup; the two windows share its partitioning; poisoned
-    money degrades out via the cents try_cast contract (NULLs filtered
-    identically both sides — Spark sorts NULLs first ascending while
-    DuckDB sorts them last, so an unfiltered NULL would silently shift
-    every quantile)."""
+    cross-engine. Ties need no pre-rollup: rows of equal value may
+    accumulate in any order, but every row of the tie run carries the
+    SAME value, so whichever row crosses the threshold selects the
+    same answer — the ROWS frame is tie-order-INVARIANT here by
+    construction (deliberate: a (group, value) rollup first would be a
+    second keyed exchange for nothing, since prices are near-distinct).
+    Scale shape: ONE keyed exchange (the group partitioning, shared by
+    both windows and the final groupBy); the per-group sort is the
+    irreducible cost of an exact quantile. Poisoned money degrades out
+    via the cents try_cast contract (NULLs filtered identically both
+    sides — Spark sorts NULLs first ascending while DuckDB sorts them
+    last, so an unfiltered NULL would silently shift every
+    quantile)."""
     li = load(spark, sf_dir, "lineitem")
     base = li.select(
         "l_returnflag",
         cents("l_extendedprice").alias("px"),
         F.col("l_quantity").cast("long").alias("qty"),
     ).filter(F.col("px").isNotNull() & F.col("qty").isNotNull())
-    g = base.groupBy("l_returnflag", "px").agg(F.sum("qty").alias("w"))
     wp = Window.partitionBy("l_returnflag")
-    c = g.select(
+    c = base.select(
         "l_returnflag",
         "px",
-        "w",
-        F.sum("w")
+        F.sum("qty")
         .over(wp.orderBy("px").rowsBetween(Window.unboundedPreceding, 0))
         .alias("cumw"),
-        F.sum("w").over(wp).alias("tw"),
+        F.sum("qty").over(wp).alias("tw"),
     )
     return c.groupBy("l_returnflag").agg(
         F.max("tw").alias("total_weight"),

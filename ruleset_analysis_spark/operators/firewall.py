@@ -520,3 +520,129 @@ def firewall_shadowed_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_shadowers"),
         )
     )
+
+
+# Deterministic edge ruleset exercising the full public ASA grammar the
+# config parser covers: host / net+mask / any endpoints, well-known
+# service names, eq + range ports, NESTED network and service
+# object-groups, a remark line (annotation — must not consume a
+# rule_id), and a standard (source-only) ACL.
+_ASA_CONFIG = """\
+! edge ruleset with object-group indirection
+object-group network DMZ_HOSTS
+  network-object host 10.1.1.1
+  network-object host 10.1.1.2
+object-group network APP_NET
+  network-object 10.2.0.0 255.255.0.0
+  group-object DMZ_HOSTS
+object-group service WEB_PORTS tcp
+  port-object eq www
+  port-object eq https
+object-group service APP_PORTS tcp
+  port-object range 8000 8100
+  group-object WEB_PORTS
+access-list OUTSIDE_IN extended permit tcp any object-group APP_NET object-group APP_PORTS
+access-list OUTSIDE_IN extended permit udp host 192.0.2.9 10.9.0.0 255.255.0.0 eq domain
+access-list OUTSIDE_IN remark temporary block below
+access-list OUTSIDE_IN extended deny ip any any
+access-list MGMT standard permit 172.16.5.0 255.255.255.0
+"""
+
+
+@register(
+    "firewall_config_expansion",
+    category="firewall",
+    oracle="""
+        WITH net_direct(gname, spec) AS (VALUES
+            ('DMZ_HOSTS', '10.1.1.1/32'),
+            ('DMZ_HOSTS', '10.1.1.2/32'),
+            ('APP_NET',   '10.2.0.0/16')),
+        net_edges(parent, child) AS (VALUES ('APP_NET', 'DMZ_HOSTS')),
+        net_all AS (
+            SELECT gname, spec FROM net_direct
+            UNION ALL
+            SELECT e.parent, d.spec
+            FROM net_edges e JOIN net_direct d ON d.gname = e.child
+        ),
+        svc_direct(gname, lo, hi) AS (VALUES
+            ('WEB_PORTS', 80, 80),
+            ('WEB_PORTS', 443, 443),
+            ('APP_PORTS', 8000, 8100)),
+        svc_edges(parent, child) AS (VALUES ('APP_PORTS', 'WEB_PORTS')),
+        svc_all AS (
+            SELECT gname, lo, hi FROM svc_direct
+            UNION ALL
+            SELECT e.parent, d.lo, d.hi
+            FROM svc_edges e JOIN svc_direct d ON d.gname = e.child
+        ),
+        entries(acl, rule_id, action, protocol, src, dst,
+                pgroup, plo, phi) AS (VALUES
+            ('OUTSIDE_IN', 1, 'permit', 'tcp', '0.0.0.0/0',
+             'group:APP_NET', 'APP_PORTS', NULL, NULL),
+            ('OUTSIDE_IN', 2, 'permit', 'udp', '192.0.2.9/32',
+             '10.9.0.0/16', NULL, 53, 53),
+            ('OUTSIDE_IN', 3, 'deny', 'ip', '0.0.0.0/0',
+             '0.0.0.0/0', NULL, 0, 65535),
+            ('MGMT', 1, 'permit', 'ip', '172.16.5.0/24',
+             '0.0.0.0/0', NULL, 0, 65535)),
+        s1 AS (
+            SELECT e.acl, e.rule_id, e.action, e.protocol,
+                   m.spec AS src_net, e.dst, e.pgroup, e.plo, e.phi
+            FROM entries e
+            JOIN net_all m ON e.src = concat('group:', m.gname)
+            UNION ALL
+            SELECT acl, rule_id, action, protocol,
+                   src AS src_net, dst, pgroup, plo, phi
+            FROM entries WHERE src NOT LIKE 'group:%'
+        ),
+        s2 AS (
+            SELECT s.acl, s.rule_id, s.action, s.protocol, s.src_net,
+                   m.spec AS dst_net, s.pgroup, s.plo, s.phi
+            FROM s1 s
+            JOIN net_all m ON s.dst = concat('group:', m.gname)
+            UNION ALL
+            SELECT acl, rule_id, action, protocol, src_net,
+                   dst AS dst_net, pgroup, plo, phi
+            FROM s1 WHERE dst NOT LIKE 'group:%'
+        ),
+        s3 AS (
+            SELECT s.acl, s.rule_id, s.action, s.protocol,
+                   s.src_net, s.dst_net, g.lo, g.hi
+            FROM s2 s JOIN svc_all g ON s.pgroup = g.gname
+            UNION ALL
+            SELECT acl, rule_id, action, protocol,
+                   src_net, dst_net, plo AS lo, phi AS hi
+            FROM s2 WHERE pgroup IS NULL
+        )
+        SELECT acl, CAST(rule_id AS INTEGER) AS rule_id, action,
+               protocol, src_net, dst_net,
+               CAST(lo AS INTEGER) AS port_lo,
+               CAST(hi AS INTEGER) AS port_hi
+        FROM s3
+    """,
+)
+def firewall_config_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's config-side deliverable promoted into the graded
+    surface: a Cisco ASA configuration — object-group indirection,
+    nesting and all — expanded into one row per concrete
+    (src, dst, port-range) flow tuple, the broadcast dimension every
+    hit-count join keys on.
+
+    Differential split, deliberate: the Spark side parses
+    ``_ASA_CONFIG`` with the driver-side pure-Python grammar
+    (``sources.asa_config`` — a firewall config is a few-thousand-line
+    dimension, not distributed data), while the ORACLE re-derives the
+    expansion RELATIONALLY — group membership as VALUES relations,
+    nested groups via a parent/child edge join, endpoint/port
+    indirection as three successive expansion joins (the cross product
+    falls out of the join algebra). A hash match therefore proves the
+    imperative parser and the relational algebra implement the SAME
+    expansion semantics — including the cases that bite in practice
+    (remark lines must not consume a rule_id; a standard ACL matches
+    source-only with any-dst/any-port; nested service groups union
+    their parents' ranges). The corpus tables are deliberately unused:
+    the config IS the input, pinned so both engines see identical
+    text."""
+    from ..sources.asa_config import rules_dataframe
+
+    return rules_dataframe(spark, _ASA_CONFIG)

@@ -394,3 +394,84 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+@register(
+    "scan_syslog_gz",
+    category="scan",
+    oracle="""
+        WITH src AS (
+            SELECT concat('acl_', event_type) AS acl,
+                   CASE WHEN user_id % 2 = 0 THEN 'permitted'
+                        ELSE 'denied' END AS action,
+                   CASE WHEN user_id % 3 = 0 THEN 'udp' ELSE 'tcp' END
+                       AS protocol,
+                   concat('10.0.', CAST(user_id % 256 AS VARCHAR), '.',
+                          CAST(event_id % 256 AS VARCHAR)) AS src_ip,
+                   CAST(CASE WHEN user_id % 3 = 0 THEN 53 ELSE 443 END
+                        AS INTEGER) AS dst_port,
+                   1 + event_id % 5 AS hit_cnt
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND user_id IS NOT NULL AND event_id IS NOT NULL
+        )
+        SELECT acl, protocol, dst_port,
+               CAST(sum(hit_cnt) AS BIGINT) AS hits,
+               CAST(count(DISTINCT src_ip) AS BIGINT) AS n_sources
+        FROM src GROUP BY acl, protocol, dst_port
+    """,
+)
+def scan_syslog_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped-syslog connector round-trip, graded on VALUES — the
+    reference's actual ingest format (multi-month gzipped ASA archives)
+    promoted into the graded surface: full-format %ASA-6-106100 lines
+    are written once to a gzip text layout, read back through
+    ``sources.text_logs`` (read_log_lines → parse_asa_hits →
+    hit_counts — the reference's parse→reduceByKey pipeline), and the
+    oracle computes the same rollup from the ORIGINAL parquet, so a
+    hash match proves the writer→gunzip→regex→aggregate loop is
+    lossless end to end.
+
+    Scale shape: gzip text is splittable per FILE, not per block — the
+    write repartitions so the layout has many files and a cluster read
+    gets real parallelism (the single-giant-.gz trap is the classic
+    syslog-archive mistake); the regex runs in codegen behind a cheap
+    contains() prefilter; the rollup partial-aggregates map-side.
+    Untimestamped/NULL-keyed events are excluded from line synthesis on
+    both sides (a NULL field would render an unparseable line — the
+    quarantine path, graded separately via keep_unparsed in the source
+    tests). Eager-builder exception (registry docstring): first call
+    per corpus fingerprint materializes the layout."""
+    from ..session import shuffle_partitions
+    from ..sources.text_logs import hit_counts, parse_asa_hits, read_log_lines
+
+    root, done = _layout_path(sf_dir, "events", "syslog_gz")
+    if not done:
+        ev = load(spark, sf_dir, "events").filter(
+            F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        lines = ev.select(
+            F.format_string(
+                "%%ASA-6-106100: access-list acl_%s %s %s "
+                "outside/10.0.%d.%d(%d) -> inside/192.168.1.%d(%d) "
+                "hit-cnt %d",
+                "event_type",
+                F.when(F.col("user_id") % 2 == 0, "permitted").otherwise(
+                    "denied"
+                ),
+                F.when(F.col("user_id") % 3 == 0, "udp").otherwise("tcp"),
+                F.col("user_id") % 256,
+                F.col("event_id") % 256,
+                F.lit(1024) + F.col("event_id") % 60000,
+                F.col("user_id") % 200,
+                F.when(F.col("user_id") % 3 == 0, 53).otherwise(443),
+                F.lit(1) + F.col("event_id") % 5,
+            ).alias("value")
+        )
+        lines.repartition(shuffle_partitions(spark)).write.mode(
+            "overwrite"
+        ).option("compression", "gzip").text(root)
+    hits = parse_asa_hits(read_log_lines(spark, root))
+    return hit_counts(hits)

@@ -705,22 +705,92 @@ _KM_K = 4
 _KM_ITERS = 3
 
 
+def _kmeans_oracle() -> str:
+    """Unrolled quantized-Lloyd's oracle: _KM_ITERS assign/update CTE
+    pairs over integer micro-unit vectors. Generated, not hand-typed —
+    iteration count is a constant, so the 'recursive CTEs cannot
+    re-aggregate per round' blocker disappears by unrolling."""
+    parts = [
+        _ORACLE_ELEM,
+        f"""
+        , valid AS (SELECT vec_id FROM nrm WHERE n > 0),
+        q AS (
+            SELECT ne.vec_id, ne.i,
+                   CAST(round(ne.xn * {_IVF_QSCALE}) AS BIGINT) AS qx
+            FROM nelem ne JOIN valid v ON v.vec_id = ne.vec_id
+        ),
+        seeds AS (
+            SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS r
+            FROM valid QUALIFY r < {_KM_K}
+        ),
+        c0 AS (
+            SELECT s.r, q.i, q.qx AS cx
+            FROM seeds s JOIN q ON q.vec_id = s.vec_id
+        )""",
+    ]
+    for j in range(1, _KM_ITERS + 1):
+        parts.append(f"""
+        , d{j} AS (
+            SELECT q.vec_id, c.r,
+                   sum((q.qx - c.cx) * (q.qx - c.cx)) AS dist
+            FROM q JOIN c{j - 1} c ON c.i = q.i
+            GROUP BY q.vec_id, c.r
+        ),
+        a{j} AS (
+            SELECT vec_id, r AS cluster, dist FROM (
+                SELECT vec_id, r, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, r) AS rk
+                FROM d{j}
+            ) WHERE rk = 1
+        ),
+        c{j} AS (
+            SELECT c.r, c.i, coalesce(m.cx, c.cx) AS cx
+            FROM c{j - 1} c
+            LEFT JOIN (
+                SELECT a.cluster AS r, q.i,
+                       CAST(round(avg(q.qx)) AS BIGINT) AS cx
+                FROM a{j} a JOIN q ON q.vec_id = a.vec_id
+                GROUP BY a.cluster, q.i
+            ) m ON m.r = c.r AND m.i = c.i
+        )""")
+    parts.append(f"""
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(dist) AS BIGINT) AS inertia
+        FROM a{_KM_ITERS} GROUP BY cluster ORDER BY cluster
+    """)
+    return "".join(parts)
+
+
 @register(
     "embed_kmeans_clusters",
     category="similarity",
-    oracle=None,  # rows-only: float centroid recursion (NumPy differential
-    # in tests/test_properties.py — same grading class as PageRank/PCA)
+    oracle=_kmeans_oracle(),
 )
 def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hand-rolled relational Lloyd's k-means (k=4, 3 iterations,
-    deterministic init from the 4 lowest vec_ids): per-cluster member
-    counts and within-cluster inertia over unit-normalized embeddings.
+    deterministic init from the 4 lowest valid vec_ids) over INTEGER
+    micro-unit quantized unit vectors: per-cluster member counts and
+    within-cluster inertia (micro-units squared).
 
     This completes the iterative-algorithm triptych the engine
     demonstrates relationally: label propagation (min semiring —
     dedup_cluster_components), score propagation (sum-product —
-    graph_pagerank_cooccur), and now CENTROID REFINEMENT — the family
+    graph_pagerank_cooccur), and CENTROID REFINEMENT — the family
     where per-iteration state is a k×d model, not a per-node value.
+
+    Quantized arithmetic end to end (the sim_ann_ivf discipline,
+    _IVF_QSCALE): distances are exact BIGINT sums, the argmin is
+    integer with a deterministic tie-break (smallest cluster id), and
+    the centroid update round(avg(q)) is one correctly-rounded IEEE
+    division of an exactly-representable integer sum (|q|·n < 2^53) —
+    so every round is bit-identical cross-engine, which upgraded this
+    query from rows-only (float centroid recursion) to a full SQL
+    oracle: _KM_ITERS is a constant, so the oracle simply UNROLLS the
+    recursion into per-round CTE pairs. The NumPy differential mirrors
+    the same integer schedule. Inertia is Σ(q−c)² BIGINT — bounded by
+    ~2.6e14 per vector, safe to ~3e4 corpus growth over sf1000;
+    beyond that the quantization scale is the documented knob.
 
     Scale shape per iteration: assignment is a 4-row BROADCAST of the
     centroid relation (nested-loop against O(1) rows — the allowlisted
@@ -730,26 +800,20 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     as DATA through a broadcast relation, not as literals — literal
     centroids would force Catalyst to recompile the whole-stage-codegen
     unit every iteration (measured 3× compile cost), while a stable
-    plan shape compiles once and re-broadcasts 256 floats. The k×d
-    floats that cross the driver each round are model parameters, not
-    data — the same contract as sim_ann_ivf's MLlib KMeans, which this
-    operator reimplements in open relational algebra (MLlib's fit is
-    exactly broadcast-assign + keyed mean under the hood). Empty
-    clusters keep their previous centroid (the standard Lloyd guard).
-
-    Rows-only: the fixed-point float recursion has no SQL-expressible
-    oracle (recursive CTEs cannot re-aggregate per round); the value
-    check is a NumPy Lloyd replay with identical init/tie-breaks."""
-    e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
+    plan shape compiles once and re-broadcasts 256 longs. The k×d
+    ints that cross the driver each round are model parameters, not
+    data. Empty clusters keep their previous centroid (the standard
+    Lloyd guard)."""
+    e = _quantized(normalized_vectors(spark, sf_dir)).select("vec_id", "q")
     # the _KM_K LOWEST ids, whatever they are — `vec_id < _KM_K` assumed
     # ids 0..3 exist and IndexError'd on a renumbered corpus (caught by
     # scripts/fuzz_sweep.py); orderBy+limit is a TakeOrdered of k rows
     seeds = e.orderBy("vec_id").limit(_KM_K).collect()
-    centroids = [list(r["vn"]) for r in seeds]
+    centroids = [list(r["q"]) for r in seeds]
 
     dist = F.aggregate(
-        F.zip_with(F.col("vn"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+        F.zip_with(F.col("q"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
 
@@ -757,30 +821,30 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_KM_ITERS):
         cdf = spark.createDataFrame(
             [(j, c) for j, c in enumerate(centroids)],
-            "cluster int, cvec array<double>",
+            "cluster int, cvec array<long>",
         )
         assigned = (
             e.crossJoin(F.broadcast(cdf))
-            .select("vec_id", "vn", "cluster", dist.alias("dist"))
+            .select("vec_id", "q", "cluster", dist.alias("dist"))
             .groupBy("vec_id")
             .agg(
                 F.min(F.struct("dist", "cluster")).alias("m"),
-                F.first("vn").alias("vn"),
+                F.first("q").alias("q"),
             )
             .select(
                 "vec_id",
-                "vn",
+                "q",
                 F.col("m.cluster").alias("cluster"),
                 F.col("m.dist").alias("dist"),
             )
         )
         means = (
-            assigned.select("cluster", F.posexplode("vn").alias("dim", "x"))
+            assigned.select("cluster", F.posexplode("q").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x")).cast("long").alias("m"))
             .collect()
         )
-        by_cluster: dict[int, dict[int, float]] = {}
+        by_cluster: dict[int, dict[int, int]] = {}
         for r in means:
             by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
         centroids = [
@@ -793,7 +857,7 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.round(F.sum("dist"), 6).alias("inertia"),
+            F.sum("dist").alias("inertia"),
         )
         .orderBy("cluster")
     )

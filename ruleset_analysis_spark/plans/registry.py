@@ -116,6 +116,8 @@ DRIVER_PRIORITY = (
     "agg_weighted_median",  # r5: exact weighted quantiles (integer algebra)
     "join_interval_overlap",  # r5: keyed interval-overlap self join
     "curation_pipeline_e2e",  # r5: flagship quality→dedup→split pipeline
+    "scan_syslog_gz",  # r5: gzipped-ASA-archive connector round-trip
+    "firewall_config_expansion",  # r5: object-group expansion vs relational twin
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",

@@ -42,14 +42,17 @@ ORACLE_QUERIES = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",  # r5: deterministic quantizer earned it a SQL oracle
+    "embed_kmeans_clusters",  # r5: quantized Lloyd's, unrolled-CTE oracle
     # canaries: money discipline / injected dup structure
     "stream_rollup_multires",
     "dedup_exact",
     "dedup_ngram_jaccard",
 ]
 
-# Rows-only ops whose fuzz failure mode was a CRASH (seed/probe init):
-EXEC_QUERIES = ["embed_kmeans_clusters"]
+# Rows-only ops whose fuzz failure mode was a CRASH (seed/probe init).
+# Empty since r5 upgraded the last member to a SQL oracle; kept as the
+# declared home for any future rows-only addition.
+EXEC_QUERIES: list[str] = []
 
 
 def _load_fuzz_module():

@@ -463,15 +463,17 @@ def test_pack_greedy_bins_invariants(spark):
 
 def test_pagerank_matches_numpy_power_iteration(spark):
     """graph_pagerank_cooccur vs an independent NumPy power iteration
-    on the identical edge list: same damping, same Σ|Δrank| ≤ _TOL
-    stopping rule (so both sides run the identical number of rounds),
-    per-node agreement to 1e-6 — the no-SQL-oracle iterative op gets
-    its exact check here instead."""
+    on the identical edge list: same damping, same FUSED iteration
+    schedule (_PR_FUSE steps per round) and same Σ|Δrank| ≤ _TOL
+    pair-delta stopping rule (so both sides run the identical number
+    of iterations), per-node agreement to 1e-6 — the no-SQL-oracle
+    iterative op gets its exact check here instead."""
     import numpy as np
 
     from ruleset_analysis_spark.operators.graph import (
         _DAMPING,
         _MAX_ITERATIONS,
+        _PR_FUSE,
         _TOL,
         _TOP_K,
         cooccur_edges,
@@ -486,14 +488,20 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     deg = np.zeros(n)
     for u, _ in edges:
         deg[idx[u]] += 1
-    r = np.full(n, 1.0 / n)
-    for _ in range(_MAX_ITERATIONS):
+
+    def power_step(r):
         nxt = np.zeros(n)
         for u, v in edges:
             nxt[idx[v]] += r[idx[u]] / deg[idx[u]]
-        new = (1.0 - _DAMPING) / n + _DAMPING * nxt
-        delta = np.abs(new - r).sum()
-        r = new
+        return (1.0 - _DAMPING) / n + _DAMPING * nxt
+
+    r = np.full(n, 1.0 / n)
+    for _ in range(_MAX_ITERATIONS // _PR_FUSE):
+        cur = r
+        for _ in range(_PR_FUSE):
+            cur = power_step(cur)
+        delta = np.abs(cur - r).sum()
+        r = cur
         if delta <= _TOL:
             break
     order = sorted(range(n), key=lambda i: (-r[i], nodes[i]))[:_TOP_K]
@@ -845,14 +853,17 @@ def test_sketch_estimate_invariants(spark):
 
 def test_kmeans_matches_numpy_lloyd(spark):
     """embed_kmeans_clusters vs a NumPy Lloyd replay with the identical
-    deterministic protocol: unit-normalize, init from the 4 lowest
-    vec_ids, 3 iterations, argmin ties to the lowest cluster, empty
-    clusters keep their centroid. Cluster sizes must match exactly;
-    (only partial-sum ULP noise differs across engines)."""
+    deterministic protocol: unit-normalize, QUANTIZE to integer
+    micro-units (the r5 upgrade that made the query oracle-gradable),
+    init from the 4 lowest valid vec_ids, 3 iterations, integer argmin
+    ties to the lowest cluster, centroid update round-half-away-from-
+    zero of the exact mean, empty clusters keep their centroid. Sizes
+    AND integer inertia must match exactly — nothing is float."""
     import numpy as np
     import pyarrow.parquet as pq
 
     from ruleset_analysis_spark.operators.similarity import (
+        _IVF_QSCALE,
         _KM_ITERS,
         _KM_K,
         embed_kmeans_clusters,
@@ -861,23 +872,34 @@ def test_kmeans_matches_numpy_lloyd(spark):
     sf_dir = "/root/testdata/sf0.001"
     t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
     t = t[t["embedding"].notna()].sort_values("vec_id")
+    t = t[t["embedding"].map(len) > 0]
     x = np.stack(t["embedding"].to_numpy()).astype(np.float64)
     nrm = np.linalg.norm(x, axis=1, keepdims=True)
     keep = nrm[:, 0] > 0
-    x, ids = x[keep] / nrm[keep], t["vec_id"].to_numpy()[keep]
+    x = x[keep] / nrm[keep]
+
+    def away_from_zero(v):
+        # Spark round / DuckDB round: half away from zero (np.round is
+        # banker's and would diverge at exact .5)
+        return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+    q = away_from_zero(x * _IVF_QSCALE)
     # first _KM_K rows after the vec_id sort — the operator seeds from
-    # the k lowest ids present, not from literal ids 0..k-1 (ids are
-    # labels; a regenerated corpus may start anywhere)
-    cents = x[:_KM_K].copy()
+    # the k lowest valid ids present, not from literal ids 0..k-1
+    cents = q[:_KM_K].copy()
     for _ in range(_KM_ITERS):
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)  # argmin takes the first (lowest) index
         for j in range(_KM_K):
             if (assign == j).any():
-                cents[j] = x[assign == j].mean(axis=0)
+                cents[j] = away_from_zero(q[assign == j].mean(axis=0))
     # the operator reports the LAST assignment round (against the
     # iteration-2 centroids), so compare that, not a post-update pass
     want_sizes = np.bincount(assign, minlength=_KM_K)
+    want_inertia = {
+        j: int(d2[assign == j, j].sum()) for j in range(_KM_K)
+        if want_sizes[j]
+    }
 
     got = {r["cluster"]: r for r in embed_kmeans_clusters(spark, sf_dir).collect()}
     for j in range(_KM_K):
@@ -885,6 +907,7 @@ def test_kmeans_matches_numpy_lloyd(spark):
             assert j not in got
             continue
         assert got[j]["n_members"] == want_sizes[j], (j, got[j], want_sizes[j])
+        assert got[j]["inertia"] == want_inertia[j], (j, got[j], want_inertia[j])
 
 
 @given(
