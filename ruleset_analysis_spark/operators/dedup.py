@@ -764,13 +764,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import bounded_block
     from .similarity import _EXACT_BLOCK_CAP, normalized_vectors
 
-    e = bounded_block(
-        normalized_vectors(spark, sf_dir),
-        "label",
-        _EXACT_BLOCK_CAP,
-        "dedup_embedding_cosine",
-    )
-    a, b = e.alias("a"), e.alias("b")
+    e = normalized_vectors(spark, sf_dir)
+    # guard ONE side only: this is a SELF-join, so an oversized block
+    # trips the cap on side a iff it would on side b — guarding both
+    # would compute the count window twice for the same answer
+    a = bounded_block(e, "label", _EXACT_BLOCK_CAP, "dedup_embedding_cosine").alias("a")
+    b = e.alias("b")
     cos = dot(F.col("a.vn"), F.col("b.vn"))
     return (
         a.join(

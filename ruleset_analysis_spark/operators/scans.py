@@ -475,3 +475,121 @@ def scan_syslog_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).option("compression", "gzip").text(root)
     hits = parse_asa_hits(read_log_lines(spark, root))
     return hit_counts(hits)
+
+
+@register(
+    "scan_orc_roundtrip",
+    category="scan",
+    oracle="""
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents,
+               min(epoch_us(ts)) AS min_ts_us,
+               max(epoch_us(ts)) AS max_ts_us
+        FROM events GROUP BY event_type
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector round-trip, graded on VALUES — completing the
+    text (CSV/JSONL/gz-syslog) + columnar (parquet native, ORC here)
+    connector matrix: events are written once to an event_type-
+    partitioned ORC layout (``sources.sinks.write_orc`` — the same
+    layout knobs as the parquet sink, exercising Hive-style partition
+    directories in a second columnar format) and read back; the oracle
+    aggregates the ORIGINAL parquet, so a hash match proves the
+    ORC writer→reader loop loses nothing — including the partition
+    column's round-trip through directory names and the
+    epoch-microsecond BIGINT timestamp discipline shared with the CSV
+    loop. Scale shape: columnar scan with partition directories
+    (prunable), map-side partial aggregation. Eager-builder exception
+    (registry docstring): first call per corpus fingerprint
+    materializes the layout."""
+    from ..sources.sinks import write_orc
+    from ._util import cents
+
+    root, done = _layout_path(sf_dir, "events", "orc")
+    if not done:
+        ev = load(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        write_orc(ev, root, partition_by=["event_type"])
+    return (
+        spark.read.orc(root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("sum_value_cents"),
+            F.min("ts_us").alias("min_ts_us"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+    )
+
+
+_BINARY_N_DOCS = 200  # bounded media-dir fixture (one file per doc)
+
+
+@register(
+    "scan_binary_files",
+    category="scan",
+    oracle=f"""
+        WITH low AS (
+            SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL
+            ORDER BY doc_id LIMIT {_BINARY_N_DOCS}
+        )
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM low
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` connector, graded on VALUES — the media-lake
+    ingest shape (a directory of opaque blobs → typed rows) promoted
+    into the graded surface: the 200 lowest-doc_id documents are
+    written once as one ``<doc_id>.bin`` file each (payload = UTF-8
+    text bytes, the corpus standing in for media), read back through
+    ``sources.binary_files.read_binary_dir`` (pathGlobFilter pruning
+    at LISTING time), and reduced to (doc_id, byte length, md5). The
+    oracle computes the same three values straight from the documents
+    table — strlen/md5 of a DuckDB VARCHAR hash its UTF-8 bytes, which
+    are exactly the bytes on disk — so a hash match proves the
+    file-writer → binaryFile-reader loop is byte-lossless, filename
+    round-trip included.
+
+    Scale shape: binaryFile listing parallelizes over files; length is
+    a metadata column (oversized payloads drop before bytes move);
+    md5/length are per-row codegen. The fixture is BOUNDED
+    (_BINARY_N_DOCS files) by construction — a corpus-sized
+    one-file-per-row layout is exactly the small-files anti-pattern
+    the parquet/ORC layouts exist to avoid, and the bound documents
+    that. Eager-builder exception (registry docstring): first call per
+    corpus fingerprint materializes the fixture directory."""
+    from ..sources.binary_files import read_binary_dir
+
+    root, done = _layout_path(sf_dir, "documents", "bindir")
+    if not done:
+        import os
+
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(_BINARY_N_DOCS)
+            .collect()
+        )
+        os.makedirs(root, exist_ok=True)
+        for r in rows:
+            with open(os.path.join(root, f"{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        with open(os.path.join(root, "_SUCCESS"), "w"):
+            pass
+    return read_binary_dir(spark, root, glob="*.bin").select(
+        F.split(F.col("file_name"), "\\.").getItem(0).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

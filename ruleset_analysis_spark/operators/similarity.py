@@ -171,13 +171,12 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, per row) that no label block exceeds ``_EXACT_BLOCK_CAP``
     rows — beyond that the quadratic baseline must not run and the job
     aborts with a pointer to the bucketed form."""
-    e = bounded_block(
-        normalized_vectors(spark, sf_dir),
-        "label",
-        _EXACT_BLOCK_CAP,
-        "sim_pairwise_threshold",
-    )
-    a, b = e.alias("a"), e.alias("b")
+    e = normalized_vectors(spark, sf_dir)
+    # guard ONE side only: this is a SELF-join, so an oversized block
+    # trips the cap on side a iff it would on side b — guarding both
+    # would compute the count window twice for the same answer
+    a = bounded_block(e, "label", _EXACT_BLOCK_CAP, "sim_pairwise_threshold").alias("a")
+    b = e.alias("b")
     cos = dot(F.col("a.vn"), F.col("b.vn"))
     return (
         a.join(
@@ -861,3 +860,162 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+_MMR_POOL = 50  # retrieved candidate page (the distributed part's output)
+_MMR_K = 10
+# λ = 0.7 relevance / 0.3 diversity, carried as INTEGER weights so the
+# greedy argmax is exact: score = 7·rel − 3·max_sim, all BIGINT.
+_MMR_REL_W, _MMR_DIV_W = 7, 3
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR greedy: _MMR_K selection steps as CTE triples
+    (penalty join → argmax pick → selected-set union). Same
+    fixed-count unroll trick as the k-means oracle — greedy selection
+    is a recursion SQL can't aggregate per round, but a CONSTANT k
+    unrolls it away."""
+    parts = [
+        _ORACLE_ELEM,
+        f"""
+        , valid AS (SELECT vec_id FROM nrm WHERE n > 0),
+        -- MATERIALIZED: the unrolled greedy references these CTEs
+        -- O(k) times; inlined, DuckDB would re-open the parquet per
+        -- reference and trip the fd limit
+        q AS MATERIALIZED (
+            SELECT ne.vec_id, ne.i,
+                   CAST(round(ne.xn * {_IVF_QSCALE}) AS BIGINT) AS qx
+            FROM nelem ne JOIN valid v ON v.vec_id = ne.vec_id
+        ),
+        rel AS (
+            SELECT t.vec_id, sum(t.qx * p.qx) AS rel
+            FROM q t JOIN q p ON p.i = t.i AND p.vec_id = {_PROBE_SQL}
+            WHERE t.vec_id != {_PROBE_SQL}
+            GROUP BY t.vec_id
+        ),
+        cand AS MATERIALIZED (
+            SELECT vec_id, rel FROM rel
+            ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}
+        ),
+        sims AS MATERIALIZED (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   sum(qa.qx * qb.qx) AS sim
+            FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+            JOIN q qa ON qa.vec_id = a.vec_id
+            JOIN q qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
+            GROUP BY a.vec_id, b.vec_id
+        ),
+        sel1 AS MATERIALIZED (
+            SELECT 1 AS rnk, vec_id,
+                   {_MMR_REL_W} * rel AS score
+            FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+        ),
+        u1 AS MATERIALIZED (SELECT vec_id FROM sel1)""",
+    ]
+    for j in range(2, _MMR_K + 1):
+        parts.append(f"""
+        , pen{j} AS MATERIALIZED (
+            SELECT s.vec_a AS vec_id, max(s.sim) AS p
+            FROM sims s JOIN u{j - 1} u ON u.vec_id = s.vec_b
+            GROUP BY s.vec_a
+        ),
+        sel{j} AS MATERIALIZED (
+            SELECT {j} AS rnk, c.vec_id,
+                   {_MMR_REL_W} * c.rel
+                       - {_MMR_DIV_W} * coalesce(p.p, 0) AS score
+            FROM cand c
+            LEFT JOIN pen{j} p ON p.vec_id = c.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM u{j - 1})
+            ORDER BY score DESC, c.vec_id LIMIT 1
+        ),
+        u{j} AS MATERIALIZED (SELECT vec_id FROM u{j - 1}
+                 UNION ALL SELECT vec_id FROM sel{j})""")
+    union = "\n            UNION ALL ".join(
+        f"SELECT rnk, vec_id, score FROM sel{j}"
+        for j in range(1, _MMR_K + 1)
+    )
+    parts.append(f"""
+        SELECT CAST(rnk AS INTEGER) AS rank, vec_id,
+               CAST(score AS BIGINT) AS mmr_score
+        FROM ({union})
+    """)
+    return "".join(parts)
+
+
+@register(
+    "embed_mmr_rerank",
+    category="similarity",
+    oracle=_mmr_oracle(),
+)
+def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification: retrieve the top-50
+    candidates for the probe, then greedily select 10 trading
+    relevance against similarity to what's already picked
+    (score = 7·rel − 3·max-sim-to-selected, λ=0.7 as integer weights) —
+    the re-rank between retrieval and serving that stops a result page
+    (or a few-shot example set, or a dedup-aware training batch) from
+    being ten near-copies of the best hit.
+
+    Split that matches the data's shape: candidate RETRIEVAL is the
+    distributed part (an integer-dot TakeOrdered over the corpus — the
+    same micro-unit quantization as sim_ann_ivf, so ranking is
+    bit-exact cross-engine); the greedy re-rank runs driver-side over
+    the collected 50-row page — O(k·pool·d) integer arithmetic on a
+    BOUNDED serving-layer artifact, the same driver-math contract as
+    embed_pca_project's d×d eigh and the IVF seed matrix (a pool is a
+    page, not a corpus: it does not grow with the data). The oracle
+    re-derives retrieval AND all ten greedy steps relationally — the
+    constant k unrolls the recursion into per-step CTE triples
+    (penalty join → argmax → union), the k-means trick again — so a
+    hash match proves the driver greedy implements exactly the
+    declared MMR semantics."""
+    e = normalized_vectors(spark, sf_dir)
+    qv = _quantized(e)
+
+    pid = _probe_id(e)
+    probe_row = qv.filter(F.col("vec_id") == pid).select("q").first()
+    if probe_row is None:
+        return spark.createDataFrame(
+            [], "rank int, vec_id long, mmr_score long"
+        )
+    probe_q = np.array(probe_row["q"], dtype=np.int64)
+
+    def int_dot(seed):
+        lit = F.array(*[F.lit(int(v)) for v in seed])
+        return F.aggregate(
+            F.zip_with("q", lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pool = (
+        qv.filter(F.col("vec_id") != pid)
+        .select("vec_id", "q", int_dot(probe_q).alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .collect()
+    )
+    if not pool:
+        return spark.createDataFrame(
+            [], "rank int, vec_id long, mmr_score long"
+        )
+    ids = [int(r["vec_id"]) for r in pool]
+    rels = np.array([int(r["rel"]) for r in pool], dtype=np.int64)
+    qm = np.stack([np.array(r["q"], dtype=np.int64) for r in pool])
+    sims = qm @ qm.T  # integer candidate×candidate dots
+
+    selected: list[int] = []
+    out = []
+    for rank in range(1, min(_MMR_K, len(ids)) + 1):
+        best_idx, best_key = None, None
+        for idx in range(len(ids)):
+            if idx in selected:
+                continue
+            pen = int(max(sims[idx, s] for s in selected)) if selected else 0
+            score = _MMR_REL_W * int(rels[idx]) - _MMR_DIV_W * pen
+            key = (-score, ids[idx])
+            if best_key is None or key < best_key:
+                best_idx, best_key = idx, key
+        selected.append(best_idx)
+        out.append((rank, ids[best_idx], -best_key[0]))
+    return spark.createDataFrame(out, "rank int, vec_id long, mmr_score long")

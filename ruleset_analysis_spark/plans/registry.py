@@ -118,6 +118,9 @@ DRIVER_PRIORITY = (
     "curation_pipeline_e2e",  # r5: flagship quality→dedup→split pipeline
     "scan_syslog_gz",  # r5: gzipped-ASA-archive connector round-trip
     "firewall_config_expansion",  # r5: object-group expansion vs relational twin
+    "embed_mmr_rerank",  # r5: MMR diversification, unrolled-greedy oracle
+    "scan_orc_roundtrip",  # r5: partitioned-ORC connector round-trip
+    "scan_binary_files",  # r5: binaryFile media-dir connector, value-graded
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
