@@ -755,10 +755,15 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer day arithmetic (inclusive endpoints), bit-identical
     cross-engine. The interval relation itself is one groupBy over the
     order→lineitem join (keyed on orderkey, AQE-coalesced)."""
+    from pyspark import StorageLevel
+
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # persisted: the self-join references the interval relation twice,
+    # and ReuseExchange does not dedup the two groupBy subtrees — the
+    # lineitem⋈orders rollup would run twice per query otherwise
     iv = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_custkey", "o_orderdate")
@@ -769,6 +774,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("lo"),
             "hi",
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = iv.alias("a"), iv.alias("b")
     overlap = (

@@ -28,8 +28,9 @@ from ._util import bounded_block
 # crashed sim_ann_ivf and silently vacuumed sim_cosine_topk/sim_ann_lsh
 # to 0 rows on a corpus whose ids started above 0. The lazy queries
 # resolve it IN-PLAN as a 1-row broadcast aggregate (`_probe_row`) so
-# builders stay action-free; only the already-eager IVF builder (which
-# needs the id driver-side to rank centroid cells) uses `_probe_id`.
+# builders stay action-free; only the already-eager builders (IVF,
+# which ranks probe cells driver-side, and MMR, which collects its
+# bounded candidate page) use `_probe_id`.
 _PROBE_SQL = "(SELECT min(vec_id) FROM embeddings)"
 _TOP_K = 10
 
@@ -436,11 +437,20 @@ def _quantized(e: DataFrame) -> DataFrame:
     qabs = F.aggregate(
         "q", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
     )
+    from pyspark import StorageLevel
+
+    # persisted (plan-keyed by the CacheManager, one entry per corpus):
+    # IVF assignment, the k-means iterations (3 rounds × 2 references
+    # each), and MMR's pool retrieval all re-derive this relation —
+    # the round+cast transform and the validity fold are cheap once,
+    # not cheap × every reference (measured: the k-means floor paid
+    # ~1.5 s/run re-quantizing)
     return (
         e.select("vec_id", "vn", q.alias("q"))
         .withColumn("qabs", qabs)
         .filter(F.col("qabs") > 0)
         .drop("qabs")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
