@@ -135,3 +135,33 @@ def test_bounded_block_guard_fires_and_passes(spark):
 
     with _pytest.raises(Exception, match="use the LSH-bucketed form"):
         bounded_block(df, "label", cap=4, what="t").count()
+
+
+def test_floor_long_null_degrade_matches_duckdb_try_cast(spark):
+    """floor_long must NULL-degrade exactly where the oracles'
+    TRY_CAST(floor(x) AS BIGINT) does: NaN, ±inf, and out-of-BIGINT
+    magnitudes all become NULL (Spark's bare floor would silently emit
+    0 / Long.MIN / Long.MAX for those — the divergence the helper
+    exists to close), while every normal money product floors to the
+    identical integer in both engines."""
+    import duckdb
+
+    from ruleset_analysis_spark.operators._util import floor_long
+
+    vals = [1234.56, -7.99, 0.0, -0.49, 99999999.01,
+            float("nan"), float("inf"), float("-inf"), 1e300, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["f"]
+        for r in df.select(floor_long(F.col("x") * 100.0).alias("f"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT TRY_CAST(floor(CAST(? AS DOUBLE) * 100.0) AS BIGINT)",
+            [v],
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want, (got, want)
