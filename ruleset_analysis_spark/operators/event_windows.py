@@ -1220,3 +1220,128 @@ def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.5).alias("p50_sec"),
         pick(0.9).alias("p90_sec"),
     )
+
+
+_ATTR_WINDOW_DAYS = 7
+_ATTR_TOTAL = 1_000_000  # micro-credit per conversion (exact integers)
+_ATTR_END = 400_000      # first-touch and last-touch shares
+_ATTR_MID_POOL = _ATTR_TOTAL - 2 * _ATTR_END  # split across middles
+
+
+@register(
+    "event_attribution_utouch",
+    category="stream",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id AS conv_id, user_id, ts AS conv_ts
+            FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        ),
+        t AS (
+            SELECT event_id, user_id, event_type AS channel, ts
+            FROM events
+            WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
+        ),
+        touch AS (
+            SELECT p.conv_id, t.event_id, t.channel,
+                   row_number() OVER (PARTITION BY p.conv_id
+                                      ORDER BY t.ts, t.event_id) AS pos,
+                   count(*) OVER (PARTITION BY p.conv_id) AS k
+            FROM p JOIN t
+              ON t.user_id = p.user_id
+             AND t.ts < p.conv_ts
+             AND t.ts >= p.conv_ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+        ),
+        credited AS (
+            SELECT conv_id, event_id, channel,
+                   CASE
+                       WHEN k = 1 THEN {_ATTR_TOTAL}
+                       WHEN pos = 1 OR pos = k THEN
+                           {_ATTR_END}
+                           + CASE WHEN k = 2
+                                  THEN {_ATTR_MID_POOL} // 2 ELSE 0 END
+                       ELSE {_ATTR_MID_POOL} // (k - 2)
+                            + CASE WHEN pos - 1
+                                        <= {_ATTR_MID_POOL} % (k - 2)
+                                   THEN 1 ELSE 0 END
+                   END AS credit_micro
+            FROM touch
+        )
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+               CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+        FROM credited GROUP BY channel
+    """,
+)
+def event_attribution_utouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every
+    purchase distributes exactly 1,000,000 micro-credits over the
+    user's view/click touchpoints in the preceding 7 days — 40% to the
+    first touch, 40% to the last, 20% split across the middles — and
+    the report rolls credit up per channel. The marketing-analytics
+    op that decides budget allocation, and the lineage-weighting shape
+    a training pipeline reuses to credit source datasets for a
+    downstream win.
+
+    Exactness discipline: credit is INTEGER micro-units with the
+    middle pool's remainder assigned deterministically to the
+    EARLIEST middles (floor + positional top-up), so every conversion
+    sums to exactly 1,000,000 and both engines agree bit-for-bit —
+    a float 0.2/(k−2) split would drift in the last ULP per engine
+    and the driver hash would see it. Single-touch conversions take
+    the whole credit; two-touch conversions split the middle pool
+    50/50 onto the endpoints.
+
+    Scale shape: ONE keyed exchange (user_id) joins purchases to
+    candidate touches with the 7-day band as a codegen residual; the
+    per-conversion ordering windows ride the conv_id partitioning the
+    join's output already clusters by; the channel rollup
+    partial-aggregates map-side. Touch lists per (user, week) are
+    activity-bounded; a pathological bot user is the standard salting
+    candidate."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("conv_ts"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", F.col("event_type").alias("channel"), "ts"
+    )
+    touch = p.join(
+        t,
+        (t.user_id == p.p_user)
+        & (t.ts < p.conv_ts)
+        & (t.ts >= p.conv_ts - F.expr(f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS")),
+    )
+    w = Window.partitionBy("conv_id")
+    ranked = touch.select(
+        "conv_id",
+        "event_id",
+        "channel",
+        F.row_number().over(w.orderBy("ts", "event_id")).alias("pos"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    k, pos = F.col("k"), F.col("pos")
+    mid = F.lit(_ATTR_MID_POOL)
+    credit = (
+        F.when(k == 1, F.lit(_ATTR_TOTAL))
+        .when(
+            (pos == 1) | (pos == k),
+            F.lit(_ATTR_END)
+            + F.when(k == 2, (mid / 2).cast("long")).otherwise(F.lit(0)),
+        )
+        .otherwise(
+            F.floor(mid / (k - 2)).cast("long")
+            + F.when(pos - 1 <= mid % (k - 2), 1).otherwise(0)
+        )
+    )
+    return (
+        ranked.select("conv_id", "channel", credit.alias("credit_micro"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("conv_id").alias("n_conversions"),
+            F.sum("credit_micro").alias("credit_micro"),
+        )
+    )

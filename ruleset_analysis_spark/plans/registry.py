@@ -121,6 +121,7 @@ DRIVER_PRIORITY = (
     "embed_mmr_rerank",  # r5: MMR diversification, unrolled-greedy oracle
     "scan_orc_roundtrip",  # r5: partitioned-ORC connector round-trip
     "scan_binary_files",  # r5: binaryFile media-dir connector, value-graded
+    "event_attribution_utouch",  # r5: integer-exact multi-touch attribution
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",

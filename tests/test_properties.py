@@ -1025,3 +1025,29 @@ def test_linear_regression_matches_numpy(spark):
         assert abs(r["slope_cents_per_day"] - slope) <= 1e-9 * max(1, abs(slope))
         assert abs(r["intercept_cents"] - intercept) <= 1e-9 * max(1, abs(intercept))
         assert abs(r["r2"] - r2) <= 1e-9
+
+
+@given(k=st.integers(1, 500))
+@settings(max_examples=200)
+def test_utouch_credit_splits_to_exactly_one_million(k):
+    """event_attribution_utouch's U-shaped split must hand out EXACTLY
+    _ATTR_TOTAL micro-credits for every touchpoint count k — the
+    invariant that makes per-channel credit sums meaningful (a floor
+    split without the positional remainder top-up silently leaks up to
+    k−3 micro-credits per conversion). Replays the operator's integer
+    credit algebra (same expressions both engines run) for arbitrary k."""
+    from ruleset_analysis_spark.operators.event_windows import (
+        _ATTR_END,
+        _ATTR_MID_POOL,
+        _ATTR_TOTAL,
+    )
+
+    def credit(pos: int) -> int:
+        if k == 1:
+            return _ATTR_TOTAL
+        if pos == 1 or pos == k:
+            return _ATTR_END + (_ATTR_MID_POOL // 2 if k == 2 else 0)
+        m = k - 2
+        return _ATTR_MID_POOL // m + (1 if pos - 1 <= _ATTR_MID_POOL % m else 0)
+
+    assert sum(credit(p) for p in range(1, k + 1)) == _ATTR_TOTAL
