@@ -1345,3 +1345,64 @@ def event_attribution_utouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit_micro").alias("credit_micro"),
         )
     )
+
+
+_WAU_WINDOW_DAYS = 7
+
+
+@register(
+    "event_wau_sliding_distinct",
+    category="stream",
+    oracle=f"""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        contrib AS (
+            SELECT user_id, d + CAST(k.k AS INTEGER) AS report_day
+            FROM ud CROSS JOIN
+                 (SELECT unnest(range({_WAU_WINDOW_DAYS})) AS k) k
+        ),
+        days AS (SELECT DISTINCT d FROM ud)
+        SELECT c.report_day,
+               CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+        FROM contrib c JOIN days ON days.d = c.report_day
+        GROUP BY c.report_day
+    """,
+)
+def event_wau_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day ACTIVE USERS per day (the WAU curve) — DISTINCT
+    over a sliding window, the aggregate window frames cannot express
+    (a range frame can sum, but `count(DISTINCT)` over a moving range
+    needs set state per position).
+
+    The scale formulation is the bounded-explode trick: dedup to one
+    (user, day) row — the only corpus-sized exchange — then each such
+    row CONTRIBUTES to exactly the 7 report days it is visible in
+    (fan-out is the constant window length, never data-dependent), and
+    the per-day rollup is a distinct count over contributions. Work is
+    7·|user-days|, not |days|·|window| rescans of the event table — at
+    100 TB the event table is touched once. Report days are restricted
+    to days with actual activity (a dense calendar would be the
+    date_series_gapfill composition). NULL ts/user rows are excluded
+    identically on both sides (dirty-data convention)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.date_add(F.col("d"), _WAU_WINDOW_DAYS - 1),
+            )
+        ).alias("report_day"),
+    )
+    days = ud.select("d").distinct()
+    return (
+        contrib.join(F.broadcast(days), contrib.report_day == days.d)
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -122,6 +122,7 @@ DRIVER_PRIORITY = (
     "scan_orc_roundtrip",  # r5: partitioned-ORC connector round-trip
     "scan_binary_files",  # r5: binaryFile media-dir connector, value-graded
     "event_attribution_utouch",  # r5: integer-exact multi-touch attribution
+    "event_wau_sliding_distinct",  # r5: sliding-distinct WAU (bounded explode)
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
