@@ -1029,3 +1029,91 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append(best_idx)
         out.append((rank, ids[best_idx], -best_key[0]))
     return spark.createDataFrame(out, "rank int, vec_id long, mmr_score long")
+
+
+_KNN_GRAPH_K = 3
+
+
+@register(
+    "sim_knn_graph",
+    category="similarity",
+    oracle=_ORACLE_ELEM
+    + _lsh_buckets_oracle()
+    + f"""
+        , cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM buckets a
+            JOIN buckets b ON a.table_id = b.table_id
+                          AND a.bucket = b.bucket
+                          AND a.vec_id <> b.vec_id
+        ),
+        scored AS (
+            SELECT c.vec_a, c.vec_b, sum(ea.xn * eb.xn) AS cos_raw
+            FROM cand c
+            JOIN nelem ea ON ea.vec_id = c.vec_a
+            JOIN nelem eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+            GROUP BY c.vec_a, c.vec_b
+        )
+        SELECT vec_a AS vec_id, vec_b AS neighbor_id,
+               CAST(rn AS INTEGER) AS rank, round(cos_raw, 6) AS cos
+        FROM (
+            SELECT vec_a, vec_b, cos_raw,
+                   row_number() OVER (PARTITION BY vec_a
+                                      ORDER BY cos_raw DESC, vec_b) AS rn
+            FROM scored
+        ) WHERE rn <= {_KNN_GRAPH_K}
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate kNN GRAPH: every vector's top-3 cosine neighbors
+    among its LSH-bucket candidates — the all-vectors generalization of
+    the single-probe queries, and the substrate graph clustering /
+    UMAP / connectivity-based dedup all start from ('give me each
+    item's neighbors', not 'each query's results').
+
+    Rides the shared sign-bit bucket substrate (``_lsh_buckets``, the
+    same 4 tables × 6-bit signatures ``sim_ann_lsh`` routes with):
+    candidates are DIRECTED same-bucket pairs — a keyed self-join whose
+    fan-out is Σ n_bucket², never all-pairs — scored with one dot fold
+    each, then per-vector top-k as a rank window over the CANDIDATE
+    scores (|candidates| rows, corpus-independent per vector). At
+    100 TB the bucket id is the partition key, the window partitions
+    by vec_id on the scores relation, and k bounds the output to
+    k·|corpus| edges. The deliberate asymmetry with the undirected
+    ``sim_pairwise_bucketed`` (a < b) is the point: a kNN graph needs
+    BOTH directions because neighborhood is not symmetric at fixed
+    k."""
+    e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
+    bits = _lsh_buckets(spark, e)
+    a, b = bits.alias("a"), bits.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("vb"))
+    scored = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", dot(F.col("va"), F.col("vb")).alias("cos_raw"))
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_raw"), F.asc("vec_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_GRAPH_K)
+        .select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("vec_b").alias("neighbor_id"),
+            F.col("rn").cast("int").alias("rank"),
+            F.round("cos_raw", 6).alias("cos"),
+        )
+    )

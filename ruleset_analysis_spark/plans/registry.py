@@ -123,6 +123,7 @@ DRIVER_PRIORITY = (
     "scan_binary_files",  # r5: binaryFile media-dir connector, value-graded
     "event_attribution_utouch",  # r5: integer-exact multi-touch attribution
     "event_wau_sliding_distinct",  # r5: sliding-distinct WAU (bounded explode)
+    "sim_knn_graph",  # r5: all-vectors kNN graph on the bucket substrate
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
