@@ -593,3 +593,109 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+_N_BUCKETS = 8
+
+
+def bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> str:
+    """Register (writing once per corpus fingerprint) a bucketed,
+    bucket-sorted external-parquet copy of ``table`` and return its
+    catalog name.
+
+    The DATA is written once per corpus fingerprint under the shared
+    scratch root (``_layout_path`` — same staleness guard as every
+    other layout: the driver regenerates parquet between rounds, so a
+    layout never outlives its source). The CATALOG ENTRY is
+    per-session: Spark's bucketing metadata (bucket column/count, sort
+    columns) lives in the catalog, not the files, so a fresh session
+    re-attaches the existing layout with ``CREATE TABLE … CLUSTERED
+    BY … LOCATION`` instead of rewriting it. External location + the
+    default in-memory catalog keeps the driver's vanilla session free
+    of any metastore/warehouse writes in its cwd."""
+    root, done = _layout_path(sf_dir, table, f"bkt_{key}")
+    name = "bkt_" + root.rsplit("/", 1)[-1]
+    if spark.catalog.tableExists(name):
+        return name
+    src = load(spark, sf_dir, table)
+    if done:
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {_N_BUCKETS} BUCKETS LOCATION '{root}'"
+        )
+    else:
+        # repartition on the bucket column first: bucketBy writes one
+        # file per (task, bucket), so an unpartitioned 32-task write
+        # would shatter the layout into 256 small files
+        (
+            src.repartition(_N_BUCKETS, F.col(key))
+            .write.mode("overwrite")
+            .bucketBy(_N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", root)
+            .saveAsTable(name)
+        )
+    return name
+
+
+@register(
+    "scan_bucketed_join",
+    category="scan",
+    oracle="""
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(TRY_CAST(floor((l.l_extendedprice
+                                        * (1 - l.l_discount)) * 100.0)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-bucketed co-located join, graded on VALUES: lineitem and
+    orders are persisted ONCE as bucketed tables (8 buckets on the
+    orderkey, sorted within buckets) and every subsequent
+    lineitem⋈orders runs with ZERO exchange on either side — the
+    join's shuffle happened at write time and is amortized over every
+    recurring query (asserted on the physical plan in
+    tests/test_plan_shape.py; the per-task sorts remain because Spark
+    by default no longer trusts write-time sort order across
+    multi-file buckets — they are task-local and spill-free, the
+    network exchange was the scale cost). The oracle joins the
+    ORIGINAL parquet,
+    so a hash match proves the bucketed layout is a lossless copy and
+    the bucket-pruned read loses no rows.
+
+    This is THE recurring-join answer at 100 TB: the nightly
+    events⋈rules / lineitem⋈orders style join on a fact table is a
+    full-fact shuffle per run unless the layout carries the
+    partitioning. Both sides bucketed by the same key into the same
+    bucket count -> each scan reports hashpartitioning(orderkey, 8)
+    and the SortMergeJoin consumes them in place. Murmur3 bucket
+    hashing is identical across writers, so independently-written
+    tables co-locate. The only exchange left in the plan is the final
+    4-group rollup. Eager-builder exception (registry docstring):
+    first call per corpus fingerprint materializes the two layouts."""
+    from ._util import floor_long
+
+    li = spark.table(bucketed_table(spark, sf_dir, "lineitem", "l_orderkey"))
+    orders = spark.table(bucketed_table(spark, sf_dir, "orders", "o_orderkey"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                floor_long(
+                    (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+                    * F.lit(100.0)
+                )
+            ).alias("revenue_cents"),
+            F.countDistinct(orders.o_orderkey).alias("n_orders"),
+        )
+    )

@@ -76,6 +76,32 @@ def test_dynamic_partition_pruning_fires(spark):
     assert "PartitionFilters" in fact_scan
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """scan_bucketed_join's reason to exist: both sides persisted
+    bucketed on the orderkey means the recurring join plans as a
+    SortMergeJoin with ZERO Exchange — the shuffle happened once, at
+    write time. Broadcast is disabled for the check because at test SF
+    either side fits a broadcast and would mask an exchange
+    regression; at 100 TB neither side broadcasts and the bucketed
+    SMJ is the only shuffle-free plan."""
+    from ruleset_analysis_spark.operators.scans import bucketed_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table(bucketed_table(spark, SF_DIR, "lineitem", "l_orderkey"))
+        o = spark.table(bucketed_table(spark, SF_DIR, "orders", "o_orderkey"))
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_small_dimension_broadcasts(spark):
     assert "BroadcastHashJoin" in _physical(spark, "join_broadcast")
 
