@@ -1406,3 +1406,78 @@ def event_wau_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+_STREAM_EXEC_N = [0]  # per-process sequence for memory-sink table names
+
+
+@register(
+    "stream_exec_tumbling",
+    category="stream",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               count(*) AS n_events,
+               CAST(sum(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events
+        WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    """,
+)
+def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming execution, graded on VALUES: the
+    events parquet is read through ``readStream`` (file source,
+    declared schema), aggregated per (1-hour tumbling window,
+    event_type) by the STREAMING engine with a declared watermark, and
+    drained to completion with ``trigger(availableNow)`` into a memory
+    sink; the oracle computes the same rollup from the same parquet in
+    batch SQL — so a hash match witnesses the batch/streaming
+    EQUIVALENCE Structured Streaming promises (same plan semantics,
+    incrementalized), not just that a stream starts. Every other
+    ``stream_*`` entry grades the batch twin of a streaming shape;
+    this one grades the streaming engine itself
+    (``streaming/event_streams.py``, else test-only surface).
+
+    Scale shape: availableNow is exactly the 100 TB backfill recipe —
+    drain a partitioned archive through the SAME query that tails the
+    live feed (swap the file source for Kafka; the aggregation is
+    untouched). The watermark bounds window state; the memory sink
+    holds only the FINAL rollup (n_hours × n_types rows, corpus-
+    independent) — a production run lands in the partitioned parquet
+    sink via foreachBatch instead. NULL-ts rows are filtered on both
+    sides (watermark semantics vs the oracle's date_trunc(NULL) group
+    diverge — the standing NULL-ts convention). Eager-builder
+    exception (registry docstring): the builder runs the bounded
+    drain; the returned memory-table DataFrame is what the driver
+    collects."""
+    import os
+
+    from ..sources.parquet import path_for
+    from ..streaming.event_streams import drain_to_memory, read_event_stream
+
+    # the file source lists a DIRECTORY; select the events table out of
+    # the shared corpus dir by glob
+    src = path_for(sf_dir, "events")
+    stream = read_event_stream(
+        spark, os.path.dirname(src), glob=os.path.basename(src)
+    ).filter(F.col("ts").isNotNull())
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("window.start").alias("ws"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+    # memory-sink query names are session-global; a fixed name would
+    # collide on re-run (bench runs every query twice per session)
+    _STREAM_EXEC_N[0] += 1
+    return drain_to_memory(
+        agg, f"stream_exec_tumbling_{_STREAM_EXEC_N[0]}", "complete"
+    )

@@ -125,6 +125,7 @@ DRIVER_PRIORITY = (
     "event_wau_sliding_distinct",  # r5: sliding-distinct WAU (bounded explode)
     "sim_knn_graph",  # r5: all-vectors kNN graph on the bucket substrate
     "scan_bucketed_join",  # r5: zero-exchange storage-bucketed join
+    "stream_exec_tumbling",  # r5: true readStream drain, value-graded
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",

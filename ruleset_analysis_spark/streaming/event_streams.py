@@ -38,7 +38,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..session import ensure_session_defaults
 
 def read_event_stream(
-    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str | None = None,
 ) -> DataFrame:
     """``readStream`` file source over a directory of events parquet.
 
@@ -56,10 +59,16 @@ def read_event_stream(
     first file in the retired int64-ns encoding would surface as a
     loud type mismatch, not silent corruption).
     ``max_files_per_trigger`` throttles backlog drains (and lets tests
-    force multi-micro-batch execution)."""
+    force multi-micro-batch execution). ``glob`` restricts the listing
+    (``pathGlobFilter``) — the file source requires a DIRECTORY, so
+    streaming one table out of a shared corpus directory is
+    directory + glob, not a file path."""
     ensure_session_defaults(spark)
+    batch = spark.read
+    if glob is not None:
+        batch = batch.option("pathGlobFilter", glob)
     try:
-        physical = spark.read.parquet(events_dir).schema
+        physical = batch.parquet(events_dir).schema
     except Exception:  # empty/absent dir: bootstrap from the contract
         from .. import schemas
 
@@ -73,6 +82,8 @@ def read_event_stream(
             ]
         )
     reader = spark.readStream.schema(physical)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(events_dir)
