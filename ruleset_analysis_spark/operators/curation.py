@@ -745,3 +745,72 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "doc_id", "n_tokens", disposition.alias("disposition")
     )
+
+
+_BOILER_MIN_DOCS = 3  # a shingle in >= this many docs is boilerplate
+
+
+@register(
+    "corpus_boilerplate_ngrams",
+    category="curation",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS i
+            FROM documents
+        ),
+        tri AS (
+            SELECT DISTINCT t1.doc_id,
+                   t1.term || ' ' || t2.term || ' ' || t3.term AS tri
+            FROM toks t1
+            JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+            JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+        ),
+        boiler AS (
+            SELECT tri FROM tri GROUP BY tri
+            HAVING count(*) >= {_BOILER_MIN_DOCS}
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(b.tri) AS BIGINT) AS n_boiler
+        FROM tri t LEFT JOIN boiler b ON b.tri = t.tri
+        GROUP BY t.doc_id
+    """,
+)
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate measurement — the CCNet/RefinedWeb
+    cleaning signal the per-document repetition ratio cannot see: a
+    navigation bar or cookie banner repeats across DOCUMENTS, not
+    within one, so it is invisible to ``text_repetition_ratio`` and
+    only shows up as word-trigrams whose document frequency exceeds a
+    corpus threshold. Emits per-doc (distinct shingles, boilerplate
+    shingles); the drop rule is a downstream integer comparison on the
+    two counts (exact rational, no float ratio in the graded output).
+
+    Rides the dedup family's cached shingle relation (one keyed
+    shuffle, already persisted for the near-dup queries — this query
+    adds NO new corpus scan), then two shingle-keyed exchanges:
+    document frequency per shingle, and a left join back tagging each
+    doc's shingles. At 100 TB both are classic map-side-combine
+    aggregations on the shingle key; the boilerplate relation is tiny
+    (df >= threshold trims the long tail) and broadcast-joins back.
+    Docs with no complete trigram (NULL/short text) have no shingle
+    row and are absent on both sides, the standing convention."""
+    from .dedup import _exploded_shingles
+
+    tri = _exploded_shingles(spark, sf_dir).select("doc_id", "s")
+    boiler = (
+        tri.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _BOILER_MIN_DOCS)
+        .select("s", F.lit(1).alias("is_b"))
+    )
+    return (
+        tri.join(boiler, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("is_b"), F.lit(0))).cast("long").alias("n_boiler"),
+        )
+    )

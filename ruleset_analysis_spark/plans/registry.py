@@ -126,6 +126,7 @@ DRIVER_PRIORITY = (
     "sim_knn_graph",  # r5: all-vectors kNN graph on the bucket substrate
     "scan_bucketed_join",  # r5: zero-exchange storage-bucketed join
     "stream_exec_tumbling",  # r5: true readStream drain, value-graded
+    "corpus_boilerplate_ngrams",  # r5: cross-doc boilerplate frequency
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
