@@ -1117,3 +1117,112 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 6).alias("cos"),
         )
     )
+
+
+_OUTLIER_K = 20
+# strictly below any unit-vector micro-unit dot (|qd| <= ~1e12):
+# the "no bucket neighbor at all" rank-first sentinel
+_OUTLIER_SENTINEL = -2 * _IVF_QSCALE * _IVF_QSCALE
+
+
+@register(
+    "sim_outlier_lowmax",
+    category="similarity",
+    oracle=_ORACLE_ELEM
+    + _lsh_buckets_oracle()
+    + f"""
+        , valid AS (SELECT vec_id FROM nrm WHERE n > 0),
+        q AS (
+            SELECT ne.vec_id, ne.i,
+                   CAST(round(ne.xn * {_IVF_QSCALE}) AS BIGINT) AS qx
+            FROM nelem ne JOIN valid v ON v.vec_id = ne.vec_id
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM buckets a
+            JOIN buckets b ON a.table_id = b.table_id
+                          AND a.bucket = b.bucket
+                          AND a.vec_id <> b.vec_id
+        ),
+        qdots AS (
+            SELECT c.vec_a, CAST(sum(qa.qx * qb.qx) AS BIGINT) AS qd
+            FROM cand c
+            JOIN q qa ON qa.vec_id = c.vec_a
+            JOIN q qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
+            GROUP BY c.vec_a, c.vec_b
+        ),
+        best AS (
+            SELECT vec_a AS vec_id, CAST(max(qd) AS BIGINT) AS max_qdot
+            FROM qdots GROUP BY vec_a
+        )
+        SELECT v.vec_id,
+               CAST(coalesce(b.max_qdot, {_OUTLIER_SENTINEL}) AS BIGINT)
+                   AS max_qdot
+        FROM valid v LEFT JOIN best b ON b.vec_id = v.vec_id
+        ORDER BY max_qdot ASC, v.vec_id ASC LIMIT {_OUTLIER_K}
+    """,
+)
+def sim_outlier_lowmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding OUTLIER detection — the QA pass a training-data
+    pipeline runs on its vector store: the 20 vectors least
+    similar to their most-similar LSH-bucket neighbor. A healthy
+    embedding sits in a dense neighborhood (high best-neighbor
+    cosine); junk — mis-encoded rows, wrong-modality payloads, noise —
+    has a LOW maximum similarity even to its closest candidate, and a
+    vector no bucket pairs with at all ranks first via a sentinel
+    below any achievable dot.
+
+    Everything that ranks is an INTEGER: dots are micro-unit quantized
+    BIGINT folds over the shared ``_quantized`` relation (the
+    float-argmax cross-engine discipline every iterative sibling
+    follows), max/ordering/tie-break are exact. Candidates ride the
+    shared sign-bit bucket substrate — Σ n_bucket² directed pairs,
+    never all-pairs — so at 100 TB this is the same keyed-shuffle
+    economics as the kNN graph; the final ascending top-k is a
+    TakeOrdered, no global sort. The left join keeps candidate-less
+    vectors in frame (they are the MOST suspicious rows — an outlier
+    report that silently drops them inverts its own purpose)."""
+    e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
+    qv = _quantized(e).select("vec_id", "q")
+    bits = _lsh_buckets(spark, e)
+    a, b = bits.alias("a"), bits.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    qa = qv.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
+    qb = qv.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
+    qdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select("vec_a", qdot.alias("qd"))
+        .groupBy("vec_a")
+        .agg(F.max("qd").alias("max_qdot"))
+        .withColumnRenamed("vec_a", "vec_id")
+    )
+    return (
+        qv.select("vec_id")
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("max_qdot", F.lit(_OUTLIER_SENTINEL))
+            .cast("long")
+            .alias("max_qdot"),
+        )
+        .orderBy(F.asc("max_qdot"), F.asc("vec_id"))
+        .limit(_OUTLIER_K)
+    )

@@ -127,6 +127,7 @@ DRIVER_PRIORITY = (
     "scan_bucketed_join",  # r5: zero-exchange storage-bucketed join
     "stream_exec_tumbling",  # r5: true readStream drain, value-graded
     "corpus_boilerplate_ngrams",  # r5: cross-doc boilerplate frequency
+    "sim_outlier_lowmax",  # r5: integer-dot embedding outlier report
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
