@@ -333,3 +333,127 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_score"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unrolled bounded-peel CTE chain: one MATERIALIZED (alive,
+    degree) pair per round (inlined chains re-expand the whole prefix
+    per reference and blow up exponentially in DuckDB — the standing
+    unrolled-recursion discipline from the kmeans/mmr oracles)."""
+    parts = [
+        """
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING count(*) >= 2
+        ),
+        sym AS MATERIALIZED (
+            SELECT u AS node, v AS nbr FROM e
+            UNION ALL SELECT v AS node, u AS nbr FROM e
+        ),
+        deg0 AS MATERIALIZED (
+            SELECT node, CAST(count(*) AS BIGINT) AS deg0
+            FROM sym GROUP BY node
+        ),
+        a0 AS (SELECT node FROM deg0)
+        """
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""
+        , d{r} AS MATERIALIZED (
+            SELECT a.node, CAST(coalesce(dd.d, 0) AS BIGINT) AS d
+            FROM a{r - 1} a LEFT JOIN (
+                SELECT s.node, count(*) AS d
+                FROM sym s
+                JOIN a{r - 1} x ON x.node = s.node
+                JOIN a{r - 1} y ON y.node = s.nbr
+                GROUP BY s.node
+            ) dd ON dd.node = a.node
+        ),
+        p{r} AS (SELECT node FROM d{r} WHERE d < {_KCORE_K}),
+        a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {_KCORE_K})
+        """
+        )
+    peel_union = "\n            UNION ALL ".join(
+        f"SELECT node, {r} AS r FROM p{r}" for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    parts.append(
+        f"""
+        , peeled AS ({peel_union})
+        SELECT d0.node AS part_id, d0.deg0,
+               CAST(coalesce(p.r, 0) AS INTEGER) AS peel_round
+        FROM deg0 d0 LEFT JOIN peeled p ON p.node = d0.node
+        """
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_kcore_bounded",
+    category="graph",
+    oracle=_kcore_oracle(),
+)
+def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core decomposition (k=3, 4 peel rounds) of the strong
+    co-occurrence graph — the density layering between per-node degree
+    and full community detection: round 1 strips leaf-ish parts,
+    deeper rounds strip nodes whose support was itself peripheral, and
+    the round-4 survivors approximate the 3-core (the recommender /
+    fraud-ring substrate). Emits (part_id, initial degree, peel_round
+    1-4, or 0 = survivor) — the BOUNDED recursion is the graded
+    contract on both engines (an unbounded fixpoint would leave the
+    oracle unexpressible; the sf0.01/sf0.1 graphs peel <2% of nodes in
+    round 4, so the bound is near the true core), all-integer output.
+
+    Rides the persisted strong-edge relation (shared with triangles /
+    link prediction — no new basket scan). Per round: two semi-shaped
+    joins against the shrinking alive set and ONE keyed count exchange
+    — the alive relation is node-sized and shrinks monotonically, so
+    at 100 TB the cost is bounded by rounds × (edge join + node agg),
+    the same economics as the label-propagation closure. Each round's
+    node-state relation is localCheckpointed — the standard iterative
+    recipe every fixpoint sibling follows (without it the alive set's
+    double self-reference per round re-expands the full prefix:
+    measured 26 s / ~900 stages at sf0.01 vs ~1 s checkpointed), so
+    this builder executes eagerly (documented lazy-rule exception,
+    plans/registry.py)."""
+    e = strong_cooccur_edges(spark, sf_dir)
+    sym = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg0 = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg0"))
+    alive = deg0.select("node")
+    peeled = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        d = (
+            sym.join(alive, "node")
+            .join(alive.select(F.col("node").alias("nbr")), "nbr")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("dd"))
+        )
+        dj = alive.join(d, "node", "left").select(
+            "node", F.coalesce("dd", F.lit(0)).alias("d")
+        ).localCheckpoint()
+        peeled.append(
+            dj.filter(F.col("d") < _KCORE_K).select(
+                "node", F.lit(r).alias("r")
+            )
+        )
+        alive = dj.filter(F.col("d") >= _KCORE_K).select("node")
+    peel_all = peeled[0]
+    for p in peeled[1:]:
+        peel_all = peel_all.unionByName(p)
+    return deg0.join(peel_all, "node", "left").select(
+        F.col("node").alias("part_id"),
+        "deg0",
+        F.coalesce("r", F.lit(0)).cast("int").alias("peel_round"),
+    )

@@ -128,6 +128,7 @@ DRIVER_PRIORITY = (
     "stream_exec_tumbling",  # r5: true readStream drain, value-graded
     "corpus_boilerplate_ngrams",  # r5: cross-doc boilerplate frequency
     "sim_outlier_lowmax",  # r5: integer-dot embedding outlier report
+    "graph_kcore_bounded",  # r5: bounded k-core peel, all-integer
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
