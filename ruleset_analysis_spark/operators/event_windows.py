@@ -1481,3 +1481,48 @@ def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(
         agg, f"stream_exec_tumbling_{_STREAM_EXEC_N[0]}", "complete"
     )
+
+
+@register(
+    "event_seasonality_hourweek",
+    category="event",
+    oracle="""
+        SELECT CAST((CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7
+                    AS INTEGER) AS dow,
+               CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(sum(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events
+        WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    """,
+)
+def event_seasonality_hourweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile — the load-shape matrix behind
+    capacity planning, anomaly baselines and traffic-aware sampling: a
+    bounded 7×24 rollup of events/users/value per (day-of-week, hour).
+
+    Day-of-week is computed as ``(epoch_days + 4) % 7`` (0=Monday …
+    6=Sunday) on BOTH engines instead of each engine's dayofweek()
+    builtin — Spark counts 1=Sunday, DuckDB's dow() 0=Sunday, and
+    locale-styled builtins are exactly the cross-engine trap the
+    integer-arithmetic discipline exists to avoid; epoch-day
+    subtraction is calendar-free on both. Output is bounded (≤168
+    rows) whatever the corpus size; at 100 TB this is one map-side-
+    combined exchange over a 168-key space (with AQE coalescing the
+    tiny shuffle), the cheapest query shape there is. NULL-ts rows are
+    excluded on both sides per the standing convention."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    dow = (
+        (F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))) + 4) % 7
+    ).cast("int")
+    return (
+        ev.groupBy(dow.alias("dow"), F.hour("ts").cast("int").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(cents("value")).alias("sum_value_cents"),
+        )
+    )

@@ -129,6 +129,7 @@ DRIVER_PRIORITY = (
     "corpus_boilerplate_ngrams",  # r5: cross-doc boilerplate frequency
     "sim_outlier_lowmax",  # r5: integer-dot embedding outlier report
     "graph_kcore_bounded",  # r5: bounded k-core peel, all-integer
+    "event_seasonality_hourweek",  # r5: bounded hour-of-week matrix
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
