@@ -1226,3 +1226,117 @@ def sim_outlier_lowmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("max_qdot"), F.asc("vec_id"))
         .limit(_OUTLIER_K)
     )
+
+
+_RECALL_K = 10
+
+
+@register(
+    "embed_recall_eval",
+    category="similarity",
+    oracle=_ORACLE_ELEM
+    + _lsh_buckets_oracle()
+    + f"""
+        , valid AS MATERIALIZED (SELECT vec_id FROM nrm WHERE n > 0),
+        q AS MATERIALIZED (
+            SELECT ne.vec_id, ne.i,
+                   CAST(round(ne.xn * {_IVF_QSCALE}) AS BIGINT) AS qx
+            FROM nelem ne JOIN valid v ON v.vec_id = ne.vec_id
+        ),
+        probes AS MATERIALIZED (
+            SELECT vec_id AS probe_id FROM valid
+            WHERE vec_id % {_KNN_MOD} = 0 AND vec_id < {_KNN_MOD} * 100
+        ),
+        dots AS (
+            SELECT p.probe_id, t.vec_id,
+                   CAST(sum(t.qx * pq.qx) AS BIGINT) AS qd
+            FROM probes p
+            JOIN q pq ON pq.vec_id = p.probe_id
+            JOIN q t ON t.i = pq.i AND t.vec_id <> p.probe_id
+            GROUP BY p.probe_id, t.vec_id
+        ),
+        topk AS (
+            SELECT probe_id, vec_id FROM (
+                SELECT probe_id, vec_id,
+                       row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY qd DESC, vec_id) AS rn
+                FROM dots
+            ) WHERE rn <= {_RECALL_K}
+        ),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT p.probe_id, b.vec_id
+            FROM probes p
+            JOIN buckets a ON a.vec_id = p.probe_id
+            JOIN buckets b ON b.table_id = a.table_id
+                          AND b.bucket = a.bucket
+                          AND b.vec_id <> p.probe_id
+        )
+        SELECT t.probe_id,
+               count(*) AS n_topk,
+               CAST(count(c.vec_id) AS BIGINT) AS n_hit
+        FROM topk t
+        LEFT JOIN cand c ON c.probe_id = t.probe_id
+                        AND c.vec_id = t.vec_id
+        GROUP BY t.probe_id
+    """,
+)
+def embed_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QA — recall@10 of the LSH candidate set against the
+    EXACT top-10, per probe: the measurement loop every production ANN
+    deployment runs before trusting an index (an index nobody measured
+    is a silent-relevance outage), here graded end-to-end: for each of
+    the bounded deterministic probes (same ``vec_id % 53`` panel as
+    the kNN classifier), the exact integer-dot top-10 is intersected
+    with the probe's union-of-bucket-mates candidate set; emits
+    (probe_id, n_topk, n_hit) — recall is the n_hit/n_topk rational
+    downstream, no float in the graded row.
+
+    Exactness: ranking and intersection ride the shared quantized
+    BIGINT substrate (order-independent dots, vec_id tie-break). Scale
+    shape: the exact arm is a BOUNDED-probe broadcast (|probes| ≤ 100
+    by construction — brute force over probes × corpus is the
+    measurement's cost, paid on a sampled panel exactly as in
+    production recall audits), the candidate arm reuses the persisted
+    bucket signatures with a bucket-keyed join; both arms are
+    per-probe top-k/distinct — no all-pairs anywhere."""
+    e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
+    qv = _quantized(e).select("vec_id", "q")
+    bits = _lsh_buckets(spark, e)
+    probes = qv.filter(
+        (F.col("vec_id") % _KNN_MOD == 0) & (F.col("vec_id") < _KNN_MOD * 100)
+    ).select(F.col("vec_id").alias("probe_id"), F.col("q").alias("pq"))
+    qdot = F.aggregate(
+        F.zip_with("q", "pq", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dots = (
+        qv.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", qdot.alias("qd"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("qd"), F.asc("vec_id"))
+    topk = (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("probe_id", "vec_id")
+    )
+    pb = bits.join(
+        probes.select("probe_id"),
+        bits.vec_id == F.col("probe_id"),
+    ).select("probe_id", "table_id", "bucket")
+    cand = (
+        pb.join(bits, ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        topk.join(cand, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_topk"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )

@@ -130,6 +130,7 @@ DRIVER_PRIORITY = (
     "sim_outlier_lowmax",  # r5: integer-dot embedding outlier report
     "graph_kcore_bounded",  # r5: bounded k-core peel, all-integer
     "event_seasonality_hourweek",  # r5: bounded hour-of-week matrix
+    "embed_recall_eval",  # r5: ANN recall@10 audit vs exact top-k
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",

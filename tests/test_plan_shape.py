@@ -341,6 +341,7 @@ BNLJ_ALLOWED = {
     "sim_ann_lsh",              # 1-row broadcast hyperplane set
     "sim_knn_graph",            # 1-row broadcast hyperplane set
     "sim_outlier_lowmax",       # 1-row broadcast hyperplane set
+    "embed_recall_eval",        # broadcast bounded probe panel + planes
     "sim_ann_ivf",              # 1-row broadcast probe vector
     "embed_knn_classify",       # broadcast probe batch
     "embed_pca_project",        # 1-row broadcast mean/components
