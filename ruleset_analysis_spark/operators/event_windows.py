@@ -1526,3 +1526,59 @@ def event_seasonality_hourweek(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("value")).alias("sum_value_cents"),
         )
     )
+
+
+@register(
+    "stream_exec_stateful",
+    category="stream",
+    oracle="""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS total_events
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    """,
+)
+def stream_exec_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator graded on VALUES: per-user
+    running totals via ``applyInPandasWithState`` (grouped state, the
+    escape hatch for semantics built-in streaming windows can't
+    express) executed by the real streaming engine — ``readStream`` →
+    grouped-state kernel → availableNow drain to a memory sink — and
+    compared against the batch per-user counts. This closes the §2.G
+    stateful-streaming row with a hash-graded record instead of a
+    test-only one (``transformWithStateInPandas`` stays a documented
+    boundary: no protobuf in the container).
+
+    Update-mode emission is per-(user, micro-batch), so the memory
+    table's contents DEPEND on how the backlog splits into batches —
+    the graded projection takes max(total) per user, which is
+    batch-split-invariant because the running total is monotone (the
+    same final-value projection a production reader applies to an
+    update-mode changelog sink). State is one counter per user —
+    keyed, bounded, partitioned — the shape that scales to any corpus
+    with user-cardinality state, not corpus-sized state. NULL user_id
+    filtered both sides (a NULL grouping key reaches the kernel as a
+    None key but the SQL NULL group is engine-convention-laden — the
+    standing convention). Eager-builder exception (registry
+    docstring): the builder runs the bounded drain."""
+    import os
+
+    from ..sources.parquet import path_for
+    from ..streaming.event_streams import (
+        drain_to_memory,
+        read_event_stream,
+        running_user_totals,
+    )
+
+    src = path_for(sf_dir, "events")
+    stream = read_event_stream(
+        spark, os.path.dirname(src), glob=os.path.basename(src)
+    ).filter(F.col("user_id").isNotNull())
+    totals = running_user_totals(stream)
+    _STREAM_EXEC_N[0] += 1
+    drained = drain_to_memory(
+        totals, f"stream_exec_stateful_{_STREAM_EXEC_N[0]}", "update"
+    )
+    return drained.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events")
+    )
