@@ -102,6 +102,40 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    """Runtime bloom-filter semi-join reduction — the third runtime
+    pruning lever next to DPP and AQE: a selective predicate on the
+    dim side injects a bloom filter (might_contain) onto the FACT
+    side's scan, so at 100 TB the shuffle carries only rows whose join
+    key probably survives the join instead of the whole fact table.
+    Enabled by default in Spark 4; the size thresholds are lowered
+    here because the graded corpus is far below the 10 GB application-
+    side default — at production scale the defaults fire on their own.
+    Pinned so a conf regression (or an upgrade flipping the default)
+    is caught as a plan change, not a silent 100 TB slowdown."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_small_dimension_broadcasts(spark):
     assert "BroadcastHashJoin" in _physical(spark, "join_broadcast")
 
