@@ -799,3 +799,102 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             overlap.cast("long").alias("overlap_days"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    category="join",
+    oracle="""
+        WITH e AS (SELECT * FROM events
+                   WHERE event_type = 'error' AND ts IS NOT NULL),
+        c AS (SELECT * FROM events
+              WHERE event_type = 'click' AND ts IS NOT NULL),
+        cand AS (
+            SELECT e.event_id, epoch_us(e.ts) AS ets,
+                   c.event_id AS cid, epoch_us(c.ts) AS cts
+            FROM e JOIN c ON c.user_id = e.user_id
+        ),
+        ranked AS (
+            SELECT event_id, cid, cts,
+                   row_number() OVER (PARTITION BY event_id ORDER BY
+                       abs(cts - ets) ASC,
+                       CASE WHEN cts <= ets THEN 0 ELSE 1 END ASC,
+                       CASE WHEN cts <= ets THEN -cid ELSE cid END ASC
+                   ) AS rn
+            FROM cand
+        )
+        SELECT e.event_id, e.user_id,
+               CAST(epoch_us(e.ts) AS BIGINT) AS err_us,
+               r.cid AS click_event_id,
+               CAST(r.cts - epoch_us(e.ts) AS BIGINT) AS delta_us
+        FROM e
+        LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+          ON r.event_id = e.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (NEAREST, either direction) join, completing the
+    backward/forward/nearest family: for every 'error' event, the
+    same-user 'click' with the smallest |Δts| — backward wins exact
+    distance ties (the 'what did the user just do' reading), with the
+    same deterministic id tie-breaks as the directional siblings (max
+    id among equal backward timestamps, min id among equal forward
+    ones — an as-of operator is only well-defined once every tie is
+    broken, and the fuzz sweep's injected equal-(user, ts) pairs
+    punish anything left arbitrary).
+
+    Spark-native formulation: ONE tagged union, one keyed exchange on
+    user_id, TWO per-partition window sorts over it (ascending fill =
+    nearest click at-or-before, descending fill = nearest click
+    at-or-after — same-ts clicks sort onto the click side of each
+    frame so both directions are inclusive), then a branch-free
+    integer-µs comparison picks the closer candidate. No range
+    nested-loop join anywhere; at 100 TB the cost is the one user
+    shuffle the directional as-ofs already pay, the second sort is
+    in-partition. The oracle spells identical semantics as a rank over
+    the per-user candidate product."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_err")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_err")
+    )
+    tagged = errors.unionByName(clicks)
+    click_id = F.when(F.col("is_err") == 0, F.col("event_id"))
+    click_us = F.when(F.col("is_err") == 0, F.unix_micros("ts"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_err", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("is_err"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_err",
+        F.last(click_id, ignorenulls=True).over(wb).alias("bid"),
+        F.last(click_us, ignorenulls=True).over(wb).alias("bus"),
+        F.last(click_id, ignorenulls=True).over(wf).alias("fid"),
+        F.last(click_us, ignorenulls=True).over(wf).alias("fus"),
+    )
+    ets = F.unix_micros("ts")
+    db = ets - F.col("bus")
+    df_ = F.col("fus") - ets
+    pick_back = F.col("bus").isNotNull() & (
+        F.col("fus").isNull() | (db <= df_)
+    )
+    win_id = F.when(pick_back, F.col("bid")).otherwise(F.col("fid"))
+    win_us = F.when(pick_back, F.col("bus")).otherwise(F.col("fus"))
+    return filled.filter(F.col("is_err") == 1).select(
+        "event_id",
+        "user_id",
+        ets.alias("err_us"),
+        win_id.alias("click_event_id"),
+        (win_us - ets).alias("delta_us"),
+    )

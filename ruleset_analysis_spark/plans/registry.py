@@ -132,6 +132,7 @@ DRIVER_PRIORITY = (
     "event_seasonality_hourweek",  # r5: bounded hour-of-week matrix
     "embed_recall_eval",  # r5: ANN recall@10 audit vs exact top-k
     "stream_exec_stateful",  # r5: applyInPandasWithState value-graded
+    "join_asof_nearest",  # r5: nearest-direction as-of completion
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
