@@ -699,3 +699,70 @@ def scan_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(orders.o_orderkey).alias("n_orders"),
         )
     )
+
+
+@register(
+    "stream_exec_sink_parquet",
+    category="scan",
+    oracle="""
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents,
+               min(epoch_us(ts)) AS min_ts_us,
+               max(epoch_us(ts)) AS max_ts_us
+        FROM events GROUP BY event_type
+    """,
+)
+def stream_exec_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → partitioned-parquet SINK graded on VALUES — the
+    production landing path of the streaming module (the memory sink
+    the other stream_exec queries drain into is the debug surface):
+    events ride ``readStream`` through ``foreachBatch`` into the SAME
+    hive-partitioned parquet sink batch jobs use
+    (``write_stream_parquet`` → ``sources.sinks.write_parquet``-style
+    append per micro-batch, one layout-decision code path for live
+    ingest and backfill), then the layout is read back and rolled up;
+    the oracle aggregates the ORIGINAL parquet, so a hash match proves
+    the stream→sink→reader loop loses nothing — partition-directory
+    round-trip of the event_type column included. The checkpoint
+    directory rides the same corpus fingerprint as the layout, which
+    is exactly the exactly-once contract at 100 TB: re-running the
+    drain against an existing checkpoint appends NOTHING (the file
+    source's committed offsets live there), so the graded read is
+    idempotent. Timestamps travel as epoch-µs BIGINTs (the shared
+    text/columnar-connector discipline). Eager-builder exception
+    (registry docstring): first call per corpus fingerprint runs the
+    drain."""
+    import os
+
+    from ..streaming.event_streams import read_event_stream, write_stream_parquet
+
+    root, done = _layout_path(sf_dir, "events", "stream_sink")
+    if not done:
+        src = path_for(sf_dir, "events")
+        stream = read_event_stream(
+            spark, os.path.dirname(src), glob=os.path.basename(src)
+        ).select(
+            "event_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        write_stream_parquet(
+            stream,
+            root,
+            checkpoint=os.path.join(root + "_ckpt"),
+            partition_by=["event_type"],
+        )
+    return (
+        spark.read.parquet(root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).try_cast("long")).alias(
+                "sum_value_cents"
+            ),
+            F.min("ts_us").alias("min_ts_us"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+    )

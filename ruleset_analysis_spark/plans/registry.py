@@ -133,6 +133,7 @@ DRIVER_PRIORITY = (
     "embed_recall_eval",  # r5: ANN recall@10 audit vs exact top-k
     "stream_exec_stateful",  # r5: applyInPandasWithState value-graded
     "join_asof_nearest",  # r5: nearest-direction as-of completion
+    "stream_exec_sink_parquet",  # r5: foreachBatch parquet sink loop
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
