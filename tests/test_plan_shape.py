@@ -98,6 +98,12 @@ def test_bucketed_join_has_no_exchange(spark):
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan
         assert "Bucketed: true" in plan
+        # aggregation on the bucket key is equally exchange-free: the
+        # scan's hashpartitioning satisfies the agg's distribution, so
+        # the nightly per-order rollup also rides the write-time shuffle
+        agg = li.groupBy("l_orderkey").count()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
