@@ -1177,3 +1177,98 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("total_chars") - F.col("b.n_chars")).alias("chars_dropped"),
         )
     )
+
+
+@register(
+    "curation_dedup_rate_report",
+    category="curation",
+    oracle=f"""
+        WITH RECURSIVE {_JACCARD_PAIRS_CTE},
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(u, v) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+        ),
+        comp AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+        members AS (
+            SELECT c.cluster_id, c.doc_id, d.source,
+                   coalesce(d.n_chars, -1) AS nc, d.n_chars
+            FROM comp c JOIN documents d USING (doc_id)
+        ),
+        rep AS (
+            SELECT cluster_id, doc_id AS rep_doc FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY nc DESC, doc_id ASC) AS rn
+                FROM members
+            ) WHERE rn = 1
+        )
+        SELECT m.source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN m.doc_id <> r.rep_doc
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+               CAST(sum(CASE WHEN m.doc_id <> r.rep_doc
+                             THEN coalesce(m.n_chars, 0) ELSE 0 END)
+                    AS BIGINT) AS chars_dropped
+        FROM members m JOIN rep r USING (cluster_id)
+        GROUP BY m.source
+    """,
+)
+def curation_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE dedup-rate report — the accountability rollup every
+    curation pipeline publishes next to its action list: for each
+    ingest source, how many documents it contributed, how many are
+    near-dup cluster members slated to drop (keep-longest policy, the
+    same representative rule as ``dedup_cluster_representatives``),
+    and the character mass dropped. A source whose dup-rate spikes is
+    a scraper re-crawling itself — the report is the monitoring
+    surface that catches it.
+
+    Rides the memoized label closure (``_component_labels`` — zero
+    marginal iterative work after whichever cluster query ran first);
+    singleton docs rejoin as their own cluster so n_docs covers the
+    WHOLE corpus, not just edge-connected docs. Representative
+    selection coalesces NULL n_chars to -1 on BOTH engines (ordering
+    NULLs is engine-convention-laden; a -1 sentinel orders identically
+    everywhere), and dropped-char sums coalesce to 0 — a NULL-text
+    member drops zero characters rather than poisoning the sum. One
+    cluster-keyed exchange for the representative, one source-keyed
+    rollup — both map-side combined at 100 TB."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    labels = _component_labels(spark, sf_dir)
+    members = (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("n_chars", F.lit(-1)).alias("nc"),
+        )
+    )
+    rep = members.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("nc"), (-F.col("doc_id")).alias("neg"))
+        ).alias("rep_doc")
+    )
+    is_dup = F.col("doc_id") != F.col("rep_doc")
+    return (
+        members.join(rep, "cluster_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(is_dup, 1).otherwise(0)).cast("long").alias("n_dups"),
+            F.sum(
+                F.when(is_dup, F.coalesce("n_chars", F.lit(0))).otherwise(0)
+            )
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+    )

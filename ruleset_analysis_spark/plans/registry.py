@@ -134,6 +134,7 @@ DRIVER_PRIORITY = (
     "stream_exec_stateful",  # r5: applyInPandasWithState value-graded
     "join_asof_nearest",  # r5: nearest-direction as-of completion
     "stream_exec_sink_parquet",  # r5: foreachBatch parquet sink loop
+    "curation_dedup_rate_report",  # r5: per-source dedup accountability
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
