@@ -1272,3 +1272,222 @@ def curation_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_dropped"),
         )
     )
+
+
+# b x r banding configs over the SAME 16 minhashes (b*r = 16): the
+# classic S-curve trade — more rows per band = higher precision /
+# lower recall. (16,1) is the superset config: any shared single
+# minhash makes a pair a candidate somewhere.
+_TUNE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def _tune_oracle() -> str:
+    mh_cols = ",\n                   ".join(
+        "min(CAST(concat('0x', substring(md5('" + str(seed) + ":' || tri), 1, 15))"
+        f" AS BIGINT)) AS mh_{i}"
+        for i, seed in enumerate(_MH_SEEDS)
+    )
+    per_config = []
+    for nb, nr in _TUNE_CONFIGS:
+        band_rows = "\n            UNION ALL\n".join(
+            f"            SELECT doc_id, {b} AS band_id,"
+            " concat_ws(','"
+            + "".join(f", mh_{b * nr + r}" for r in range(nr))
+            + ") AS band_key FROM per_doc"
+            for b in range(nb)
+        )
+        per_config.append(
+            f"""
+        , bands_{nb} AS (
+{band_rows}
+        ),
+        cand_{nb} AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_{nb} a
+            JOIN bands_{nb} b ON a.band_id = b.band_id
+                             AND a.band_key = b.band_key
+                             AND a.doc_id < b.doc_id
+        ),
+        stat_{nb} AS (
+            SELECT {nb} AS bands, {nr} AS rows_per_band,
+                   count(*) AS n_cand,
+                   CAST(sum(CASE WHEN v.is_true THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_true
+            FROM cand_{nb} c
+            JOIN verdict v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+        )"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT * FROM stat_{nb}" for nb, _ in _TUNE_CONFIGS
+    )
+    sup_union = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_id, CAST(mh_{i} AS VARCHAR)"
+        f" AS band_key FROM per_doc"
+        for i in range(16)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS i
+            FROM documents
+        ),
+        tri AS MATERIALIZED (
+            SELECT DISTINCT t1.doc_id,
+                   t1.term || ' ' || t2.term || ' ' || t3.term AS tri
+            FROM toks t1
+            JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+            JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+        ),
+        per_doc AS MATERIALIZED (
+            SELECT doc_id,
+                   {mh_cols},
+                   count(*) AS n
+            FROM tri GROUP BY doc_id
+        ),
+        sup AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ({sup_union}) a
+            JOIN ({sup_union}) b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+        ),
+        inter AS MATERIALIZED (
+            SELECT s.doc_a, s.doc_b, count(*) AS i
+            FROM sup s
+            JOIN tri ta ON ta.doc_id = s.doc_a
+            JOIN tri tb ON tb.doc_id = s.doc_b AND tb.tri = ta.tri
+            GROUP BY s.doc_a, s.doc_b
+        ),
+        verdict AS MATERIALIZED (
+            SELECT s.doc_a, s.doc_b,
+                   coalesce(3 * i.i >= pa.n + pb.n, FALSE) AS is_true
+            FROM sup s
+            LEFT JOIN inter i ON i.doc_a = s.doc_a AND i.doc_b = s.doc_b
+            JOIN per_doc pa ON pa.doc_id = s.doc_a
+            JOIN per_doc pb ON pb.doc_id = s.doc_b
+        ){''.join(per_config)}
+        {union}
+    """
+
+
+@register(
+    "dedup_lsh_band_tuning",
+    category="dedup",
+    oracle=_tune_oracle(),
+)
+def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH TUNING CURVE — candidate volume vs confirmed near-dups
+    for every b×r banding of the SAME 16-minhash signature (16×1,
+    8×2, 4×4, 2×8): the one table an engineer reads before picking a
+    banding for a new corpus, produced without re-sketching anything.
+    More rows per band slides down the S-curve (fewer, more precise
+    candidates); the graded 4×4 production config sits mid-curve.
+
+    Cost shape: the signature relation is the SAME persisted per-doc
+    sketch the graded near-dup filter builds (CacheManager plan
+    identity — zero marginal sketch work); the exact-Jaccard verify
+    runs ONCE over the (16,1) superset candidates (any config's
+    candidate pair shares ≥1 minhash, so every other config
+    semi-joins its verdict out of that single verified relation
+    instead of re-joining shingles 4×). All counts integer, config
+    rows bounded (4), and every exchange is banded/keyed — the
+    tuning table costs barely more than one extra LSH pass at any
+    corpus size."""
+    from pyspark import StorageLevel
+
+    exploded = _exploded_shingles(spark, sf_dir)
+    per_doc = (
+        exploded.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(_mh_expr(seed)).alias(f"mh_{i}")
+                for i, seed in enumerate(_MH_SEEDS)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def bands_for(nb: int, nr: int) -> DataFrame:
+        return per_doc.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.concat_ws(
+                                ",",
+                                *[f"mh_{b * nr + r}" for r in range(nr)],
+                            ).alias("band_key"),
+                        )
+                        for b in range(nb)
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_id", "band.band_key")
+
+    def cand_for(bands: DataFrame) -> DataFrame:
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    sup = cand_for(bands_for(16, 1)).persist(StorageLevel.MEMORY_AND_DISK)
+    tri = exploded.select("doc_id", "s")
+    ta = tri.select(F.col("doc_id").alias("doc_a"), F.col("s"))
+    tb = tri.select(F.col("doc_id").alias("doc_b"), F.col("s"))
+    inter = (
+        sup.join(ta, "doc_a")
+        .join(tb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb_ = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    verdict = (
+        sup.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb_, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(
+                3 * F.col("i") >= F.col("na") + F.col("nb"), F.lit(False)
+            ).alias("is_true"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    stats = []
+    for nbands, nrows in _TUNE_CONFIGS:
+        cand = cand_for(bands_for(nbands, nrows))
+        stats.append(
+            cand.join(verdict, ["doc_a", "doc_b"])
+            .agg(
+                F.count(F.lit(1)).alias("n_cand"),
+                F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_true"),
+            )
+            .select(
+                F.lit(nbands).alias("bands"),
+                F.lit(nrows).alias("rows_per_band"),
+                "n_cand",
+                "n_true",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

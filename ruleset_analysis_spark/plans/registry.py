@@ -135,6 +135,7 @@ DRIVER_PRIORITY = (
     "join_asof_nearest",  # r5: nearest-direction as-of completion
     "stream_exec_sink_parquet",  # r5: foreachBatch parquet sink loop
     "curation_dedup_rate_report",  # r5: per-source dedup accountability
+    "dedup_lsh_band_tuning",  # r5: b-x-r S-curve from one sketch pass
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
