@@ -766,3 +766,63 @@ def stream_exec_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts_us").alias("max_ts_us"),
         )
     )
+
+
+@register(
+    "scan_merge_schema_evolution",
+    category="scan",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               count(CASE WHEN doc_id % 2 = 1 THEN source END)
+                   AS n_with_source,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END)
+                    AS BIGINT) AS new_gen_chars
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def scan_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION across ingest generations, graded on VALUES —
+    the connector concern every long-lived lake hits: generation 1
+    landed (doc_id, lang, text); generation 2 added (source, n_chars).
+    Both generations are written once into one layout root (split by
+    doc_id parity — deterministic, so the oracle can replay the split
+    from the source table), then read back through ONE
+    ``mergeSchema=true`` scan: old-generation rows surface the added
+    columns as NULL, and the rollup counts exactly which rows carry
+    the new fields. The oracle computes the same totals from the
+    original parquet with the parity rule inlined, so a hash match
+    proves the merged read neither invents nor loses column data
+    across footers with different schemas.
+
+    Scale note: ``mergeSchema`` costs a footer read per file at
+    planning time — fine for generation counts (tens of schemas), the
+    wrong default for 10⁶-file lakes (pin a declared read schema
+    there, as ``scan_schema_validate`` drills); this query documents
+    the trade in an executed plan. Eager-builder exception (registry
+    docstring): first call per corpus fingerprint writes the two
+    generations."""
+    root, done = _layout_path(sf_dir, "documents", "schema_evo")
+    if not done:
+        docs = load(spark, sf_dir, "documents")
+        old_gen = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "text"
+        )
+        new_gen = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "text", "source", "n_chars"
+        )
+        old_gen.write.mode("overwrite").parquet(root + "/gen=1")
+        new_gen.write.mode("overwrite").parquet(root + "/gen=2")
+        import os
+
+        with open(os.path.join(root, "_SUCCESS"), "w"):
+            pass
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        root + "/gen=1", root + "/gen=2"
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("source").alias("n_with_source"),
+        F.sum("n_chars").alias("new_gen_chars"),
+    )

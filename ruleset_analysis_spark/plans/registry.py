@@ -136,6 +136,7 @@ DRIVER_PRIORITY = (
     "stream_exec_sink_parquet",  # r5: foreachBatch parquet sink loop
     "curation_dedup_rate_report",  # r5: per-source dedup accountability
     "dedup_lsh_band_tuning",  # r5: b-x-r S-curve from one sketch pass
+    "scan_merge_schema_evolution",  # r5: mergeSchema generation read
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
