@@ -1413,3 +1413,123 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cumw") * 10 >= F.col("tw") * 9, F.col("px"))
         ).alias("w_p90_cents"),
     )
+
+
+_KMV_K = 32
+
+
+@register(
+    "agg_kmv_mergeable",
+    category="agg",
+    oracle=f"""
+        WITH uh AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day,
+                   CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)),
+                                               1, 15)) AS BIGINT) AS h
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        ranked AS (
+            SELECT day, h,
+                   row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+            FROM uh
+        ),
+        state AS MATERIALIZED (
+            SELECT day, h, rn FROM ranked WHERE rn <= {_KMV_K}
+        ),
+        per_day AS (
+            SELECT CAST(epoch(day) AS BIGINT) AS day_epoch,
+                   CAST(max(CASE WHEN rn = {_KMV_K} THEN h END) AS BIGINT)
+                       AS kth_min,
+                   md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h))
+                       AS state_md5,
+                   count(*) AS state_size
+            FROM state GROUP BY day
+        ),
+        merged_vals AS (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM state)
+        ),
+        merged AS (
+            SELECT CAST(-1 AS BIGINT) AS day_epoch,
+                   CAST(max(CASE WHEN rn = {_KMV_K} THEN h END) AS BIGINT)
+                       AS kth_min,
+                   md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h))
+                       AS state_md5,
+                   count(*) AS state_size
+            FROM merged_vals WHERE rn <= {_KMV_K}
+        )
+        SELECT * FROM per_day UNION ALL SELECT * FROM merged
+    """,
+)
+def agg_kmv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) mergeable distinct sketch, graded
+    BIT-EXACTLY on the sketch STATE — the portable counterpart to
+    ``agg_hll_mergeable`` (whose Datasketches registers exist in no
+    other engine, hence its declared rows-only grade): the k smallest
+    md5-derived user hashes per day ARE the sketch, the distinct
+    estimate is the textbook (k-1)·2⁶⁰/kth_min division downstream,
+    and MERGING days = k smallest over the union of the daily states
+    — demonstrated here by building the ALL row from the persisted
+    per-day states, never from a rescan of the raw data. md5 is the
+    one hash both engines share (the MinHash portability lever), so
+    state digests hash-match cross-engine.
+
+    Scale shape: the per-day k-min is a rank window over the
+    deduplicated (day, user-hash) relation — one keyed exchange, k
+    rows of state per day retained (NOT a per-group collect_set,
+    which would hold cardinality-sized state); the merge touches only
+    days × k values. NULL ts/user filtered both sides (standing
+    convention). Days with < k distinct users carry their full hash
+    list and a NULL kth_min — the estimator's 'small range, count
+    exactly' branch, preserved rather than papered over."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    uh = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("day").orderBy("h")
+    state = (
+        uh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .persist()
+    )
+    digest = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.array_sort(F.collect_list("h")), lambda x: x.cast("string"))
+        )
+    )
+    per_day = state.groupBy("day").agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth_min"),
+        digest.alias("state_md5"),
+        F.count(F.lit(1)).alias("state_size"),
+    ).select(
+        F.unix_timestamp("day").alias("day_epoch"),
+        "kth_min",
+        "state_md5",
+        "state_size",
+    )
+    wm = Window.orderBy("h")
+    merged = (
+        state.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _KMV_K)
+        .agg(
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth_min"),
+            digest.alias("state_md5"),
+            F.count(F.lit(1)).alias("state_size"),
+        )
+        .select(
+            F.lit(-1).cast("long").alias("day_epoch"),
+            "kth_min",
+            "state_md5",
+            "state_size",
+        )
+    )
+    return per_day.unionByName(merged)

@@ -137,6 +137,7 @@ DRIVER_PRIORITY = (
     "curation_dedup_rate_report",  # r5: per-source dedup accountability
     "dedup_lsh_band_tuning",  # r5: b-x-r S-curve from one sketch pass
     "scan_merge_schema_evolution",  # r5: mergeSchema generation read
+    "agg_kmv_mergeable",  # r5: bit-exact portable mergeable sketch
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
