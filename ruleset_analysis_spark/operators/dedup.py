@@ -1491,3 +1491,159 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+# Incremental-ingest split: a doc belongs to the NEW batch iff its
+# md5-portable 60-bit bucket of the doc_id lands in the top 20%. The
+# same md5-conv/0x-cast pair every sampling query uses — identical
+# BIGINTs in both engines (see sample_hash_deterministic).
+_INCR_BATCH_BUCKETS = 10
+_INCR_BATCH_FROM = 8  # buckets 8,9 → the 20% "newly arrived" slice
+
+
+def _incr_bucket_spark() -> F.Column:
+    return (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        )
+        % _INCR_BATCH_BUCKETS
+    )
+
+
+_INCR_BUCKET_SQL = (
+    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+    f" AS BIGINT) % {_INCR_BATCH_BUCKETS}"
+)
+
+
+def _incremental_oracle() -> str:
+    return (
+        _minhash_base_cte()
+        + f"""
+        , tagged AS (
+            SELECT doc_id, {_INCR_BUCKET_SQL} AS bkt FROM documents
+        ),
+        x AS (
+            SELECT CASE WHEN ta.bkt >= {_INCR_BATCH_FROM}
+                        THEN i.doc_a ELSE i.doc_b END AS new_doc,
+                   CASE WHEN ta.bkt >= {_INCR_BATCH_FROM}
+                        THEN i.doc_b ELSE i.doc_a END AS dup_cand,
+                   i.i, sa.n AS na, sb.n AS nb
+            FROM inter i
+            JOIN tagged ta ON ta.doc_id = i.doc_a
+            JOIN tagged tb ON tb.doc_id = i.doc_b
+            JOIN per_doc sa ON sa.doc_id = i.doc_a
+            JOIN per_doc sb ON sb.doc_id = i.doc_b
+            WHERE (ta.bkt >= {_INCR_BATCH_FROM})
+                  <> (tb.bkt >= {_INCR_BATCH_FROM})
+              AND 3 * i.i >= sa.n + sb.n
+        )
+        SELECT new_doc,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               min(dup_cand) AS dup_of,
+               max(CAST(i AS DOUBLE) / (na + nb - i)) AS best_jaccard
+        FROM x GROUP BY new_doc
+    """
+    )
+
+
+@register(
+    "dedup_incremental_newbatch",
+    category="dedup",
+    oracle=_incremental_oracle(),
+)
+def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingest dedup — the shape a production pipeline
+    actually runs every day: a NEW batch of documents (a deterministic
+    md5-bucket slice standing in for today's crawl, ~20%) is checked
+    against the EXISTING corpus (the other ~80%) for near-duplicates,
+    and only cross-side pairs are ever considered; batch-internal and
+    corpus-internal duplicates are deliberately out of scope (the
+    batch jobs `dedup_near_minhash`/`dedup_cluster_components` own
+    those). Output: one row per flagged incoming doc — how many corpus
+    near-dups it has, the smallest matching corpus doc_id, and the
+    best exact Jaccard among its matches.
+
+    Scale story — why incremental dedup is CHEAPER than re-running the
+    batch job: the corpus side's contribution is just its banded
+    MinHash signature index (16 BIGINTs per doc, ~1/1000 of corpus
+    bytes — at 100 TB a persisted index relation keyed on band, built
+    once and appended to per ingest), and the candidate join is
+    new-batch bands → index bands, an equi-join whose left side is
+    only the day's arrivals. Nothing all-pairs, nothing corpus×corpus;
+    exact-Jaccard verification joins the shingle relation restricted
+    to candidate docs only. Sketch protocol (md5-derived 60-bit
+    minhashes, 4×4 banding, cross-multiplied ≥0.5 keep test) is byte-
+    identical to `dedup_near_minhash` — one protocol, two deployment
+    modes; the oracle appends the cross-side restriction to the same
+    shared `_minhash_base_cte` chain."""
+    from pyspark import StorageLevel
+
+    exploded = _exploded_shingles(spark, sf_dir)
+    per_doc = (
+        exploded.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(_mh_expr(seed)).alias(f"mh_{i}")
+                for i, seed in enumerate(_MH_SEEDS)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("is_new", _incr_bucket_spark() >= _INCR_BATCH_FROM)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = per_doc.select(
+        "doc_id",
+        "is_new",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            ",",
+                            *[f"mh_{b * _MH_ROWS + r}" for r in range(_MH_ROWS)],
+                        ).alias("band_key"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "is_new", "band.band_id", "band.band_key")
+    newb = bands.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_doc"), "band_id", "band_key"
+    )
+    corp = bands.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("dup_cand"), "band_id", "band_key"
+    )
+    cand = (
+        newb.join(corp, ["band_id", "band_key"])
+        .select("new_doc", "dup_cand")
+        .distinct()
+    )
+    ex = exploded.select("doc_id", "s")
+    inter = (
+        cand.join(ex.select(F.col("doc_id").alias("new_doc"), "s"), "new_doc")
+        .join(ex.select(F.col("doc_id").alias("dup_cand"), "s"), ["dup_cand", "s"])
+        .groupBy("new_doc", "dup_cand")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = per_doc.select("doc_id", "n")
+    verified = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("na")),
+            "new_doc",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("dup_cand"), F.col("n").alias("nb")),
+            "dup_cand",
+        )
+        .filter(F.lit(3) * F.col("i") >= F.col("na") + F.col("nb"))
+    )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return verified.groupBy("new_doc").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("dup_cand").alias("dup_of"),
+        F.max(jac).alias("best_jaccard"),
+    )

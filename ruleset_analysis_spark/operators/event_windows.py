@@ -1582,3 +1582,58 @@ def stream_exec_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy("user_id").agg(
         F.max("total_events").alias("total_events")
     )
+
+
+@register(
+    "stream_exec_dedup",
+    category="stream",
+    oracle="""
+        SELECT user_id, CAST(count(DISTINCT ts) AS BIGINT) AS n_distinct_ts
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
+    """,
+)
+def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DEDUPLICATION graded on VALUES: the third
+    streaming-engine query (tumbling agg, grouped state, now the
+    built-in stateful `dropDuplicates` operator) — ``readStream`` →
+    drop duplicate (user_id, ts) arrivals → availableNow drain to an
+    append-mode memory sink, then a batch rollup of the drained rows
+    compared against batch `count(DISTINCT ts)` per user. A hash match
+    witnesses the streaming exactly-once-per-key contract: every
+    duplicate arrival was suppressed, every distinct key emitted
+    exactly once, regardless of how the backlog split into
+    micro-batches (dedup state spans batches within the run).
+
+    This is the streaming INGEST-dedup recipe at 100 TB: the archive
+    drains through the same query that would tail the live feed, and
+    re-delivered events (at-least-once sources redeliver on retry)
+    collapse before they reach downstream state. The graded form keeps
+    full dedup state (bounded by distinct keys in the backlog) so the
+    output is batch-split-invariant; the production tail swaps in
+    ``dropDuplicatesWithinWatermark`` so state is evicted once the
+    watermark passes a key — semantics identical for in-watermark
+    re-deliveries, state O(watermark window) instead of O(history).
+    NULL user_id/ts filtered on both sides (the standing convention:
+    NULL grouping/dedup keys are engine-convention-laden). Eager-
+    builder exception (registry docstring): the builder runs the
+    bounded drain; the returned batch rollup is what the driver
+    collects."""
+    import os
+
+    from ..sources.parquet import path_for
+    from ..streaming.event_streams import drain_to_memory, read_event_stream
+
+    src = path_for(sf_dir, "events")
+    stream = read_event_stream(
+        spark, os.path.dirname(src), glob=os.path.basename(src)
+    ).filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    deduped = stream.select("user_id", "ts").dropDuplicates(["user_id", "ts"])
+    _STREAM_EXEC_N[0] += 1
+    drained = drain_to_memory(
+        deduped, f"stream_exec_dedup_{_STREAM_EXEC_N[0]}", "append"
+    )
+    return drained.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_ts")
+    )

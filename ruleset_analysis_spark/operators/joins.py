@@ -898,3 +898,89 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         win_id.alias("click_event_id"),
         (win_us - ets).alias("delta_us"),
     )
+
+
+_ASOF_TOL_US = 10 * 60 * 1_000_000  # 10-minute tolerance, integer µs
+
+
+@register(
+    "join_asof_tolerance",
+    category="join",
+    oracle=f"""
+        WITH e AS (SELECT * FROM events
+                   WHERE event_type = 'error' AND ts IS NOT NULL),
+        c AS (SELECT * FROM events
+              WHERE event_type = 'click' AND ts IS NOT NULL),
+        ranked AS (
+            SELECT e.event_id, c.event_id AS cid, epoch_us(c.ts) AS cus,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY c.ts DESC, c.event_id DESC
+                   ) AS rn
+            FROM e JOIN c ON c.user_id = e.user_id AND c.ts <= e.ts
+                         AND epoch_us(e.ts) - epoch_us(c.ts) <= {_ASOF_TOL_US}
+        )
+        SELECT e.event_id, e.user_id,
+               CAST(epoch_us(e.ts) AS BIGINT) AS err_us,
+               r.cid AS click_event_id,
+               CAST(epoch_us(e.ts) - r.cus AS BIGINT) AS staleness_us
+        FROM e
+        LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+          ON r.event_id = e.event_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join WITH A TOLERANCE BOUND — the fourth and
+    last member of the as-of family (backward / forward / nearest /
+    tolerance, the same surface pandas ``merge_asof`` exposes): for
+    every 'error' event, the most recent same-user 'click' at or
+    before it, but only if it happened within the last 10 minutes —
+    a stale match is reported as NO match (NULL), because "what was
+    the user doing when it broke" is only meaningful while the
+    context is fresh.
+
+    Scale identity: tolerance costs NOTHING over the plain backward
+    as-of. The backward fill already delivers the NEAREST at-or-before
+    candidate per error, and every other candidate is strictly farther
+    away — so post-filtering the ONE filled match against the bound is
+    exactly equivalent to restricting the candidate set in the join
+    (the oracle's formulation), and the plan stays the single
+    user-keyed exchange + one per-partition window sort of
+    ``join_asof_backward``; no range-condition nested loop appears.
+    Tie-breaks (max click event_id among equal timestamps) and the
+    NULL-ts exclusion follow the family convention; pinned against the
+    fuzz sweep's injected equal-(user, ts) click pairs and the dirty
+    corpus's NULL-ts row."""
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_err")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_err")
+    )
+    tagged = errors.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_err", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_id = F.when(F.col("is_err") == 0, F.col("event_id"))
+    click_us = F.when(F.col("is_err") == 0, F.unix_micros("ts"))
+    filled = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_err",
+        F.last(click_id, ignorenulls=True).over(w).alias("cid"),
+        F.last(click_us, ignorenulls=True).over(w).alias("cus"),
+    )
+    ets = F.unix_micros("ts")
+    staleness = ets - F.col("cus")
+    fresh = staleness <= F.lit(_ASOF_TOL_US)
+    return filled.filter(F.col("is_err") == 1).select(
+        "event_id",
+        "user_id",
+        ets.alias("err_us"),
+        F.when(fresh, F.col("cid")).alias("click_event_id"),
+        F.when(fresh, staleness).alias("staleness_us"),
+    )

@@ -138,6 +138,9 @@ DRIVER_PRIORITY = (
     "dedup_lsh_band_tuning",  # r5: b-x-r S-curve from one sketch pass
     "scan_merge_schema_evolution",  # r5: mergeSchema generation read
     "agg_kmv_mergeable",  # r5: bit-exact portable mergeable sketch
+    "join_asof_tolerance",  # r5: bounded-staleness as-of, family complete
+    "dedup_incremental_newbatch",  # r5: new-batch-vs-corpus ingest dedup
+    "stream_exec_dedup",  # r5: streaming dropDuplicates drain, value-graded
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
