@@ -1647,3 +1647,105 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dup_cand").alias("dup_of"),
         F.max(jac).alias("best_jaccard"),
     )
+
+
+_SUBSTR_W = 8  # verbatim-window length in tokens
+_SUBSTR_DF_CAP = 16  # boilerplate guard: windows in more docs are dropped
+_SUBSTR_MIN_SHARED = 3  # pair report threshold
+
+
+@register(
+    "dedup_exact_substring",
+    category="dedup",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        w AS (
+            SELECT DISTINCT doc_id,
+                   md5(array_to_string(
+                       list_slice(toks, i, i + {_SUBSTR_W - 1}), ' ')) AS h
+            FROM (SELECT doc_id, toks,
+                         unnest(range(1, len(toks) - {_SUBSTR_W} + 2)) AS i
+                  FROM t WHERE len(toks) >= {_SUBSTR_W})
+        ),
+        keep AS (
+            SELECT h FROM w GROUP BY h
+            HAVING count(*) BETWEEN 2 AND {_SUBSTR_DF_CAP}
+        ),
+        wk AS (SELECT w.doc_id, w.h FROM w JOIN keep USING (h))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared_windows
+        FROM wk a JOIN wk b ON b.h = a.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {_SUBSTR_MIN_SHARED}
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING duplication between document pairs — the
+    copy-paste detector the shingle-resemblance family can't be: two
+    docs that share a verbatim run of ≥ {_SUBSTR_W} tokens (a quoted
+    paragraph, a syndicated passage, a licence block) are reported
+    with the number of distinct shared {_SUBSTR_W}-token windows, even
+    when their overall Jaccard is far below any near-dup threshold.
+    This is the relational rendering of the suffix-array ExactSubstr
+    pass of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al., 2022): a length-L shared run appears as
+    L−{_SUBSTR_W}+1 consecutive shared windows, so the window-count is
+    a run-length witness, and pairs below {_SUBSTR_MIN_SHARED} shared
+    windows (< {_SUBSTR_W + _SUBSTR_MIN_SHARED - 1} verbatim tokens)
+    are noise-filtered.
+
+    Scale shape: one doc-keyed exchange builds all rolling windows
+    (the chunker's slice/md5 HOF pipeline, zero Python), the pair
+    generation is an equi-join keyed on the window hash, and the
+    document-frequency trim (df ≤ {_SUBSTR_DF_CAP}) is the boilerplate
+    guard that bounds the join's fan-out to Σ df² ≤ {_SUBSTR_DF_CAP}·|windows|
+    — ubiquitous nav-bar/licence windows are exactly what
+    `corpus_boilerplate_ngrams` already reports per-doc, so dropping
+    them HERE is correct, not lossy (df-trimmed windows can't witness
+    a rare pairwise copy). The df count rides a window function whose
+    hash partitioning IS the join's required distribution — Catalyst
+    reuses one exchange for both."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    idx = F.when(
+        F.col("n") >= _SUBSTR_W,
+        F.sequence(F.lit(1).cast("int"), (F.col("n") - _SUBSTR_W + 1).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    win = (
+        tk.select("doc_id", "toks", F.explode(idx).alias("i"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), _SUBSTR_W))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    dfn = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    wk = (
+        win.withColumn("_df", dfn)
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= _SUBSTR_DF_CAP))
+        .drop("_df")
+    )
+    a, b = wk.alias("a"), wk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+        .filter(F.col("n_shared_windows") >= _SUBSTR_MIN_SHARED)
+    )

@@ -141,6 +141,7 @@ DRIVER_PRIORITY = (
     "join_asof_tolerance",  # r5: bounded-staleness as-of, family complete
     "dedup_incremental_newbatch",  # r5: new-batch-vs-corpus ingest dedup
     "stream_exec_dedup",  # r5: streaming dropDuplicates drain, value-graded
+    "dedup_exact_substring",  # r5: verbatim shared-window pair detector
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
