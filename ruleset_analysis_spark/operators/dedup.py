@@ -1581,6 +1581,11 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     exploded = _exploded_shingles(spark, sf_dir)
+    # IDENTICAL plan to dedup_near_minhash's sketch — the is_new split
+    # happens DOWNSTREAM of the persist so CacheManager's plan-identity
+    # sharing makes this the same cache entry, zero marginal sketch
+    # work (tagging before the persist silently forked the cache and
+    # re-ran the 16 min-aggregates).
     per_doc = (
         exploded.groupBy("doc_id")
         .agg(
@@ -1590,12 +1595,10 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             F.count(F.lit(1)).alias("n"),
         )
-        .withColumn("is_new", _incr_bucket_spark() >= _INCR_BATCH_FROM)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands = per_doc.select(
         "doc_id",
-        "is_new",
         F.explode(
             F.array(
                 *[
@@ -1610,11 +1613,12 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "is_new", "band.band_id", "band.band_key")
-    newb = bands.filter(F.col("is_new")).select(
+    ).select("doc_id", "band.band_id", "band.band_key")
+    is_new = _incr_bucket_spark() >= _INCR_BATCH_FROM
+    newb = bands.filter(is_new).select(
         F.col("doc_id").alias("new_doc"), "band_id", "band_key"
     )
-    corp = bands.filter(~F.col("is_new")).select(
+    corp = bands.filter(~is_new).select(
         F.col("doc_id").alias("dup_cand"), "band_id", "band_key"
     )
     cand = (
