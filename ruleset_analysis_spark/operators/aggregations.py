@@ -1533,3 +1533,108 @@ def agg_kmv_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_day.unionByName(merged)
+
+
+@register(
+    "agg_skewness_kurtosis",
+    category="agg",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   CAST(TRY_CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+              AND abs(TRY_CAST(round(value * 100) AS BIGINT)) <= 1000000
+        ),
+        g AS (
+            SELECT event_type, count(*) AS n,
+                   sum(c) AS s1, sum(c * c) AS s2,
+                   sum(c * c * c) AS s3, sum(c * c * c * c) AS s4
+            FROM b GROUP BY event_type
+        ),
+        m AS (
+            SELECT event_type, n,
+                   CAST(s1 AS DOUBLE) / n AS mean,
+                   CAST(s2 AS DOUBLE) / n AS p2,
+                   CAST(s3 AS DOUBLE) / n AS p3,
+                   CAST(s4 AS DOUBLE) / n AS p4
+            FROM g
+        ),
+        cm AS (
+            SELECT event_type, n, mean,
+                   p2 - mean * mean AS m2,
+                   p3 - 3.0 * mean * p2 + 2.0 * mean * mean * mean AS m3,
+                   p4 - 4.0 * mean * p3 + 6.0 * mean * mean * p2
+                      - 3.0 * mean * mean * mean * mean AS m4
+            FROM m
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_events,
+               round(mean / 100.0, 6) AS mean_value,
+               round(m3 / (sqrt(m2) * m2), 6) AS skewness,
+               round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+        FROM cm
+    """,
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order distribution shape per event type: skewness (g1)
+    and excess kurtosis (g2) — the tail-shape report read before
+    choosing an anomaly threshold (MAD vs z-score) or a histogram
+    binning.
+
+    Exactness discipline (the agg_corr_covar recipe, one moment
+    higher): the four raw power sums run as EXACT integers over cents
+    (Spark decimal(38,0), DuckDB HUGEINT — fourth powers of the
+    gated |c| ≤ 1e6 domain stay within 128 bits past 1e14 rows), so
+    partial-aggregation order cannot drift them; both engines then
+    evaluate the IDENTICAL IEEE expression tree (central moments via
+    the power-sum expansion, m2^1.5 as sqrt(m2)*m2 — never pow(),
+    which is not correctly rounded) giving bit-identical doubles.
+    Spark's built-in skewness()/kurtosis() are one-pass streamed
+    moments whose last ULPs depend on partition order — unusable
+    under a cross-engine hash gate.
+
+    Scale: one partial-aggregated keyed exchange over ≤ |event_type|
+    groups; the moment algebra is per-group scalar math on the
+    5-row result. The |c| ≤ 1e6 gate mirrors the cents() TRY_CAST
+    NULL-degrade on BOTH sides, so one poisoned row can neither abort
+    the job nor overflow a 128-bit sum."""
+    c0 = cents("value")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", c0.alias("c"))
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("c").isNotNull()
+            & (F.abs("c") <= F.lit(1_000_000))
+        )
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cd).alias("s1"),
+        F.sum(cd * cd).alias("s2"),
+        F.sum(cd * cd * cd).alias("s3"),
+        F.sum(cd * cd * cd * cd).alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    p2 = F.col("s2").cast("double") / n
+    p3 = F.col("s3").cast("double") / n
+    p4 = F.col("s4").cast("double") / n
+    m2 = p2 - mean * mean
+    m3 = p3 - F.lit(3.0) * mean * p2 + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        p4
+        - F.lit(4.0) * mean * p3
+        + F.lit(6.0) * mean * mean * p2
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return g.select(
+        "event_type",
+        n.cast("long").alias("n_events"),
+        F.round(mean / F.lit(100.0), 6).alias("mean_value"),
+        F.round(m3 / (F.sqrt(m2) * m2), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
+    )

@@ -457,3 +457,53 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deg0",
         F.coalesce("r", F.lit(0)).cast("int").alias("peel_round"),
     )
+
+
+@register(
+    "graph_degree_distribution",
+    category="graph",
+    oracle="""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING count(*) >= 2
+        ),
+        sym AS (
+            SELECT u AS node, v AS nbr FROM e
+            UNION ALL
+            SELECT v AS node, u AS nbr FROM e
+        ),
+        deg AS (SELECT node, count(*) AS degree FROM sym GROUP BY node)
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the strong co-occurrence graph — the
+    first structural report read before ANY graph algorithm is run
+    (power-law tail ⇒ salt the high-degree keys; bounded max degree ⇒
+    wedge self-joins are safe). Complements the per-node reports
+    (k-core, PageRank) with the whole-graph shape at histogram cost.
+
+    Shape: rides the memoized persisted ``strong_cooccur_edges``
+    substrate (zero marginal basket work when any graph-family peer
+    already ran this session), symmetrizes with a union of two
+    in-memory scans, then two partial-aggregated keyed exchanges
+    (node-degree, degree-histogram). The result is ≤ max-degree rows —
+    the SAME plan at 100 TB: degree counting is the map-side-combine
+    poster child, and the histogram key space collapses by orders of
+    magnitude at each step. All-integer, so the hash gate is exact.
+    """
+    e = strong_cooccur_edges(spark, sf_dir)
+    sym = e.select(F.col("u").alias("node")).unionByName(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

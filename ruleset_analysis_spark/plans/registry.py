@@ -142,6 +142,11 @@ DRIVER_PRIORITY = (
     "dedup_incremental_newbatch",  # r5: new-batch-vs-corpus ingest dedup
     "stream_exec_dedup",  # r5: streaming dropDuplicates drain, value-graded
     "dedup_exact_substring",  # r5: verbatim shared-window pair detector
+    # entries 51+: landed after the round-5 window filled (the driver
+    # witnesses exactly 50) — front of the ROUND-6 window by design,
+    # graded this round by the sf0.01 local differential + test tiers
+    "graph_degree_distribution",  # r5: whole-graph degree histogram
+    "agg_skewness_kurtosis",  # r5: exact-moment tail-shape report
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",

@@ -288,12 +288,18 @@ def test_driver_priority_window():
     # registered in round 5+ is in neither set, so it MUST be inserted
     # into DRIVER_PRIORITY above the refresh block — the invariant the
     # r4 final-commit queries violated can now only fail loudly.
-    refresh = DRIVER_PRIORITY[DRIVER_PRIORITY.index("scan_parquet"):]
+    # Once the 50-entry window is FULL of never-witnessed + round-5
+    # additions (it is: 20 + 30), later additions cannot be inside
+    # [:50] — the binding requirement is that they still outrank every
+    # refresh entry, so they are the FRONT of the round-6 window
+    # instead of sorting after already-witnessed families (the exact
+    # failure mode the r4 verdict flagged).
     stranded = [
         n for n in SPECS
         if n not in never_witnessed
         and n not in WITNESSED_R1_R4
-        and (n not in names[:50] or names.index(n) >= names.index("scan_parquet"))
+        and (n not in DRIVER_PRIORITY
+             or DRIVER_PRIORITY.index(n) > DRIVER_PRIORITY.index("scan_parquet"))
     ]
     assert not stranded, (
         f"new queries must be front-loaded in DRIVER_PRIORITY above the "
