@@ -814,3 +814,75 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("is_b"), F.lit(0))).cast("long").alias("n_boiler"),
         )
     )
+
+
+@register(
+    "text_ngram_novelty",
+    category="curation",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS term,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS i
+            FROM documents
+        ),
+        tri AS (
+            SELECT DISTINCT t1.doc_id,
+                   t1.term || ' ' || t2.term || ' ' || t3.term AS tri
+            FROM toks t1
+            JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+            JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+        ),
+        firsts AS (
+            SELECT tri, min(doc_id) AS first_doc FROM tri GROUP BY tri
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round((100.0 * sum(CASE WHEN f.first_doc = t.doc_id
+                                       THEN 1 ELSE 0 END))
+                     / count(*), 4) AS novelty_pct
+        FROM tri t JOIN firsts f ON f.tri = t.tri
+        GROUP BY t.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY score: the fraction of a doc's distinct
+    word-trigrams that the corpus has never seen in any earlier doc
+    (earliest doc_id owns the shingle) — the dual of
+    ``corpus_boilerplate_ngrams``: that flags what repeats everywhere,
+    this flags what each doc adds. The standard ingest-ordering signal
+    for dedup-aware curation: a crawl whose novelty curve collapses is
+    re-crawling itself, and low-novelty docs are the first dropped
+    when packing a token budget.
+
+    Shape: rides the dedup family's cached shingle relation (zero new
+    corpus scan), one shingle-keyed map-side-combined min() for the
+    first-owner relation, then a join back ON THE SAME KEY — Catalyst
+    reuses the aggregation's hash partitioning for the probe side, so
+    the marginal cost over the boilerplate query is one exchange-free
+    join plus the doc-keyed rollup. At 100 TB the first-owner relation
+    is the shingle vocabulary (≪ corpus); ownership-by-min is
+    associative, so partial aggregation holds. novelty_pct divides two
+    exact BIGINTs in one double op — identical IEEE tree both engines.
+    Docs with no complete trigram have no shingle row and are absent
+    on both sides (standing convention)."""
+    from .dedup import _exploded_shingles
+
+    tri = _exploded_shingles(spark, sf_dir).select("doc_id", "s")
+    firsts = tri.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        tri.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.round(
+                (F.lit(100.0) * novel) / F.count(F.lit(1)), 4
+            ).alias("novelty_pct"),
+        )
+    )

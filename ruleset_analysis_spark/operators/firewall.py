@@ -646,3 +646,146 @@ def firewall_config_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.asa_config import rules_dataframe
 
     return rules_dataframe(spark, _ASA_CONFIG)
+
+
+# Policy-diff generations: the OLD config is rules 0..47 per ACL, the
+# NEW config drops 0-3, adds 48-51, and flips the action on every
+# rule_id % 7 == 0 survivor — deterministic in both engines, so the
+# diff is witnessed on all four change classes at every scale factor.
+_DIFF_DROP_BELOW = 4
+_DIFF_ADD_ABOVE = _N_RULESET  # new gen spans [4, 52)
+_DIFF_FLIP_MOD = 7
+
+
+@register(
+    "firewall_policy_diff",
+    category="firewall",
+    oracle=_ORACLE_PARSED
+    + f"""
+        , acls AS (SELECT DISTINCT 'acl_' || event_type AS acl FROM events),
+        old_gen AS (
+            SELECT acl, r.rule_id,
+                   CASE r.rule_id % 3 WHEN 0 THEN 'permit'
+                                      WHEN 1 THEN 'deny'
+                                      ELSE 'log' END AS action
+            FROM acls CROSS JOIN
+                 (SELECT unnest(range({_N_RULESET})) AS rule_id) r
+        ),
+        new_gen AS (
+            SELECT acl, r.rule_id,
+                   CASE WHEN r.rule_id % {_DIFF_FLIP_MOD} = 0 THEN
+                        CASE r.rule_id % 3 WHEN 0 THEN 'deny'
+                                           WHEN 1 THEN 'permit'
+                                           ELSE 'log' END
+                   ELSE
+                        CASE r.rule_id % 3 WHEN 0 THEN 'permit'
+                                           WHEN 1 THEN 'deny'
+                                           ELSE 'log' END
+                   END AS action
+            FROM acls CROSS JOIN
+                 (SELECT unnest(range({_DIFF_DROP_BELOW},
+                                      {_DIFF_ADD_ABOVE + _DIFF_DROP_BELOW}))
+                      AS rule_id) r
+        ),
+        hit_agg AS (
+            SELECT acl, rule_id, count(*) AS hits
+            FROM parsed GROUP BY acl, rule_id
+        ),
+        diff AS (
+            SELECT coalesce(o.acl, n.acl) AS acl,
+                   coalesce(o.rule_id, n.rule_id) AS rule_id,
+                   o.action AS old_action, n.action AS new_action,
+                   CASE WHEN o.rule_id IS NULL THEN 'ADDED'
+                        WHEN n.rule_id IS NULL THEN 'REMOVED'
+                        WHEN o.action <> n.action THEN 'MODIFIED'
+                        ELSE 'UNCHANGED' END AS change
+            FROM old_gen o
+            FULL OUTER JOIN new_gen n
+                 ON n.acl = o.acl AND n.rule_id = o.rule_id
+        )
+        SELECT d.acl, d.rule_id, d.change, d.old_action, d.new_action,
+               CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+        FROM diff d
+        LEFT JOIN hit_agg h ON h.acl = d.acl AND h.rule_id = d.rule_id
+        WHERE d.change <> 'UNCHANGED'
+    """,
+)
+def firewall_policy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation-over-generation RULESET DIFF annotated with live
+    traffic — the change-review report run before every policy push:
+    ADDED / REMOVED / MODIFIED rules, each with its observed hit count,
+    so "REMOVED but still taking traffic" (an outage in waiting) and
+    "ADDED and already matching" jump out of one table. Extends the
+    reference's single-generation usage report ([R-mem]
+    ``analyze_ruleset.py``) to the config-drift dimension rule tables
+    accrete in practice.
+
+    Both generations are deterministic tiny dimensions (|ACL| × ~50
+    rows) built from ``range()`` + the broadcast ACL list; the diff is
+    a full outer join of two broadcast-sized relations, and the only
+    data-sized work is the hit aggregation the usage report already
+    does — partial-aggregated on (acl, rule_id), then a broadcast left
+    join from the filtered diff. At 100 TB of logs the plan is
+    unchanged: dimensions stay O(rules), facts stay one keyed
+    map-side-combined exchange."""
+    acls = F.broadcast(
+        load(spark, sf_dir, "events")
+        .select(F.concat(F.lit("acl_"), "event_type").alias("acl"))
+        .distinct()
+    )
+    base_action = (
+        F.when(F.col("rule_id") % 3 == 0, "permit")
+        .when(F.col("rule_id") % 3 == 1, "deny")
+        .otherwise("log")
+    )
+    flip_action = (
+        F.when(F.col("rule_id") % 3 == 0, "deny")
+        .when(F.col("rule_id") % 3 == 1, "permit")
+        .otherwise("log")
+    )
+    old_gen = (
+        spark.range(_N_RULESET)
+        .select(F.col("id").cast("bigint").alias("rule_id"))
+        .crossJoin(acls)
+        .select("acl", "rule_id", base_action.alias("old_action"))
+    )
+    new_gen = (
+        spark.range(_DIFF_DROP_BELOW, _DIFF_ADD_ABOVE + _DIFF_DROP_BELOW)
+        .select(F.col("id").cast("bigint").alias("rule_id"))
+        .crossJoin(acls)
+        .select(
+            "acl",
+            "rule_id",
+            F.when(
+                F.col("rule_id") % _DIFF_FLIP_MOD == 0, flip_action
+            ).otherwise(base_action).alias("new_action"),
+        )
+    )
+    diff = (
+        old_gen.join(new_gen, ["acl", "rule_id"], "full_outer")
+        .select(
+            "acl",
+            "rule_id",
+            F.when(F.col("old_action").isNull(), "ADDED")
+            .when(F.col("new_action").isNull(), "REMOVED")
+            .when(F.col("old_action") != F.col("new_action"), "MODIFIED")
+            .otherwise("UNCHANGED")
+            .alias("change"),
+            "old_action",
+            "new_action",
+        )
+        .filter(F.col("change") != "UNCHANGED")
+    )
+    hits = (
+        _parsed(spark, sf_dir)
+        .groupBy("acl", "rule_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return diff.join(hits, ["acl", "rule_id"], "left").select(
+        "acl",
+        "rule_id",
+        "change",
+        "old_action",
+        "new_action",
+        F.coalesce("h", F.lit(0)).cast("long").alias("hits"),
+    )

@@ -147,6 +147,8 @@ DRIVER_PRIORITY = (
     # graded this round by the sf0.01 local differential + test tiers
     "graph_degree_distribution",  # r5: whole-graph degree histogram
     "agg_skewness_kurtosis",  # r5: exact-moment tail-shape report
+    "text_ngram_novelty",  # r5: per-doc first-owner novelty score
+    "firewall_policy_diff",  # r5: generation diff x live traffic
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",

@@ -402,6 +402,7 @@ BNLJ_ALLOWED = {
     "embed_kmeans_clusters",    # 4-row broadcast centroid relation
     "date_series_gapfill",      # 1-row date-bounds relation
     "firewall_unused_rules",    # broadcast rules dim × summary row
+    "firewall_policy_diff",     # broadcast ACL dim × O(rules) range
     "firewall_rule_staleness",  # 1-row broadcast horizon epoch scalar
     "rule_usage_report",        # 1-row total-hits for percentages
     "curation_mix_weights",     # 1-row broadcast relative-cap scalar
