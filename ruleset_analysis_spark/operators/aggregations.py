@@ -1638,3 +1638,116 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / (F.sqrt(m2) * m2), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
     )
+
+
+@register(
+    "agg_welch_ttest",
+    category="agg",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   TRY_CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+              AND abs(TRY_CAST(round(value * 100) AS BIGINT)) <= 1000000
+        ),
+        g AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(c) AS HUGEINT) AS s1,
+                   CAST(sum(c * c) AS HUGEINT) AS s2
+            FROM b GROUP BY event_type HAVING count(*) >= 2
+        ),
+        m AS (
+            SELECT event_type, CAST(n AS DOUBLE) AS n,
+                   CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2
+            FROM g
+        ),
+        v AS (
+            SELECT event_type, n, s1 / n AS mean,
+                   (s2 - (s1 * s1) / n) / (n - 1.0) AS var
+            FROM m
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               round((a.mean - b.mean)
+                     / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat,
+               round(((a.var / a.n + b.var / b.n)
+                      * (a.var / a.n + b.var / b.n))
+                     / ((a.var / a.n) * (a.var / a.n) / (a.n - 1.0)
+                        + (b.var / b.n) * (b.var / b.n) / (b.n - 1.0)),
+                     6) AS welch_dof
+        FROM v a JOIN v b ON a.event_type < b.event_type
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test over every event-type pair — "did the
+    mean move between segments, without assuming equal variances":
+    the statistic and Welch–Satterthwaite degrees of freedom, the two
+    numbers an experiment readout needs (the p-value is a pure
+    driver-side CDF lookup on dof). Completes the inferential-stats
+    family: corr/covar → regression → shape (skew/kurtosis) → tests.
+
+    Exactness (the family recipe): n, Σc, Σc² per type as EXACT
+    integers in one partial-aggregated exchange, then mean/variance/
+    t/dof as ONE identical IEEE tree in both engines (squares written
+    as x*x, never pow). The pairing joins the |event_type|-row moment
+    relation to itself on an inequality — a broadcast nested loop over
+    a ≤5-row build side, the allowlisted O(1) pattern; the corpus is
+    scanned once. HAVING n ≥ 2 guards the n−1 divisors on degenerate
+    corpora (identical both sides)."""
+    c0 = cents("value")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", c0.alias("c"))
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("c").isNotNull()
+            & (F.abs("c") <= F.lit(1_000_000))
+        )
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    g = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(cd).alias("s1r"),
+            F.sum(cd * cd).alias("s2r"),
+        )
+        .filter(F.col("n0") >= 2)
+    )
+    nd = F.col("n0").cast("double")
+    s1 = F.col("s1r").cast("double")
+    s2 = F.col("s2r").cast("double")
+    v = g.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n_i"),
+        nd.alias("n"),
+        (s1 / nd).alias("mean"),
+        ((s2 - (s1 * s1) / nd) / (nd - F.lit(1.0))).alias("var"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    se_a = F.col("a.var") / F.col("a.n")
+    se_b = F.col("b.var") / F.col("b.n")
+    se2 = se_a + se_b
+    return (
+        a.join(F.broadcast(b), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n_i").alias("n_a"),
+            F.col("b.n_i").alias("n_b"),
+            F.round(
+                (F.col("a.mean") - F.col("b.mean")) / F.sqrt(se2), 6
+            ).alias("t_stat"),
+            F.round(
+                (se2 * se2)
+                / (
+                    se_a * se_a / (F.col("a.n") - F.lit(1.0))
+                    + se_b * se_b / (F.col("b.n") - F.lit(1.0))
+                ),
+                6,
+            ).alias("welch_dof"),
+        )
+    )

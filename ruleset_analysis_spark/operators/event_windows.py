@@ -1637,3 +1637,94 @@ def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_distinct_ts")
     )
+
+
+@register(
+    "event_changepoint_cusum",
+    category="event",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        tot AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(c) AS BIGINT) AS total
+            FROM daily GROUP BY event_type
+        ),
+        cusum AS (
+            SELECT d.event_type, d.day, t.n_days,
+                   sum(t.n_days * d.c - t.total) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS s
+            FROM daily d JOIN tot t ON t.event_type = d.event_type
+        ),
+        ranked AS (
+            SELECT event_type, day, n_days, abs(s) AS abs_s,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(s) DESC, day ASC
+                   ) AS rk
+            FROM cusum
+        )
+        SELECT event_type, day AS changepoint_day,
+               CAST(abs_s AS BIGINT) AS max_abs_cusum,
+               n_days
+        FROM ranked WHERE rk = 1
+    """,
+)
+def event_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily event-rate series —
+    the drift monitor that localizes WHEN a series' level shifted
+    (deploy broke a pipeline, crawler throttled, traffic mix moved):
+    for each event type, the day maximizing |Σ_{i≤k}(c_i − mean)|.
+
+    Integer-exact trick: the textbook statistic subtracts the float
+    mean per step; multiplying through by n_days gives the IDENTICAL
+    argmax on S_k = Σ(n_days·c_i − total) — pure BIGINT algebra, so
+    the cross-engine argmax can never flip on a last-ULP float (the
+    registry's integer-argmax routing convention). Ties break on the
+    earliest day in both engines.
+
+    Shape: one keyed map-side-combined exchange to daily counts
+    (days × types rows — bounded by the calendar, not the corpus),
+    a broadcast-sized totals join, one in-partition window cumsum and
+    rank. At 100 TB the only corpus-sized work is the first partial
+    aggregation."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("c").alias("total")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "s", F.sum(F.col("n_days") * F.col("c") - F.col("total")).over(w)
+        )
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.abs("s").desc(), F.col("day").asc()
+    )
+    return (
+        cusum.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            F.abs("s").cast("long").alias("max_abs_cusum"),
+            "n_days",
+        )
+    )

@@ -102,3 +102,48 @@ def sample_topk_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("lang", "doc_id")
     )
+
+
+@register(
+    "sample_importance_weighted",
+    category="sampling",
+    oracle="""
+        SELECT doc_id, n_chars,
+               round(least(1.0, n_chars / 400.0), 6) AS p_keep
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL
+          AND CAST(CAST(concat('0x', substring(md5(text), 1, 15))
+                   AS BIGINT) AS DOUBLE) / 1152921504606846976.0
+              < least(1.0, n_chars / 400.0)
+    """,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPORTANCE-weighted deterministic sampling: each document's
+    acceptance probability is its OWN weight (here length-proportional,
+    capped at 1 — the token-weighted doc sampling move that makes a
+    uniform-over-docs sample behave like a uniform-over-tokens one),
+    decided by the same content-hash uniform as the rate-based
+    samplers. Completes the sampling family's third axis: global rate
+    (``sample_hash_deterministic``) → per-stratum rate
+    (``sample_stratified_hash``) → per-ROW weight (this).
+
+    Exactness: u is the 60-bit md5 prefix scaled by 2⁻⁶⁰ (exact in a
+    double) and the weight divides an exact integer by 400.0 — one
+    IEEE comparison, identical both engines, no RNG, reproducible
+    under re-runs/appends/engine swaps. NULL text or NULL n_chars
+    drops (under-sampling, never a crash — dirty-data convention).
+
+    Scale: pure per-row expression algebra inside codegen on ONE scan;
+    the predicate pushes to the parquet reader's row-group pruning for
+    the NULL gates. No shuffle at any scale."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    u = F.expr(
+        "CAST(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"
+        " AS DOUBLE)"
+    ) / F.lit(float(2**60))
+    p = F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0))
+    return d.filter(u < p).select(
+        "doc_id", "n_chars", F.round(p, 6).alias("p_keep")
+    )

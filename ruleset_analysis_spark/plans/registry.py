@@ -149,6 +149,9 @@ DRIVER_PRIORITY = (
     "agg_skewness_kurtosis",  # r5: exact-moment tail-shape report
     "text_ngram_novelty",  # r5: per-doc first-owner novelty score
     "firewall_policy_diff",  # r5: generation diff x live traffic
+    "event_changepoint_cusum",  # r5: integer-exact CUSUM drift day
+    "sample_importance_weighted",  # r5: per-row weight hash sampling
+    "agg_welch_ttest",  # r5: pairwise Welch t + Satterthwaite dof
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",

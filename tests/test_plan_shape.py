@@ -406,6 +406,7 @@ BNLJ_ALLOWED = {
     "firewall_rule_staleness",  # 1-row broadcast horizon epoch scalar
     "rule_usage_report",        # 1-row total-hits for percentages
     "curation_mix_weights",     # 1-row broadcast relative-cap scalar
+    "agg_welch_ttest",          # ≤5-row moment relation self-pairing
     "curation_sample_apply",    # 1-row broadcast relative-cap scalar
 }
 
