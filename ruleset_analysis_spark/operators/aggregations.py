@@ -1751,3 +1751,107 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("welch_dof"),
         )
     )
+
+
+# chi²-independence contribution quantization: per-cell contributions
+# are each ONE deterministic IEEE expression, but their SUM is float
+# addition whose order differs between engines — quantize each cell to
+# integer micro-units and sum THOSE (associative), the registry's
+# standard integer-routing move for cross-engine float reductions.
+_CHI2_QSCALE = 1_000_000
+
+
+@register(
+    "agg_chi2_independence",
+    category="agg",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type,
+                   CAST((CAST(ts AS DATE) - DATE '1970-01-01' + 4) % 7
+                        AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT c.event_type, c.dow, c.o,
+                   sum(c.o) OVER (PARTITION BY c.event_type) AS rt,
+                   sum(c.o) OVER (PARTITION BY c.dow) AS ct,
+                   sum(c.o) OVER () AS tot
+            FROM cells c
+        ),
+        q AS (
+            SELECT CAST(round(
+                       ({_CHI2_QSCALE}.0 * (CAST(o * tot - rt * ct AS DOUBLE)
+                                            * CAST(o * tot - rt * ct AS DOUBLE)))
+                       / (CAST(rt * ct AS DOUBLE) * CAST(tot AS DOUBLE))
+                   ) AS BIGINT) AS contrib_q,
+                   rt, ct
+            FROM margins
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(24 AS BIGINT) AS dof,
+               round(CAST(sum(contrib_q) AS DOUBLE)
+                     / {_CHI2_QSCALE}.0, 4) AS chi2
+        FROM q
+    """,
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² test of independence between event type and day-of-week —
+    "is the traffic mix the same every weekday?", the categorical
+    sibling of the Welch test. Emits the statistic and table shape;
+    the p-value is a driver-side CDF lookup.
+
+    Cross-engine float discipline: each cell's contribution
+    (o−e)²/e is rewritten with the float mean multiplied through —
+    (o·tot − rt·ct)² / (rt·ct·tot) — so it is ONE deterministic IEEE
+    expression over exact BIGINT margins; the contributions are then
+    quantized to integer micro-units and summed as BIGINTs (float
+    summation order differs between engines; integer addition is
+    associative — the registry's standard quantized-reduction move,
+    cf. _IVF_QSCALE). Bound: |o·tot − rt·ct| ≤ tot² and the square
+    ≤ 1e38 only past ~3e9 events per cell — and the double cast
+    happens BEFORE squaring, so the integer product never exceeds
+    64 bits at any realistic scale.
+
+    Shape: one map-side-combined exchange to the 5×7 contingency
+    cells; margins via windows over the 35-row relation; the corpus is
+    scanned once. dof here is the fixed (5−1)(7−1) of the full
+    contingency table (both corpora populate all 35 cells; the
+    constant is asserted equal on both sides rather than derived from
+    data, keeping the gate exact)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    dow = (
+        (F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))) + 4) % 7
+    ).cast("long")
+    cells = ev.groupBy(
+        "event_type", dow.alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("dow")
+    w_t = Window.partitionBy()
+    m = cells.select(
+        "o",
+        F.sum("o").over(w_r).alias("rt"),
+        F.sum("o").over(w_c).alias("ct"),
+        F.sum("o").over(w_t).alias("tot"),
+    )
+    d = (F.col("o") * F.col("tot") - F.col("rt") * F.col("ct")).cast("double")
+    contrib_q = F.round(
+        (F.lit(float(_CHI2_QSCALE)) * (d * d))
+        / (
+            (F.col("rt") * F.col("ct")).cast("double")
+            * F.col("tot").cast("double")
+        )
+    ).cast("long")
+    return m.select(contrib_q.alias("contrib_q")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.lit(24).cast("long").alias("dof"),
+        F.round(
+            F.sum("contrib_q").cast("double") / F.lit(float(_CHI2_QSCALE)),
+            4,
+        ).alias("chi2"),
+    )

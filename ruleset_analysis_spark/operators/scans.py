@@ -826,3 +826,104 @@ def scan_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("source").alias("n_with_source"),
         F.sum("n_chars").alias("new_gen_chars"),
     )
+
+
+@register(
+    "scan_csv_malformed_policy",
+    category="scan",
+    oracle="""
+        WITH clean AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+              AND value IS NOT NULL AND ts IS NOT NULL
+        )
+        SELECT 'good' AS row_class, event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM clean WHERE event_id % 10 <> 7 GROUP BY event_type
+        UNION ALL
+        SELECT 'corrupt' AS row_class, CAST(NULL AS VARCHAR) AS event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(NULL AS BIGINT) AS sum_value_cents
+        FROM clean WHERE event_id % 10 = 7
+    """,
+)
+def scan_csv_malformed_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read ERROR POLICY, graded on values: a CSV layout in
+    which every ``event_id % 10 == 7`` line carries an unparsable
+    value field is read back in PERMISSIVE mode with a declared
+    ``_corrupt_record`` quarantine column, and the good/corrupt census
+    must reconcile exactly with the injection rule replayed over the
+    original parquet. This is the ingest-reliability contract the
+    round-trip queries can't witness (they only prove the lossless
+    path): one bad row must neither abort the scan (FAILFAST), vanish
+    silently (DROPMALFORMED), nor poison a parsed column — it lands in
+    quarantine, countable and re-processable downstream.
+
+    The quarantined rows keep their parseable columns in PERMISSIVE
+    mode, so the census masks event_type to NULL for them — the census
+    must reflect the POLICY verdict, not whatever happened to parse.
+    Rows with any NULL component are excluded from the layout on both
+    sides (CSV NULL-rendering of a synthetic line is writer-dependent;
+    the roundtrip queries own the \\N sentinel contract).
+
+    Scale: the layout is written once per corpus fingerprint
+    (eager-builder exception, registry docstring); the read is one
+    splittable CSV scan + a map-side-combined census aggregation."""
+    from pyspark.sql import types as T
+
+    from ..sources.text_logs import read_csv
+
+    root, done = _layout_path(sf_dir, "events", "csv_bad")
+    if not done:
+        ev = load(spark, sf_dir, "events").filter(
+            F.col("event_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        lines = ev.select(
+            F.format_string(
+                "%d,%s,%s,%d",
+                "event_id",
+                "event_type",
+                F.when(F.col("event_id") % 10 == 7, F.lit("BROKEN")).otherwise(
+                    F.col("value").cast("string")
+                ),
+                F.unix_micros("ts"),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(root)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+    from ._util import cents
+
+    parsed = read_csv(spark, root, schema, header=False)
+    cls = F.when(
+        F.col("_corrupt_record").isNotNull(), F.lit("corrupt")
+    ).otherwise(F.lit("good"))
+    # summing a value-derived quantity is LOAD-BEARING, not decoration:
+    # the CSV reader prunes unreferenced columns BEFORE parsing, so a
+    # census that never touches `value` would never attempt the double
+    # conversion and the malformed rows would sail through as good
+    return (
+        parsed.select(
+            cls.alias("row_class"),
+            F.when(F.col("_corrupt_record").isNull(), F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("_corrupt_record").isNull(), cents("value"))
+            .alias("vc"),
+        )
+        .groupBy("row_class", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("vc").alias("sum_value_cents"),
+        )
+    )

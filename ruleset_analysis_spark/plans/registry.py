@@ -152,6 +152,8 @@ DRIVER_PRIORITY = (
     "event_changepoint_cusum",  # r5: integer-exact CUSUM drift day
     "sample_importance_weighted",  # r5: per-row weight hash sampling
     "agg_welch_ttest",  # r5: pairwise Welch t + Satterthwaite dof
+    "scan_csv_malformed_policy",  # r5: PERMISSIVE quarantine census
+    "agg_chi2_independence",  # r5: quantized-reduction chi-squared
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",

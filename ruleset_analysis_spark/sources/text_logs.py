@@ -112,6 +112,7 @@ def read_csv(
     path: str,
     schema: T.StructType,
     multiline: bool = False,
+    header: bool = True,
 ) -> DataFrame:
     """CSV with declared schema; malformed rows quarantined to a
     ``_corrupt_record`` column instead of poisoning the load.
@@ -139,7 +140,7 @@ def read_csv(
     return spark.read.csv(
         path,
         schema=schema,
-        header=True,
+        header=header,
         mode="PERMISSIVE",
         multiLine=multiline,
         nullValue="\\N",
