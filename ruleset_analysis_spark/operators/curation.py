@@ -886,3 +886,76 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_pct"),
         )
     )
+
+
+@register(
+    "curation_temperature_mix",
+    category="curation",
+    oracle="""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(coalesce(sum(len(list_filter(
+                            string_split(lower(text), ' '),
+                            t -> t <> ''))), 0) AS BIGINT) AS tok_count
+            FROM documents GROUP BY source
+        ),
+        t AS (
+            SELECT source, tok_count,
+                   CAST(round(1000000.0 * sqrt(CAST(tok_count AS DOUBLE)))
+                        AS BIGINT) AS wq
+            FROM per_source
+        )
+        SELECT source, tok_count,
+               round(CAST(wq AS DOUBLE)
+                     / (SELECT CAST(sum(wq) AS DOUBLE) FROM t), 6)
+                   AS mix_weight,
+               CAST(round((CAST(wq AS DOUBLE)
+                           / (SELECT CAST(sum(wq) AS DOUBLE) FROM t))
+                          * 1000000) AS BIGINT) AS alloc_ppm
+        FROM t
+    """,
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-scaled source mixing at τ = 0.5: each source's
+    sampling weight ∝ its token count^τ — the standard multilingual /
+    multi-source rebalancing (upweight the tail, temper the head)
+    beside the hard relative cap of ``curation_mix_weights``. Emits
+    the normalized mix weight and an integer parts-per-million
+    allocation (what a downstream sampler actually consumes).
+
+    τ = 0.5 is not just the literature's default — it is the ONE
+    non-integer temperature that is exactly portable: sqrt is
+    correctly rounded in IEEE 754 (pow(x, τ) is not), so both engines
+    compute bit-identical weights from the exact integer token counts,
+    each weight is then quantized to integer micro-units BEFORE the
+    normalizing sum, so the cross-engine reduction is associative
+    BIGINT addition (the quantized-reduction convention,
+    cf. agg_chi2_independence) — never an order-sensitive float fold.
+
+    Shape: one corpus-scan token count (map-side combined, the same
+    aggregation the cap-based mix runs), then scalar algebra on the
+    broadcast-sized source relation; the 1-row total joins keylessly —
+    the allowlisted O(1) BNLJ pattern."""
+    from .text_analysis import tokens
+
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.coalesce(
+            F.sum(F.size(tokens("text"))), F.lit(0)
+        ).cast("long").alias("tok_count")
+    )
+    t = per.select(
+        "source",
+        "tok_count",
+        F.round(
+            F.lit(1000000.0) * F.sqrt(F.col("tok_count").cast("double"))
+        ).cast("long").alias("wq"),
+    )
+    tot = t.agg(F.sum("wq").alias("tw"))
+    mix = F.col("wq").cast("double") / F.col("tw").cast("double")
+    return t.join(F.broadcast(tot)).select(
+        "source",
+        "tok_count",
+        F.round(mix, 6).alias("mix_weight"),
+        F.round(mix * F.lit(1000000)).cast("long").alias("alloc_ppm"),
+    )

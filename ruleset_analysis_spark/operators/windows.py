@@ -372,3 +372,80 @@ def window_rate_limit_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", "user_id", d, F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "window_median_moving",
+    category="window",
+    oracle="""
+        WITH b AS (
+            SELECT user_id, event_id, ts,
+                   TRY_CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+        ),
+        w AS (
+            SELECT user_id, event_id,
+                   list_sort(list(c) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   )) AS arr
+            FROM b
+        )
+        SELECT user_id, event_id,
+               CAST(len(arr) AS BIGINT) AS n_win,
+               CAST(arr[CAST((len(arr) - 1) // 2 AS INTEGER) + 1]
+                    + arr[CAST(len(arr) // 2 AS INTEGER) + 1]
+                    AS BIGINT) AS median2_cents
+        FROM w
+    """,
+)
+def window_median_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median of the money column over each user's last
+    5 events — the order-statistic-over-a-moving-frame operator Spark
+    has no native window function for (rank functions can't see a
+    frame; ``percentile`` isn't a window function): composed as
+    collect-the-bounded-frame → ``array_sort`` → middle elements, all
+    inside codegen. The robust-baseline primitive behind per-entity
+    anomaly thresholds (median-of-recent beats mean-of-recent under
+    the exact spikes being hunted).
+
+    Integer-exact gate: emits 2× the median (lower middle + upper
+    middle of the sorted frame — equal for odd frames), so the even-
+    frame average never becomes a float; the consumer divides. Frame
+    is ROWS-bounded (≤ 5 elements), so per-row state is O(frame), the
+    sort is a 5-element insertion inside the projection, and the only
+    exchange is the user-keyed window shuffle — the same partitioning
+    every other per-user window in the module rides. NULL user/ts/
+    value rows are excluded identically on both sides."""
+    from ._util import cents
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", cents("value").alias("c"))
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("c").isNotNull()
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("c").over(w))
+    return ev.select(
+        "user_id",
+        "event_id",
+        arr.alias("arr"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.size("arr").cast("long").alias("n_win"),
+        (
+            F.element_at("arr", ((F.size("arr") - 1) / 2).cast("int") + 1)
+            + F.element_at("arr", (F.size("arr") / 2).cast("int") + 1)
+        ).cast("long").alias("median2_cents"),
+    )

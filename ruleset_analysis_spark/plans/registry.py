@@ -154,6 +154,8 @@ DRIVER_PRIORITY = (
     "agg_welch_ttest",  # r5: pairwise Welch t + Satterthwaite dof
     "scan_csv_malformed_policy",  # r5: PERMISSIVE quarantine census
     "agg_chi2_independence",  # r5: quantized-reduction chi-squared
+    "curation_temperature_mix",  # r5: sqrt-temperature source weights
+    "window_median_moving",  # r5: exact rolling median composition
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
