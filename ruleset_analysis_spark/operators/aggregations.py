@@ -1855,3 +1855,130 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2"),
     )
+
+
+@register(
+    "agg_mann_whitney_u",
+    category="agg",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   TRY_CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+              AND abs(TRY_CAST(round(value * 100) AS BIGINT)) <= 1000000
+        ),
+        cells AS (
+            SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY event_type, v
+        ),
+        grid AS (
+            SELECT t.event_type, vv.v,
+                   coalesce(c.cnt, 0) AS cnt
+            FROM (SELECT DISTINCT event_type FROM cells) t
+            CROSS JOIN (SELECT DISTINCT v FROM cells) vv
+            LEFT JOIN cells c
+                   ON c.event_type = t.event_type AND c.v = vv.v
+        ),
+        cum AS (
+            SELECT event_type, v, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) - cnt AS cum_lt
+            FROM grid
+        )
+        SELECT a.event_type AS type_a, g.event_type AS type_b,
+               CAST(min(na.n) AS BIGINT) AS n_a,
+               CAST(min(nb.n) AS BIGINT) AS n_b,
+               CAST(sum(a.cnt * (2 * g.cum_lt + g.cnt)) AS BIGINT) AS u2_a
+        FROM cells a
+        JOIN cum g ON g.v = a.v AND a.event_type < g.event_type
+        JOIN (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+              FROM cells GROUP BY event_type) na
+             ON na.event_type = a.event_type
+        JOIN (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+              FROM cells GROUP BY event_type) nb
+             ON nb.event_type = g.event_type
+        GROUP BY a.event_type, g.event_type
+    """,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U for every event-type pair — the NONPARAMETRIC
+    "did the distribution shift" readout beside the Welch test (rank
+    tests survive the heavy tails that invalidate a t-test). Emits
+    2·U_a (doubled so midrank ties stay integer) plus both sample
+    sizes; mean and variance of U under H0 are closed forms of n_a,
+    n_b for the consumer.
+
+    The scale formulation is the pair-counting identity, NOT ranking:
+    U_a = #{(x∈a, y∈b): x > y} + ties/2, computed from per-value
+    count cells over a dense value grid — cumulative counts per type
+    (one window over the |types|×|values| grid, corpus-independent),
+    then an EQUI-join of a's cells to b's grid row at the same value:
+    2·U_a = Σ_v cnt_a(v)·(2·cum_lt_b(v) + cnt_b(v)). No sort of the
+    corpus, no per-row ranks, no theta join — the only corpus-sized
+    work is the (type, value) cell aggregation, and everything
+    downstream is bounded by |types|·|distinct values|. All-integer,
+    so the cross-engine gate is exact."""
+    c0 = cents("value")
+    b = (
+        load(spark, sf_dir, "events")
+        .select("event_type", c0.alias("v"))
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.abs("v") <= F.lit(1_000_000))
+        )
+    )
+    cells = b.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    types = cells.select("event_type").distinct()
+    values = cells.select("v").distinct()
+    grid = (
+        types.crossJoin(values)
+        .join(cells, ["event_type", "v"], "left")
+        .select(
+            "event_type", "v", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "event_type",
+        "v",
+        "cnt",
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cum_lt"),
+    )
+    n_per = cells.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    a = cells.alias("a")
+    g = cum.alias("g")
+    paired = a.join(
+        g,
+        (F.col("a.v") == F.col("g.v"))
+        & (F.col("a.event_type") < F.col("g.event_type")),
+    )
+    agg = paired.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("g.event_type").alias("type_b"),
+    ).agg(
+        F.sum(
+            F.col("a.cnt") * (F.lit(2) * F.col("g.cum_lt") + F.col("g.cnt"))
+        ).cast("long").alias("u2_a")
+    )
+    na = n_per.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    nb = n_per.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        agg.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select("type_a", "type_b", "n_a", "n_b", "u2_a")
+    )

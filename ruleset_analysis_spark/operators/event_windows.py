@@ -1728,3 +1728,81 @@ def event_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+_MAU_WINDOW_DAYS = 30
+
+
+@register(
+    "event_dau_mau_stickiness",
+    category="event",
+    oracle=f"""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        contrib AS (
+            SELECT user_id, d + CAST(k.k AS INTEGER) AS report_day
+            FROM ud CROSS JOIN
+                 (SELECT unnest(range({_MAU_WINDOW_DAYS})) AS k) k
+        ),
+        dau AS (
+            SELECT d AS report_day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM ud GROUP BY d
+        ),
+        mau AS (
+            SELECT c.report_day,
+                   CAST(count(DISTINCT c.user_id) AS BIGINT) AS mau
+            FROM contrib c JOIN (SELECT DISTINCT d FROM ud) days
+                 ON days.d = c.report_day
+            GROUP BY c.report_day
+        )
+        SELECT d.report_day, d.dau, m.mau,
+               round(CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE), 6)
+                   AS stickiness
+        FROM dau d JOIN mau m ON m.report_day = d.report_day
+    """,
+)
+def event_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement-depth KPI (what
+    fraction of the month's audience shows up on a given day), i.e.
+    the ratio of a point-distinct to a trailing-30-day sliding
+    distinct. The sliding side reuses ``event_wau_sliding_distinct``'s
+    bounded-explode formulation at window 30: one corpus-sized
+    (user, day) dedup exchange, then constant fan-out contributions —
+    work is 30·|user-days|, the event table is touched once, and both
+    distinct rollups ride the same keyed partitioning. The ratio is
+    one double division of two exact BIGINTs (identical both
+    engines). Report days restricted to days with activity; NULL
+    ts/user rows excluded identically on both sides."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy(F.col("d").alias("report_day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.date_add(F.col("d"), _MAU_WINDOW_DAYS - 1)
+            )
+        ).alias("report_day"),
+    )
+    days = ud.select("d").distinct()
+    mau = (
+        contrib.join(F.broadcast(days), contrib.report_day == days.d)
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return dau.join(mau, "report_day").select(
+        "report_day",
+        "dau",
+        "mau",
+        F.round(
+            F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+        ).alias("stickiness"),
+    )

@@ -156,6 +156,8 @@ DRIVER_PRIORITY = (
     "agg_chi2_independence",  # r5: quantized-reduction chi-squared
     "curation_temperature_mix",  # r5: sqrt-temperature source weights
     "window_median_moving",  # r5: exact rolling median composition
+    "agg_mann_whitney_u",  # r5: pair-counting nonparametric U test
+    "event_dau_mau_stickiness",  # r5: DAU/MAU bounded-explode ratio
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
