@@ -1982,3 +1982,136 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nb), "type_b")
         .select("type_a", "type_b", "n_a", "n_b", "u2_a")
     )
+
+
+@register(
+    "agg_ks_test",
+    category="agg",
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   TRY_CAST(round(value * 100) AS BIGINT) AS v
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+              AND abs(TRY_CAST(round(value * 100) AS BIGINT)) <= 1000000
+        ),
+        cells AS (
+            SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY event_type, v
+        ),
+        grid AS (
+            SELECT t.event_type, vv.v, coalesce(c.cnt, 0) AS cnt
+            FROM (SELECT DISTINCT event_type FROM cells) t
+            CROSS JOIN (SELECT DISTINCT v FROM cells) vv
+            LEFT JOIN cells c
+                   ON c.event_type = t.event_type AND c.v = vv.v
+        ),
+        cum AS (
+            SELECT event_type, v,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum_le
+            FROM grid
+        ),
+        n AS (
+            SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+            FROM cells GROUP BY event_type
+        )
+        SELECT a.event_type AS type_a, g.event_type AS type_b,
+               CAST(min(na.n) AS BIGINT) AS n_a,
+               CAST(min(nb.n) AS BIGINT) AS n_b,
+               CAST(max(abs(a.cum_le * nb.n - g.cum_le * na.n))
+                    AS BIGINT) AS ks_num,
+               round(CAST(max(abs(a.cum_le * nb.n - g.cum_le * na.n))
+                          AS DOUBLE)
+                     / (CAST(min(na.n) AS DOUBLE)
+                        * CAST(min(nb.n) AS DOUBLE)), 6) AS d_stat
+        FROM cum a
+        JOIN cum g ON g.v = a.v AND a.event_type < g.event_type
+        JOIN n na ON na.event_type = a.event_type
+        JOIN n nb ON nb.event_type = g.event_type
+        GROUP BY a.event_type, g.event_type
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D for every event-type pair —
+    the whole-shape distribution test completing the trio (Welch:
+    means; Mann–Whitney: stochastic order; KS: max ECDF gap, the
+    drift alarm most data-quality monitors ship).
+
+    Integer-exact: D = max_v |F_a(v) − F_b(v)| multiplied through by
+    n_a·n_b becomes max |cum_a(v)·n_b − cum_b(v)·n_a| — a BIGINT
+    maximum over the dense value grid (the Mann–Whitney substrate:
+    per-type cumulative counts at every observed value), so the
+    cross-engine extremum can never flip on a float ULP; d_stat
+    divides the integer extremum once at the end. Corpus touched
+    once for the (type, value) cells; everything downstream is
+    bounded by |types|·|values| with an EQUI-join on value."""
+    c0 = cents("value")
+    b = (
+        load(spark, sf_dir, "events")
+        .select("event_type", c0.alias("v"))
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.abs("v") <= F.lit(1_000_000))
+        )
+    )
+    cells = b.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    types = cells.select("event_type").distinct()
+    values = cells.select("v").distinct()
+    grid = (
+        types.crossJoin(values)
+        .join(cells, ["event_type", "v"], "left")
+        .select("event_type", "v", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "event_type", "v", F.sum("cnt").over(wcum).alias("cum_le")
+    )
+    n_per = cells.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    a = cum.alias("a")
+    g = cum.alias("g")
+    paired = a.join(
+        g,
+        (F.col("a.v") == F.col("g.v"))
+        & (F.col("a.event_type") < F.col("g.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("g.event_type").alias("type_b"),
+        F.col("a.cum_le").alias("ca"),
+        F.col("g.cum_le").alias("cb"),
+    )
+    na = n_per.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = n_per.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    j = paired.join(F.broadcast(na), "type_a").join(F.broadcast(nb), "type_b")
+    return (
+        j.groupBy("type_a", "type_b")
+        .agg(
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+            ).cast("long").alias("ks_num"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "ks_num",
+            F.round(
+                F.col("ks_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("d_stat"),
+        )
+    )

@@ -158,6 +158,7 @@ DRIVER_PRIORITY = (
     "window_median_moving",  # r5: exact rolling median composition
     "agg_mann_whitney_u",  # r5: pair-counting nonparametric U test
     "event_dau_mau_stickiness",  # r5: DAU/MAU bounded-explode ratio
+    "agg_ks_test",  # r5: integer-extremum Kolmogorov-Smirnov D
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",

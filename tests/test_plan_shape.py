@@ -408,6 +408,7 @@ BNLJ_ALLOWED = {
     "curation_mix_weights",     # 1-row broadcast relative-cap scalar
     "agg_welch_ttest",          # ≤5-row moment relation self-pairing
     "agg_mann_whitney_u",       # ≤5-row type dim × value grid build
+    "agg_ks_test",              # ≤5-row type dim × value grid build
     "curation_sample_apply",    # 1-row broadcast relative-cap scalar
     "curation_temperature_mix", # 1-row broadcast weight-total scalar
 }
