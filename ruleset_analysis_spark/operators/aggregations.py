@@ -2115,3 +2115,179 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d_stat"),
         )
     )
+
+
+# Benford expected first-digit shares in parts-per-million, as INTEGER
+# LITERALS (round(1e6*log10(1+1/d)) — they sum to exactly 1,000,000):
+# hardcoding them keeps log10 out of both engines entirely, so the
+# only float op in the whole query is the final rounded division.
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947,
+                57992, 51153, 45757)
+
+
+@register(
+    "agg_benford_deviation",
+    category="agg",
+    oracle=f"""
+        WITH b AS (
+            SELECT TRY_CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+            WHERE TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+              AND TRY_CAST(round(value * 100) AS BIGINT) > 0
+        ),
+        digits AS (
+            SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit
+            FROM b
+        ),
+        counts AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n
+            FROM digits GROUP BY digit
+        ),
+        expected AS (
+            SELECT CAST(d.col0 AS BIGINT) AS digit,
+                   CAST(d.col1 AS BIGINT) AS exp_ppm
+            FROM (VALUES {", ".join(f"({d+1}, {p})" for d, p in enumerate(_BENFORD_PPM))})
+                 d
+        )
+        SELECT e.digit,
+               coalesce(c.n, 0) AS n,
+               e.exp_ppm,
+               CAST(coalesce(c.n, 0) * 1000000
+                    - e.exp_ppm * (SELECT sum(n) FROM counts)
+                    AS BIGINT) AS dev_num
+        FROM expected e LEFT JOIN counts c ON c.digit = e.digit
+    """,
+)
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screening of the money column — the
+    classic synthetic-data / fraud / unit-mixup alarm (organic
+    multiplicative quantities lead with 1 ~30% of the time; a uniform
+    generator or a doctored column does not). Emits per digit the
+    observed count, the expected parts-per-million share, and the
+    SIGNED integer deviation numerator n·1e6 − exp_ppm·N (divide by
+    1e6·N for the share delta; χ²/MAD composition is downstream
+    algebra on these integers).
+
+    Exactness: the nine expected shares are integer LITERALS
+    (round(1e6·log10(1+1/d)) — summing to exactly 1e6), so neither
+    engine evaluates a logarithm and the entire result is BIGINT —
+    the hash gate is exact by construction. First digit via string
+    head of the positive integer cents (identical semantics both
+    engines; zero/negative/NULL-degraded cents excluded identically).
+
+    Shape: one scan → 9-group map-side-combined count; the expected
+    table is a 9-row literal dimension; the total is a 1-row
+    broadcast (allowlisted O(1) pattern)."""
+    ev = load(spark, sf_dir, "events").select(cents("value").alias("c"))
+    pos = ev.filter(F.col("c").isNotNull() & (F.col("c") > 0))
+    digits = pos.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    expected = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)],
+        "digit: long, exp_ppm: long",
+    )
+    tot = counts.agg(F.sum("n").alias("total_n"))
+    return (
+        expected.join(counts, "digit", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "exp_ppm",
+            (
+                F.coalesce("n", F.lit(0)) * F.lit(1000000)
+                - F.col("exp_ppm") * F.col("total_n")
+            ).cast("long").alias("dev_num"),
+        )
+    )
+
+
+@register(
+    "agg_gini_coefficient",
+    category="agg",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, event_id,
+                   TRY_CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+              AND TRY_CAST(round(value * 100) AS BIGINT) >= 0
+        ),
+        r AS (
+            SELECT event_type, c,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type ORDER BY c, event_id
+                   ) AS HUGEINT) AS i
+            FROM b
+        ),
+        g AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s,
+                   sum(i * c) AS si
+            FROM r GROUP BY event_type
+        )
+        SELECT event_type, n, s AS sum_cents,
+               round((2.0 * CAST(si AS DOUBLE)
+                      - (CAST(n AS DOUBLE) + 1.0) * CAST(s AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+        FROM g
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the money column per event type — the
+    canonical concentration index beside the Pareto report ("what
+    share of revenue the top whales carry" as ONE number in [0,1)).
+
+    Exactness: the rank-weighted formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ)
+    / (n·Σxᵢ) over ascending ranks runs as exact integers (Σi·xᵢ in
+    128 bits — i·xᵢ per row fits a BIGINT to 1e9+ rows, the SUM is
+    HUGEINT/decimal(38,0)), then ONE identical IEEE tree. Ties need
+    no tie-break for correctness (equal values contribute x·Σi over
+    any ordering of the tied block) but ranks order (c, event_id) so
+    the plan is deterministic anyway. Negative/NULL-degraded cents
+    are excluded identically (Gini is defined on non-negative mass).
+
+    Shape: one type-keyed window rank (the corpus-sized exchange) and
+    one map-side-combined moment aggregation on the same partitioning
+    — no second shuffle. At 100 TB the window sort dominates, which
+    is the honest cost of an order-statistic index; the Pareto report
+    remains the cheap screen, Gini the exact readout."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "event_id", cents("value").alias("c"))
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("c").isNotNull()
+            & (F.col("c") >= 0)
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    r = ev.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).cast("decimal(38,0)").alias("i"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("i") * F.col("c")).alias("si"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    return g.select(
+        "event_type",
+        "n",
+        F.col("s").alias("sum_cents"),
+        F.round(
+            (F.lit(2.0) * F.col("si").cast("double") - (nd + F.lit(1.0)) * sd)
+            / (nd * sd),
+            6,
+        ).alias("gini"),
+    )

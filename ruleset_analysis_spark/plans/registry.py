@@ -159,6 +159,8 @@ DRIVER_PRIORITY = (
     "agg_mann_whitney_u",  # r5: pair-counting nonparametric U test
     "event_dau_mau_stickiness",  # r5: DAU/MAU bounded-explode ratio
     "agg_ks_test",  # r5: integer-extremum Kolmogorov-Smirnov D
+    "agg_benford_deviation",  # r5: literal-ppm Benford screening
+    "agg_gini_coefficient",  # r5: exact rank-weighted concentration
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",

@@ -409,6 +409,7 @@ BNLJ_ALLOWED = {
     "agg_welch_ttest",          # ≤5-row moment relation self-pairing
     "agg_mann_whitney_u",       # ≤5-row type dim × value grid build
     "agg_ks_test",              # ≤5-row type dim × value grid build
+    "agg_benford_deviation",    # 9-row literal dim × 1-row total
     "curation_sample_apply",    # 1-row broadcast relative-cap scalar
     "curation_temperature_mix", # 1-row broadcast weight-total scalar
 }
