@@ -291,3 +291,100 @@ def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {lv} WHERE l_quantity > 45
         """
     )
+
+
+class _TypeSummary:
+    """Python UDTF consuming a TABLE argument partitioned by
+    event_type: eval() is fed every row of one partition, terminate()
+    emits that partition's summary row — the grouped-custom-aggregation
+    shape for logic a SQL aggregate can't express (here it also tracks
+    the distinct-user set imperatively). The cents rounding mirrors
+    the cents()/TRY_CAST contract: non-finite or >2^63 magnitudes
+    degrade to NULL (skipped from the sum), never raise."""
+
+    def __init__(self):
+        self._type = None
+        self._n = 0
+        self._users = set()
+        self._sum_c = 0
+
+    def eval(self, row):
+        import math
+
+        self._type = row["event_type"]
+        self._n += 1
+        if row["user_id"] is not None:
+            self._users.add(row["user_id"])
+        v = row["value"]
+        if v is not None and math.isfinite(v):
+            c = math.floor(v * 100 + 0.5) if v >= 0 else -math.floor(
+                -v * 100 + 0.5
+            )
+            if -(2**63) <= c < 2**63:
+                self._sum_c += c
+
+    def terminate(self):
+        if self._n:
+            yield self._type, self._n, len(self._users), self._sum_c
+
+
+@register(
+    "udtf_table_arg_grouped",
+    category="udf",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(coalesce(sum(TRY_CAST(round(value * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS sum_value_cents
+        FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY event_type
+    """,
+)
+def udtf_table_arg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 TABLE-argument UDTF with ``PARTITION BY`` — the third
+    and last Python table-function surface after the lateral per-row
+    UDTF (``udtf_python_native``) and Arrow ``applyInPandas``
+    (``udaf_grouped_pandas``): the UDTF receives an entire partition
+    of a TABLE argument row-by-row and emits its summary from
+    ``terminate()``. This is the API for grouped custom logic that is
+    neither per-row (lateral) nor naturally vectorizable (pandas) —
+    sequential state machines, set trackers, protocol validators.
+
+    Graded on values against the plain SQL rollup, so the partition
+    routing (every row of a type reaches exactly one UDTF instance)
+    and the terminate() emission contract are both witnessed. Python
+    cents mirror the TRY_CAST NULL-degrade (dirty rows sum as 0,
+    never raise); NULL event_type rows are excluded on both sides
+    (a NULL partition key's routing is engine-specific).
+
+    Scale: one hash exchange on the partition key into Arrow-fed
+    Python workers — the same topology as applyInPandas; state is
+    O(distinct users per type). Declared Python surface
+    (tests/test_plan_shape.py allowlist)."""
+    from pyspark.sql.functions import udtf
+
+    from ..session import shuffle_partitions  # noqa: F401  (parity import)
+
+    ev = (
+        load(spark, sf_dir, "events")  # load first: ships the package
+        .select("event_type", "user_id", "value")
+        .filter(F.col("event_type").isNotNull())
+    )
+    summarizer = udtf(
+        _TypeSummary,
+        returnType=(
+            "event_type string, n_events bigint, n_users bigint,"
+            " sum_value_cents bigint"
+        ),
+    )
+    spark.udtf.register("type_summary", summarizer)
+    ev.createOrReplaceTempView("_udtf_table_arg_in")
+    return spark.sql(
+        """
+        SELECT t.event_type, t.n_events, t.n_users, t.sum_value_cents
+        FROM type_summary(TABLE(_udtf_table_arg_in)
+                          PARTITION BY event_type) t
+        """
+    )

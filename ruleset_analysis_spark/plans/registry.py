@@ -161,6 +161,7 @@ DRIVER_PRIORITY = (
     "agg_ks_test",  # r5: integer-extremum Kolmogorov-Smirnov D
     "agg_benford_deviation",  # r5: literal-ppm Benford screening
     "agg_gini_coefficient",  # r5: exact rank-weighted concentration
+    "udtf_table_arg_grouped",  # r5: TABLE-arg PARTITION BY UDTF
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",

@@ -30,6 +30,7 @@ PYTHON_ALLOWED = {
     "multimodal_dhash_fingerprint",
     "multimodal_phash_radius_join",
     "udtf_python_native",
+    "udtf_table_arg_grouped",
     "pack_greedy_bins",
     "embed_pca_project",
 }
