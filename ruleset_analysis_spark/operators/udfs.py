@@ -297,35 +297,30 @@ class _TypeSummary:
     """Python UDTF consuming a TABLE argument partitioned by
     event_type: eval() is fed every row of one partition, terminate()
     emits that partition's summary row — the grouped-custom-aggregation
-    shape for logic a SQL aggregate can't express (here it also tracks
-    the distinct-user set imperatively). The cents rounding mirrors
-    the cents()/TRY_CAST contract: non-finite or >2^63 magnitudes
-    degrade to NULL (skipped from the sum), never raise."""
+    shape for logic a SQL aggregate can't express. The rows it
+    receives are PER-USER PARTIALS pre-combined in the JVM (see the
+    builder), so Python sums exact BIGINTs and counts rows; a user's
+    rows are one partial by construction, making the distinct-user
+    count a row count over non-NULL users (count(DISTINCT) semantics:
+    a NULL-user partial contributes events but no user)."""
 
     def __init__(self):
         self._type = None
-        self._n = 0
-        self._users = set()
+        self._n_events = 0
+        self._n_users = 0
         self._sum_c = 0
 
     def eval(self, row):
-        import math
-
         self._type = row["event_type"]
-        self._n += 1
+        self._n_events += row["n_events"]
         if row["user_id"] is not None:
-            self._users.add(row["user_id"])
-        v = row["value"]
-        if v is not None and math.isfinite(v):
-            c = math.floor(v * 100 + 0.5) if v >= 0 else -math.floor(
-                -v * 100 + 0.5
-            )
-            if -(2**63) <= c < 2**63:
-                self._sum_c += c
+            self._n_users += 1
+        if row["sum_c"] is not None:
+            self._sum_c += row["sum_c"]
 
     def terminate(self):
-        if self._n:
-            yield self._type, self._n, len(self._users), self._sum_c
+        if self._n_events:
+            yield self._type, self._n_events, self._n_users, self._sum_c
 
 
 @register(
@@ -359,18 +354,32 @@ def udtf_table_arg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     never raise); NULL event_type rows are excluded on both sides
     (a NULL partition key's routing is engine-specific).
 
-    Scale: one hash exchange on the partition key into Arrow-fed
-    Python workers — the same topology as applyInPandas; state is
-    O(distinct users per type). Declared Python surface
-    (tests/test_plan_shape.py allowlist)."""
+    Scale: the Python boundary is fed PER-USER PARTIALS pre-combined
+    by a JVM map-side aggregation, not raw events — shipping raw rows
+    into a row-at-a-time eval() measured 9-10 s at sf0.1 (and salting
+    the partition key for parallelism did NOT help: the cost is
+    per-row Python itself, ~10k rows/s), while the partial-combine
+    form is sub-second because Python sees |users|·|types| rows
+    regardless of corpus size. This is the standing rule at the
+    Python boundary: reduce in the JVM first, cross with partials —
+    the UDTF still witnesses partition routing and terminate()
+    emission on multi-row partitions. Distinct users stay exact
+    because a user contributes exactly one partial per type. Declared
+    Python surface (tests/test_plan_shape.py allowlist)."""
     from pyspark.sql.functions import udtf
 
     from ..session import shuffle_partitions  # noqa: F401  (parity import)
 
+    from ._util import cents
+
     ev = (
         load(spark, sf_dir, "events")  # load first: ships the package
-        .select("event_type", "user_id", "value")
         .filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(cents("value")).alias("sum_c"),
+        )
     )
     summarizer = udtf(
         _TypeSummary,
