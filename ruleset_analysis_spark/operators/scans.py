@@ -927,3 +927,80 @@ def scan_csv_malformed_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vc").alias("sum_value_cents"),
         )
     )
+
+
+@register(
+    "scan_partition_overwrite_dynamic",
+    category="scan",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, CAST(ts AS DATE) AS day
+            FROM events WHERE ts IS NOT NULL
+        ),
+        md AS (SELECT min(day) AS d FROM e)
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT e.day) AS BIGINT) AS n_days
+        FROM e, md
+        WHERE e.day <> md.d OR e.event_type = 'click'
+        GROUP BY e.event_type
+    """,
+)
+def scan_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite graded on values — the warehouse
+    backfill primitive: ``INSERT OVERWRITE`` with
+    ``partitionOverwriteMode=dynamic`` must replace ONLY the
+    partitions present in the incoming frame and leave every other
+    day's directory untouched (static mode would wipe the whole
+    table — the classic backfill data-loss trap). The builder writes
+    a day-partitioned copy of events, then overwrites the EARLIEST
+    day with only that day's clicks; the graded census over the
+    post-overwrite layout must equal the substitution rule replayed
+    on the original parquet — so a hash match witnesses both halves:
+    the target partition was replaced AND no other partition was
+    touched.
+
+    Determinism: the corrected slice is a pure function of the corpus
+    (min day + click filter); the layout + overwrite run once per
+    corpus fingerprint behind a second marker (the _SUCCESS of the
+    initial write cannot vouch for the overwrite). The mode conf is
+    set per-write and restored — at 100 TB dynamic mode is what makes
+    partition-grained reprocessing O(changed partitions), not
+    O(table). NULL-ts rows are excluded from the layout and the
+    oracle identically. Eager-builder exception (registry docstring):
+    first call per corpus materializes the layout."""
+    import os
+
+    from ..sources.sinks import write_parquet
+
+    root, done = _layout_path(sf_dir, "events", "dyn_ovw")
+    marker = os.path.join(root, "_OVERWRITE_DONE")
+    if not (done and os.path.exists(marker)):
+        ev = (
+            load(spark, sf_dir, "events")
+            .filter(F.col("ts").isNotNull())
+            .withColumn("day", F.to_date("ts"))
+        )
+        write_parquet(ev.repartition("day"), root, partition_by=["day"])
+        min_day = ev.agg(F.min("day")).first()[0]
+        corrected = ev.filter(
+            (F.col("day") == F.lit(min_day))
+            & (F.col("event_type") == "click")
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            corrected.repartition("day").write.mode("overwrite").partitionBy(
+                "day"
+            ).parquet(root)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        open(marker, "w").close()
+    return (
+        spark.read.parquet(root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("day").cast("long").alias("n_days"),
+        )
+    )

@@ -162,6 +162,7 @@ DRIVER_PRIORITY = (
     "agg_benford_deviation",  # r5: literal-ppm Benford screening
     "agg_gini_coefficient",  # r5: exact rank-weighted concentration
     "udtf_table_arg_grouped",  # r5: TABLE-arg PARTITION BY UDTF
+    "scan_partition_overwrite_dynamic",  # r5: backfill-safe overwrite
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
