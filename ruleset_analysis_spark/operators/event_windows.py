@@ -1806,3 +1806,176 @@ def event_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dau").cast("double") / F.col("mau").cast("double"), 6
         ).alias("stickiness"),
     )
+
+
+@register(
+    "agg_autocorrelation_lag1",
+    category="agg",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS t
+            FROM daily GROUP BY event_type
+        ),
+        led AS (
+            SELECT d.event_type, t.n, t.t, d.c,
+                   lead(d.c) OVER (PARTITION BY d.event_type
+                                   ORDER BY d.day) AS c_next
+            FROM daily d JOIN tot t ON t.event_type = d.event_type
+        ),
+        s AS (
+            SELECT event_type, CAST(min(n) AS BIGINT) AS n_days,
+                   sum(CASE WHEN c_next IS NOT NULL THEN
+                       CAST(n * c - t AS HUGEINT)
+                       * CAST(n * c_next - t AS HUGEINT) END) AS num,
+                   sum(CAST(n * c - t AS HUGEINT)
+                       * CAST(n * c - t AS HUGEINT)) AS den
+            FROM led GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r1
+        FROM s
+    """,
+)
+def agg_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each type's daily event-count series —
+    the one-number momentum/seasonality diagnostic read before
+    forecasting or anomaly-thresholding a rate series (r1 ≈ 0: treat
+    days as independent; r1 ≫ 0: yesterday predicts today, widen the
+    baseline window).
+
+    Integer multiply-through (the CUSUM trick applied to a second
+    moment): centered terms (c − T/n) become (n·c − T) after scaling
+    by n², so numerator Σ(n·cₜ−T)(n·cₜ₊₁−T) and denominator
+    Σ(n·cₜ−T)² are EXACT 128-bit integers — the only float op is the
+    final rounded division, identical in both engines. Series length
+    is calendar-bounded, so the window/lead/sums all run on a
+    days×types relation; the corpus is touched once by the daily
+    count (map-side combined)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("t")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    led = daily.join(F.broadcast(tot), "event_type").withColumn(
+        "c_next", F.lead("c").over(w)
+    )
+    dev = (F.col("n") * F.col("c") - F.col("t")).cast("decimal(38,0)")
+    dev_next = (F.col("n") * F.col("c_next") - F.col("t")).cast(
+        "decimal(38,0)"
+    )
+    s = led.groupBy("event_type").agg(
+        F.min("n").cast("long").alias("n_days"),
+        F.sum(
+            F.when(F.col("c_next").isNotNull(), dev * dev_next)
+        ).alias("num"),
+        F.sum(dev * dev).alias("den"),
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("r1"),
+    )
+
+
+@register(
+    "event_ohlc_bars",
+    category="event",
+    oracle="""
+        WITH b AS (
+            SELECT event_type, date_trunc('hour', ts) AS bar,
+                   ts, event_id,
+                   TRY_CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+              AND TRY_CAST(round(value * 100) AS BIGINT) IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_type, bar, c,
+                   row_number() OVER (PARTITION BY event_type, bar
+                                      ORDER BY ts, event_id) AS rk_a,
+                   row_number() OVER (PARTITION BY event_type, bar
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rk_d
+            FROM b
+        ),
+        agg AS (
+            SELECT event_type, bar,
+                   CAST(count(*) AS BIGINT) AS n_ticks,
+                   CAST(max(c) AS BIGINT) AS high_cents,
+                   CAST(min(c) AS BIGINT) AS low_cents
+            FROM b GROUP BY event_type, bar
+        )
+        SELECT a.event_type,
+               CAST(epoch(a.bar) AS BIGINT) AS bar_epoch,
+               a.n_ticks,
+               CAST(o.c AS BIGINT) AS open_cents,
+               a.high_cents, a.low_cents,
+               CAST(cl.c AS BIGINT) AS close_cents
+        FROM agg a
+        JOIN ranked o ON o.event_type = a.event_type AND o.bar = a.bar
+                     AND o.rk_a = 1
+        JOIN ranked cl ON cl.event_type = a.event_type AND cl.bar = a.bar
+                      AND cl.rk_d = 1
+    """,
+)
+def event_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars: per (event type, hour) the opening / highest /
+    lowest / closing money value — the canonical time-series
+    downsampling every monitoring and market pipeline runs, expressed
+    as ONE partial-aggregatable pass (open/close are min_by/max_by on
+    the (ts, event_id) composite — order-statistics that merge
+    associatively, so map-side combine holds and no window sort is
+    needed; the tie-break on event_id makes the cross-engine argmin/
+    argmax deterministic even on equal timestamps — the standing
+    integer-argmax discipline applied to time).
+
+    One keyed exchange to (type, hour) groups; integer cents
+    throughout so the hash gate is exact. At 100 TB this is the
+    motivating case for partial aggregation: raw ticks collapse to
+    calendar-bounded bars in the map phase and only bars shuffle."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bar"),
+            "ts",
+            "event_id",
+            cents("value").alias("c"),
+        )
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("c").isNotNull()
+        )
+    )
+    key = F.struct(F.unix_micros("ts").alias("tu"), F.col("event_id"))
+    return ev.groupBy("event_type", "bar").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.min_by("c", key).cast("long").alias("open_cents"),
+        F.max("c").cast("long").alias("high_cents"),
+        F.min("c").cast("long").alias("low_cents"),
+        F.max_by("c", key).cast("long").alias("close_cents"),
+    ).select(
+        "event_type",
+        F.unix_timestamp("bar").alias("bar_epoch"),
+        "n_ticks",
+        "open_cents",
+        "high_cents",
+        "low_cents",
+        "close_cents",
+    )

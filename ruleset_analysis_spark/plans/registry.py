@@ -163,6 +163,8 @@ DRIVER_PRIORITY = (
     "agg_gini_coefficient",  # r5: exact rank-weighted concentration
     "udtf_table_arg_grouped",  # r5: TABLE-arg PARTITION BY UDTF
     "scan_partition_overwrite_dynamic",  # r5: backfill-safe overwrite
+    "agg_autocorrelation_lag1",  # r5: integer-exact r1 momentum
+    "event_ohlc_bars",  # r5: one-pass OHLC candle rollup
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
