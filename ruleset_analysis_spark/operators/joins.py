@@ -984,3 +984,76 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("cid")).alias("click_event_id"),
         F.when(fresh, staleness).alias("staleness_us"),
     )
+
+
+@register(
+    "join_scd2_point_in_time",
+    category="join",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN event_type IN ('signup', 'purchase')
+                        THEN event_type END AS tier_mark
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        filled AS (
+            SELECT user_id, event_type,
+                   last_value(tier_mark IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS tier
+            FROM marked
+        )
+        SELECT tier,
+               CAST(count(*) AS BIGINT) AS n_clicks,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM filled
+        WHERE event_type = 'click' AND tier IS NOT NULL
+        GROUP BY tier
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME dimension lookup against SCD2 history: every
+    click is attributed to the account tier (last signup/purchase
+    state) valid AT ITS TIMESTAMP — the query every warehouse runs
+    against a type-2 dimension, and the one naive interval joins get
+    quadratic on. Composes the ``event_scd2_intervals`` build with
+    the lookup side.
+
+    The scale formulation is the MERGE-STREAM rewrite: instead of
+    joining facts to intervals (per-user products, then a containment
+    filter), tier events and clicks ride ONE user-keyed window and
+    the valid tier is ``last_value(..., ignorenulls)`` over the
+    merged timeline — zero joins, one exchange, linear per user. The
+    (ts, event_id) ordering makes same-timestamp tier/click pairs
+    deterministic in both engines (the standing tie-break
+    discipline). Clicks before any tier event have no valid dimension
+    row and are excluded identically. NULL ts/user rows are excluded
+    on both sides (dirty-data convention)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    tier_mark = F.when(
+        F.col("event_type").isin("signup", "purchase"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.select(
+        "user_id",
+        "event_type",
+        F.last(tier_mark, ignorenulls=True).over(w).alias("tier"),
+    )
+    return (
+        filled.filter(
+            (F.col("event_type") == "click") & F.col("tier").isNotNull()
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -165,6 +165,7 @@ DRIVER_PRIORITY = (
     "scan_partition_overwrite_dynamic",  # r5: backfill-safe overwrite
     "agg_autocorrelation_lag1",  # r5: integer-exact r1 momentum
     "event_ohlc_bars",  # r5: one-pass OHLC candle rollup
+    "join_scd2_point_in_time",  # r5: merge-stream PIT dimension lookup
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
