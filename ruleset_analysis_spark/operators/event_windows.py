@@ -1979,3 +1979,80 @@ def event_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low_cents",
         "close_cents",
     )
+
+
+@register(
+    "event_interarrival_burstiness",
+    category="event",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        ),
+        g AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(gap_us) AS HUGEINT) AS s1,
+                   sum(CAST(gap_us AS HUGEINT) * gap_us) AS s2
+            FROM seq WHERE gap_us IS NOT NULL
+            GROUP BY event_type HAVING count(*) >= 2
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_gaps,
+               round(CAST(s1 AS DOUBLE) / n / 1000000.0, 6)
+                   AS mean_gap_sec,
+               round(sqrt((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                          / (n - 1.0))
+                     / (CAST(s1 AS DOUBLE) / n), 6) AS cv
+        FROM g
+    """,
+)
+def event_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-process burstiness per event type: mean inter-arrival gap
+    and its coefficient of variation (CV ≈ 1 ⇒ Poisson-like arrivals;
+    CV ≫ 1 ⇒ bursts — retry storms, bot cascades, scraper pulses).
+    The arrival-TIMING diagnostic beside the rate-level monitors
+    (CUSUM localizes level shifts; this characterizes the process
+    between them).
+
+    The family exactness recipe on time: gaps are exact integer
+    MICROSECONDS from one type-keyed window (ts, event_id ordering —
+    the standing tie-break), their two power sums run in 128 bits
+    (a 30-year gap is ~1e15 µs; its square 1e30 is decimal(38,0) /
+    HUGEINT-safe), and mean/CV are one identical IEEE tree. HAVING
+    n ≥ 2 guards the n−1 divisor identically. One corpus-sized
+    exchange; the moment rollup rides the window's partitioning."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    tu = F.unix_micros("ts")
+    seq = ev.select(
+        "event_type", (tu - F.lag(tu).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    gd = F.col("gap_us").cast("decimal(38,0)")
+    g = (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(gd).alias("s1"),
+            F.sum(gd * gd).alias("s2"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s1 / nd
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(mean / F.lit(1000000.0), 6).alias("mean_gap_sec"),
+        F.round(
+            F.sqrt((s2 - s1 * s1 / nd) / (nd - F.lit(1.0))) / mean, 6
+        ).alias("cv"),
+    )

@@ -166,6 +166,8 @@ DRIVER_PRIORITY = (
     "agg_autocorrelation_lag1",  # r5: integer-exact r1 momentum
     "event_ohlc_bars",  # r5: one-pass OHLC candle rollup
     "join_scd2_point_in_time",  # r5: merge-stream PIT dimension lookup
+    "udf_iter_pandas",  # r5: iterator-form pandas UDF (init amortize)
+    "event_interarrival_burstiness",  # r5: exact-micros gap CV
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",

@@ -22,6 +22,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # kernels are Arrow-batched by design (§2.G stubs).
 PYTHON_ALLOWED = {
     "udf_scalar_pandas",
+    "udf_iter_pandas",
     "udaf_grouped_pandas",
     "multimodal_binary_features",
     "multimodal_frame_sample",
