@@ -2056,3 +2056,137 @@ def event_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sqrt((s2 - s1 * s1 / nd) / (nd - F.lit(1.0))) / mean, 6
         ).alias("cv"),
     )
+
+
+@register(
+    "stream_exec_sliding",
+    category="stream",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, ts,
+                   date_trunc('hour', ts) AS h
+            FROM events WHERE ts IS NOT NULL
+        ),
+        contrib AS (
+            SELECT event_type, ts,
+                   h - to_hours(CAST(k.k AS BIGINT)) AS ws
+            FROM e CROSS JOIN (SELECT unnest(range(2)) AS k) k
+        )
+        SELECT CAST(epoch(ws) AS BIGINT) AS ws_epoch, event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM contrib
+        WHERE ts >= ws AND ts < ws + INTERVAL '2 hours'
+        GROUP BY ws, event_type
+    """,
+)
+def stream_exec_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming SLIDING-window execution, graded on
+    values: readStream → 2-hour windows sliding by 1 hour → watermark
+    → availableNow drain to a memory sink. Overlapping windows are a
+    DIFFERENT streaming-state path than the tumbling drain
+    (``stream_exec_tumbling``): each event updates TWO window states,
+    and the engine's window-assignment (expand) operator is what gets
+    witnessed — the oracle replays the assignment as a bounded
+    explode (each event contributes to exactly slide/length = 2
+    window starts) over the original parquet.
+
+    Scale: state is O(open windows × types), bounded by the
+    watermark; the memory sink holds only the final rollup. Same
+    backfill-equals-live property as the tumbling drain. NULL-ts rows
+    excluded identically (watermark vs NULL-group divergence — the
+    standing convention). Eager-builder exception: the builder runs
+    the bounded drain."""
+    import os
+
+    from ..sources.parquet import path_for
+    from ..streaming.event_streams import drain_to_memory, read_event_stream
+
+    src = path_for(sf_dir, "events")
+    stream = read_event_stream(
+        spark, os.path.dirname(src), glob=os.path.basename(src)
+    ).filter(F.col("ts").isNotNull())
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("ws_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+    _STREAM_EXEC_N[0] += 1
+    return drain_to_memory(
+        agg, f"stream_exec_sliding_{_STREAM_EXEC_N[0]}", "complete"
+    )
+
+
+@register(
+    "event_cohort_revenue_ltv",
+    category="event",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+                       AS cohort
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY user_id
+        ),
+        facts AS (
+            SELECT e.user_id, f.cohort,
+                   CAST((CAST(e.ts AS DATE) - f.cohort) // 7 AS BIGINT)
+                       AS age_weeks,
+                   TRY_CAST(round(e.value * 100) AS BIGINT) AS c
+            FROM events e JOIN firsts f ON f.user_id = e.user_id
+            WHERE e.ts IS NOT NULL AND e.event_type = 'purchase'
+        )
+        SELECT CAST(epoch(cohort) AS BIGINT) AS cohort_epoch,
+               age_weeks,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+               CAST(sum(c) AS BIGINT) AS revenue_cents
+        FROM facts GROUP BY cohort, age_weeks
+    """,
+)
+def event_cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix: purchase revenue by (signup-month cohort ×
+    months-since-signup age) — the money dimension the count-based
+    retention triangle (``retention_cohorts``) lacks; cumulating the
+    rows along age gives each cohort's lifetime-value curve, THE
+    payback chart every growth model is fit to. Week-granularity
+    cohorts (the corpus spans ~a month; months would collapse the
+    matrix to one cell — granularity is data, not dogma).
+
+    Shape: the cohort dimension is one user-keyed min() (map-side
+    combined), broadcast back onto the purchase facts (users ≪
+    events), then a calendar-bounded (cohort × age) rollup. Week age
+    via integer DAY arithmetic (datediff // 7) — timezone-free and
+    engine-neutral; both engines start ISO weeks on Monday. Exact
+    cents; NULL ts/user rows excluded identically."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    facts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort")) / 7
+            ).cast("long").alias("age_weeks"),
+            cents("value").alias("c"),
+        )
+    )
+    return facts.groupBy(
+        F.unix_timestamp(F.col("cohort").cast("timestamp")).alias(
+            "cohort_epoch"
+        ),
+        "age_weeks",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.countDistinct("user_id").cast("long").alias("n_buyers"),
+        F.sum("c").alias("revenue_cents"),
+    )

@@ -168,6 +168,8 @@ DRIVER_PRIORITY = (
     "join_scd2_point_in_time",  # r5: merge-stream PIT dimension lookup
     "udf_iter_pandas",  # r5: iterator-form pandas UDF (init amortize)
     "event_interarrival_burstiness",  # r5: exact-micros gap CV
+    "stream_exec_sliding",  # r5: true overlapping-window drain
+    "event_cohort_revenue_ltv",  # r5: cohort x age revenue matrix
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
