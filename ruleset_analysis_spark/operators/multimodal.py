@@ -817,3 +817,101 @@ def multimodal_phash_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(hamming <= _PHASH_RADIUS)
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )
+
+
+@register(
+    "embed_drift_split_centroids",
+    category="multimodal",
+    oracle="""
+        WITH elem AS (
+            SELECT label, vec_id % 2 AS half,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS xi,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        m AS (
+            SELECT label, half, i,
+                   CAST(sum(xi) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM elem GROUP BY label, half, i
+        ),
+        paired AS (
+            SELECT a.label, a.i,
+                   a.sx AS sxa, b.sx AS sxb, a.n AS na, b.n AS nb
+            FROM m a JOIN m b
+                 ON b.label = a.label AND b.i = a.i
+                AND a.half = 0 AND b.half = 1
+        )
+        SELECT label,
+               CAST(min(na) AS BIGINT) AS n_a,
+               CAST(min(nb) AS BIGINT) AS n_b,
+               round(sqrt(CAST(sum(CAST(sxa * nb - sxb * na AS HUGEINT)
+                                   * CAST(sxa * nb - sxb * na AS HUGEINT))
+                               AS DOUBLE))
+                     / (CAST(min(na) AS DOUBLE) * CAST(min(nb) AS DOUBLE)
+                        * 1000000.0), 6) AS centroid_drift
+        FROM paired GROUP BY label
+    """,
+)
+def embed_drift_split_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DRIFT monitor: per label, the L2 distance between the
+    centroids of two deterministic corpus halves (vec_id parity — the
+    stand-in for yesterday-vs-today batches). The ML-ops canary run
+    on every ingest: a drifting centroid means the upstream encoder,
+    preprocessing, or content mix moved, and it fires long before
+    downstream metrics do.
+
+    Exactness (the centroid family recipe, extended to a DISTANCE):
+    components quantize to micro-unit BIGINTs, per-half per-dim sums
+    are exact, and mean differences multiply through by n_a·n_b —
+    (sxa·n_b − sxb·n_a) — so the squared-difference SUM is a pure
+    128-bit integer; one sqrt+divide at the end is the only float op,
+    identical both engines. One (label, half, dim)-keyed map-side
+    exchange; everything downstream is |labels|·|dims| rows."""
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    elem = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("i", "x"),
+    ).select(
+        "label",
+        "half",
+        "i",
+        F.floor(F.col("x").cast("double") * F.lit(1000000)).cast("long").alias(
+            "xi"
+        ),
+    )
+    m = elem.groupBy("label", "half", "i").agg(
+        F.sum("xi").alias("sx"), F.count(F.lit(1)).alias("n")
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "label", "i",
+        F.col("sx").alias("sxa"), F.col("n").alias("na"),
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "label", "i",
+        F.col("sx").alias("sxb"), F.col("n").alias("nb"),
+    )
+    d = (
+        F.col("sxa") * F.col("nb") - F.col("sxb") * F.col("na")
+    ).cast("decimal(38,0)")
+    return (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.min("na").cast("long").alias("n_a"),
+            F.min("nb").cast("long").alias("n_b"),
+            F.round(
+                F.sqrt(F.sum(d * d).cast("double"))
+                / (
+                    F.min("na").cast("double")
+                    * F.min("nb").cast("double")
+                    * F.lit(1000000.0)
+                ),
+                6,
+            ).alias("centroid_drift"),
+        )
+    )

@@ -903,3 +903,103 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal_bits"),
         )
     )
+
+
+@register(
+    "text_vocab_growth",
+    category="text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS term
+            FROM documents WHERE text IS NOT NULL
+        ),
+        buckets AS (
+            SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bucket
+            FROM (SELECT DISTINCT doc_id FROM toks)
+        ),
+        doc_tokens AS (
+            SELECT t.doc_id, b.bucket, count(*) AS n_tok
+            FROM toks t JOIN buckets b ON b.doc_id = t.doc_id
+            GROUP BY t.doc_id, b.bucket
+        ),
+        per_bucket AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM doc_tokens GROUP BY bucket
+        ),
+        firsts AS (
+            SELECT b.bucket, count(*) AS new_terms
+            FROM (SELECT term, min(doc_id) AS first_doc
+                  FROM toks GROUP BY term) f
+            JOIN buckets b ON b.doc_id = f.first_doc
+            GROUP BY b.bucket
+        )
+        SELECT p.bucket,
+               CAST(sum(p.n_docs) OVER w AS BIGINT) AS docs_cum,
+               CAST(sum(p.n_tokens) OVER w AS BIGINT) AS tokens_cum,
+               CAST(sum(coalesce(f.new_terms, 0)) OVER w AS BIGINT)
+                   AS vocab_cum
+        FROM per_bucket p LEFT JOIN firsts f ON f.bucket = p.bucket
+        WINDOW w AS (ORDER BY p.bucket ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct terms
+    vs cumulative tokens at ten doc-id checkpoints — the corpus-health
+    fingerprint (a natural corpus grows vocabulary ~ tokens^β with
+    β≈0.5; a flattening curve means the crawl is recycling content,
+    a too-steep one means encoding noise is minting junk terms). The
+    whole-corpus companion of the per-doc novelty score.
+
+    All-integer: docs bucket into deciles by unique doc_id (ntile over
+    a unique key — deterministic in both engines), each term charges
+    its FIRST document's bucket (min doc_id — the novelty ownership
+    rule), and the curve is three cumulative BIGINT sums over a
+    10-row relation. Corpus-sized work: the token explode (shared
+    tokenizer), one term-keyed min(), one doc-keyed count — each
+    map-side combined."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    buckets = (
+        toks.select("doc_id")
+        .distinct()
+        .select(
+            "doc_id",
+            F.ntile(10).over(Window.orderBy("doc_id")).alias("bucket"),
+        )
+    )
+    doc_tokens = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .join(F.broadcast(buckets), "doc_id")
+    )
+    per_bucket = doc_tokens.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    firsts = (
+        toks.groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .join(
+            F.broadcast(buckets.withColumnRenamed("doc_id", "first_doc")),
+            "first_doc",
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_bucket.join(firsts, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_docs").over(w).cast("long").alias("docs_cum"),
+            F.sum("n_tokens").over(w).cast("long").alias("tokens_cum"),
+            F.sum(F.coalesce("new_terms", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vocab_cum"),
+        )
+    )

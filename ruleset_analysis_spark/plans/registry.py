@@ -170,6 +170,8 @@ DRIVER_PRIORITY = (
     "event_interarrival_burstiness",  # r5: exact-micros gap CV
     "stream_exec_sliding",  # r5: true overlapping-window drain
     "event_cohort_revenue_ltv",  # r5: cohort x age revenue matrix
+    "embed_drift_split_centroids",  # r5: integer-exact drift canary
+    "text_vocab_growth",  # r5: Heaps-law cumulative vocab curve
     # --- refresh: oldest (r1) green records, safe to displace ---
     "scan_parquet",
     "scan_predicate_pushdown",
