@@ -65,86 +65,29 @@ OPERATOR_MODULES = (
 # (48/49 green — the one red, tpch_q12, was an oracle HUGEINT bug,
 # fixed this round with CAST(sum(...) AS BIGINT)).
 #
-# ROUND-5 WINDOW (entries 1-50):
-#   * 1: ``tpch_q12_late_shipments`` — the single red r4 row,
-#     re-witnessing the HUGEINT-safe oracle fix;
-#   * 2-16: the 15 queries NEVER inside any driver window — the
-#     round-4 additions (including the two final-commit queries
-#     ``join_asof_forward`` / ``agg_exact_percentiles_grouped`` the r4
-#     verdict flagged as missing from this block) plus the four
-#     explicit r4 deferrals;
-#   * 17-20: the four queries whose only record was rows-only and 3
-#     rounds stale (sim_ann_ivf upgraded to a full SQL oracle this
-#     round — deterministic integer-dot quantizer);
-#   * the ROUND-5 ADDITIONS marker — every query added this round is
-#     inserted there as it lands, pushing refresh entries out of the
-#     window (additions always outrank refreshes);
-#   * remainder: refresh of the OLDEST green records (r1 relational
-#     core) — opportunistic re-witnessing, safe to displace.
+# ROUND-6 WINDOW (entries 1-50). The round-5 window (q12 re-witness +
+# 15 never-witnessed + 4 stale rows-only + 30 r5 additions) came back
+# 45/45 oracled green + 5 rows-only — zero red rows (CORRECTNESS_r05)
+# — so every one of those 50 names now holds a fresh r5 record and
+# rotates OUT of the window.
+#
+#   * 1-27: the 27 round-5 late additions that landed after the r5
+#     window filled — the only queries with NO driver record of any
+#     kind (their evidence so far: the r5 judge differential 27/27,
+#     the 10×/shuffled/fuzz tiers, and a 50/50 vanilla-session window
+#     simulation). Converting them to driver hash-green records is the
+#     round-6 headline (VERDICT r5, task #1).
+#   * 28-50: refresh of the OLDEST green records — the r1 relational
+#     core, whose only driver record is now 5 rounds stale (the r5
+#     additions pushed them out of the r5 window before they ran).
+#   * ROUND-6 ADDITIONS (if any — VERDICT task #7 says widen only for
+#     a genuinely new engine surface) land ABOVE the refresh block.
 # Every name absent from this list falls to registration order; all
-# such names hold an r2-r4 driver hash-green record. A stale name here
+# such names hold an r2-r5 driver hash-green record. A stale name here
 # fails loudly (tests/test_differential.py asserts priority ⊆
 # registry and prefix order).
 DRIVER_PRIORITY = (
-    # 1: re-witness the only red r4 row after the BIGINT-cast fix
-    "tpch_q12_late_shipments",
-    # 2-16: never witnessed by any driver window
-    "join_asof_forward",
-    "agg_exact_percentiles_grouped",
-    "limit_topk",
-    "embed_kmeans_clusters",
-    "embed_pca_project",
-    "graph_pagerank_cooccur",
-    "scan_partition_pruning",
-    "scan_csv_roundtrip",
-    "scan_jsonl_roundtrip",
-    "agg_linear_regression",
-    "doc_chunk_overlap",
-    "firewall_shadowed_rules",
-    "curation_sample_apply",
-    "funnel_conversion_lag",
-    "multimodal_dhash_fingerprint",
-    # 17-20: stale (r1/r2) records — re-witness; sim_ann_ivf gained a
-    # full SQL oracle this round (deterministic quantizer), the other
-    # three stay rows-only by declaration
-    "agg_approx_count_distinct",
-    "agg_hll_mergeable",
-    "sim_ann_ivf",
-    "agg_quantiles_approx",
-    # --- ROUND-5 ADDITIONS land here, above the refresh block ---
-    "multimodal_phash_radius_join",  # r5: banded Hamming-radius media join
-    "agg_weighted_median",  # r5: exact weighted quantiles (integer algebra)
-    "join_interval_overlap",  # r5: keyed interval-overlap self join
-    "curation_pipeline_e2e",  # r5: flagship quality→dedup→split pipeline
-    "scan_syslog_gz",  # r5: gzipped-ASA-archive connector round-trip
-    "firewall_config_expansion",  # r5: object-group expansion vs relational twin
-    "embed_mmr_rerank",  # r5: MMR diversification, unrolled-greedy oracle
-    "scan_orc_roundtrip",  # r5: partitioned-ORC connector round-trip
-    "scan_binary_files",  # r5: binaryFile media-dir connector, value-graded
-    "event_attribution_utouch",  # r5: integer-exact multi-touch attribution
-    "event_wau_sliding_distinct",  # r5: sliding-distinct WAU (bounded explode)
-    "sim_knn_graph",  # r5: all-vectors kNN graph on the bucket substrate
-    "scan_bucketed_join",  # r5: zero-exchange storage-bucketed join
-    "stream_exec_tumbling",  # r5: true readStream drain, value-graded
-    "corpus_boilerplate_ngrams",  # r5: cross-doc boilerplate frequency
-    "sim_outlier_lowmax",  # r5: integer-dot embedding outlier report
-    "graph_kcore_bounded",  # r5: bounded k-core peel, all-integer
-    "event_seasonality_hourweek",  # r5: bounded hour-of-week matrix
-    "embed_recall_eval",  # r5: ANN recall@10 audit vs exact top-k
-    "stream_exec_stateful",  # r5: applyInPandasWithState value-graded
-    "join_asof_nearest",  # r5: nearest-direction as-of completion
-    "stream_exec_sink_parquet",  # r5: foreachBatch parquet sink loop
-    "curation_dedup_rate_report",  # r5: per-source dedup accountability
-    "dedup_lsh_band_tuning",  # r5: b-x-r S-curve from one sketch pass
-    "scan_merge_schema_evolution",  # r5: mergeSchema generation read
-    "agg_kmv_mergeable",  # r5: bit-exact portable mergeable sketch
-    "join_asof_tolerance",  # r5: bounded-staleness as-of, family complete
-    "dedup_incremental_newbatch",  # r5: new-batch-vs-corpus ingest dedup
-    "stream_exec_dedup",  # r5: streaming dropDuplicates drain, value-graded
-    "dedup_exact_substring",  # r5: verbatim shared-window pair detector
-    # entries 51+: landed after the round-5 window filled (the driver
-    # witnesses exactly 50) — front of the ROUND-6 window by design,
-    # graded this round by the sf0.01 local differential + test tiers
+    # 1-27: never witnessed by any driver window (r5 late additions)
     "graph_degree_distribution",  # r5: whole-graph degree histogram
     "agg_skewness_kurtosis",  # r5: exact-moment tail-shape report
     "text_ngram_novelty",  # r5: per-doc first-owner novelty score
@@ -171,8 +114,9 @@ DRIVER_PRIORITY = (
     "stream_exec_sliding",  # r5: true overlapping-window drain
     "event_cohort_revenue_ltv",  # r5: cohort x age revenue matrix
     "embed_drift_split_centroids",  # r5: integer-exact drift canary
-    "text_vocab_growth",  # r5: Heaps-law cumulative vocab curve
-    # --- refresh: oldest (r1) green records, safe to displace ---
+    "text_vocab_growth",  # r5: Heaps-law curve (plan fixed this round)
+    # --- ROUND-6 ADDITIONS land here, above the refresh block ---
+    # --- refresh: oldest (r1) green records, 5 rounds stale ---
     "scan_parquet",
     "scan_predicate_pushdown",
     "scan_projection_pushdown",

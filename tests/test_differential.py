@@ -72,11 +72,13 @@ def test_contract_shape():
     assert all(s.strip() for s in o.values())
 
 
-# Registry tail as of the round-4 verdict: every name here holds an
-# r1-r4 driver record (hash-green or declared rows-only) and may
-# safely sit outside the round-5 witness window. Regenerate ONLY when
-# a round's verdict confirms new green records.
-WITNESSED_R1_R4 = frozenset((
+# Every name here holds an r1-r5 driver record (hash-green or
+# declared rows-only) and may safely sit outside the round-6 witness
+# window. Regenerate ONLY when a round's verdict confirms new green
+# records. Round-5 update: CORRECTNESS_r05 recorded the full 50-entry
+# r5 window green (45 oracled + 5 rows-only, zero red), so those 50
+# names are appended below.
+WITNESSED_R1_R5 = frozenset((
     "agg_bitmap_distinct",
     "agg_bitmap_overlap",
     "agg_countmin_sketch",
@@ -240,6 +242,31 @@ WITNESSED_R1_R4 = frozenset((
     "date_funcs", "math_funcs", "conditional_case", "string_funcs",
     "string_like", "string_regex_extract", "string_distance",
     "array_funcs", "array_explode", "date_series_gapfill",
+    # the 50-entry round-5 window, all green in CORRECTNESS_r05
+    "tpch_q12_late_shipments", "join_asof_forward",
+    "agg_exact_percentiles_grouped", "limit_topk",
+    "embed_kmeans_clusters", "embed_pca_project",
+    "graph_pagerank_cooccur", "scan_partition_pruning",
+    "scan_csv_roundtrip", "scan_jsonl_roundtrip",
+    "agg_linear_regression", "doc_chunk_overlap",
+    "firewall_shadowed_rules", "curation_sample_apply",
+    "funnel_conversion_lag", "multimodal_dhash_fingerprint",
+    "agg_approx_count_distinct", "agg_hll_mergeable", "sim_ann_ivf",
+    "agg_quantiles_approx", "multimodal_phash_radius_join",
+    "agg_weighted_median", "join_interval_overlap",
+    "curation_pipeline_e2e", "scan_syslog_gz",
+    "firewall_config_expansion", "embed_mmr_rerank",
+    "scan_orc_roundtrip", "scan_binary_files",
+    "event_attribution_utouch", "event_wau_sliding_distinct",
+    "sim_knn_graph", "scan_bucketed_join", "stream_exec_tumbling",
+    "corpus_boilerplate_ngrams", "sim_outlier_lowmax",
+    "graph_kcore_bounded", "event_seasonality_hourweek",
+    "embed_recall_eval", "stream_exec_stateful", "join_asof_nearest",
+    "stream_exec_sink_parquet", "curation_dedup_rate_report",
+    "dedup_lsh_band_tuning", "scan_merge_schema_evolution",
+    "agg_kmv_mergeable", "join_asof_tolerance",
+    "dedup_incremental_newbatch", "stream_exec_dedup",
+    "dedup_exact_substring",
 ))
 
 
@@ -256,48 +283,43 @@ def test_driver_priority_window():
     missing = [n for n in DRIVER_PRIORITY if n not in SPECS]
     assert not missing, f"priority names not in registry: {missing}"
     assert names[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
-    # round-5 rotation: the window front-loads every query without a
-    # current green driver-hash record — the r4 red row (q12, after
-    # the HUGEINT-safe oracle fix), ALL 15 never-witnessed queries
-    # (round-4 additions incl. the two final-commit ones the r4
-    # verdict flagged, plus the four explicit r4 deferrals), and the
-    # four stale rows-only-record queries (sim_ann_ivf since upgraded
-    # to a SQL oracle). This set asserts the invariant the
-    # r4 omission violated: no never-witnessed query outside the
-    # window. Round-5 additions must be inserted ABOVE the refresh
-    # block (enforced by the companion check below).
+    # round-6 rotation: the window front-loads the 27 round-5 late
+    # additions — the only queries with NO driver record of any kind
+    # (every other registry name is in WITNESSED_R1_R5). This asserts
+    # the invariant the r4 omission violated: no never-witnessed query
+    # outside the window. Round-6 additions (if any) must be inserted
+    # ABOVE the refresh block (enforced by the companion check below).
     window = set(names[:50])
     never_witnessed = (
-        "tpch_q12_late_shipments",
-        "join_asof_forward", "agg_exact_percentiles_grouped",
-        "limit_topk", "embed_kmeans_clusters", "embed_pca_project",
-        "graph_pagerank_cooccur", "scan_partition_pruning",
-        "scan_csv_roundtrip", "scan_jsonl_roundtrip",
-        "agg_linear_regression", "doc_chunk_overlap",
-        "firewall_shadowed_rules", "curation_sample_apply",
-        "funnel_conversion_lag", "multimodal_dhash_fingerprint",
-        "agg_approx_count_distinct", "agg_hll_mergeable",
-        "sim_ann_ivf", "agg_quantiles_approx",
+        "graph_degree_distribution", "agg_skewness_kurtosis",
+        "text_ngram_novelty", "firewall_policy_diff",
+        "event_changepoint_cusum", "sample_importance_weighted",
+        "agg_welch_ttest", "scan_csv_malformed_policy",
+        "agg_chi2_independence", "curation_temperature_mix",
+        "window_median_moving", "agg_mann_whitney_u",
+        "event_dau_mau_stickiness", "agg_ks_test",
+        "agg_benford_deviation", "agg_gini_coefficient",
+        "udtf_table_arg_grouped", "scan_partition_overwrite_dynamic",
+        "agg_autocorrelation_lag1", "event_ohlc_bars",
+        "join_scd2_point_in_time", "udf_iter_pandas",
+        "event_interarrival_burstiness", "stream_exec_sliding",
+        "event_cohort_revenue_ltv", "embed_drift_split_centroids",
+        "text_vocab_growth",
     )
     for fam in never_witnessed:
         assert fam in window, f"{fam} outside the driver's 50-entry window"
     # refresh entries are the ONLY thing allowed to drop out of the
-    # window. WITNESSED_R1_R4 freezes the registry as of the r4
-    # verdict (153 tail names + the 30 refresh entries, all holding a
-    # driver hash-green or declared-rows-only record): any NEW query
-    # registered in round 5+ is in neither set, so it MUST be inserted
-    # into DRIVER_PRIORITY above the refresh block — the invariant the
-    # r4 final-commit queries violated can now only fail loudly.
-    # Once the 50-entry window is FULL of never-witnessed + round-5
-    # additions (it is: 20 + 30), later additions cannot be inside
-    # [:50] — the binding requirement is that they still outrank every
-    # refresh entry, so they are the FRONT of the round-6 window
-    # instead of sorting after already-witnessed families (the exact
-    # failure mode the r4 verdict flagged).
+    # window. WITNESSED_R1_R5 freezes the registry as of the r5
+    # verdict (every name holding a driver hash-green or
+    # declared-rows-only record): any NEW query registered in round
+    # 6+ is in neither set, so it MUST be inserted into
+    # DRIVER_PRIORITY above the refresh block (i.e. before
+    # ``scan_parquet``) — the invariant the r4 final-commit queries
+    # violated can only fail loudly now.
     stranded = [
         n for n in SPECS
         if n not in never_witnessed
-        and n not in WITNESSED_R1_R4
+        and n not in WITNESSED_R1_R5
         and (n not in DRIVER_PRIORITY
              or DRIVER_PRIORITY.index(n) > DRIVER_PRIORITY.index("scan_parquet"))
     ]

@@ -414,6 +414,7 @@ BNLJ_ALLOWED = {
     "agg_benford_deviation",    # 9-row literal dim × 1-row total
     "curation_sample_apply",    # 1-row broadcast relative-cap scalar
     "curation_temperature_mix", # 1-row broadcast weight-total scalar
+    "text_vocab_growth",        # 1-row broadcast decile-boundary array
 }
 
 
