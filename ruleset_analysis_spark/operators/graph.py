@@ -17,11 +17,21 @@ iteration with ``localCheckpoint`` — the same 4^rounds-analysis
 pathology documented on ``dedup_cluster_components`` applies to any
 loop that self-references its previous round.
 
-Rows-only by declaration: an iterated-to-fixpoint float recursion has
-no SQL-expressible oracle (recursive CTEs cannot aggregate per round);
-the exact-value check is tests/test_properties.py's NumPy power
-iteration on the identical edge list — same damping, same Σ|Δ|
-stopping rule, element-wise tolerance.
+Grading (upgraded in round 6, the registry's last planned rows-only →
+SQL-oracle conversion): the GRADED ``graph_pagerank_cooccur`` is the
+QUANTIZED FIXED-ROUND twin — rank mass in integer micro-units
+(``_PR_QSCALE``), damping as ``(85 * mass) div 100`` integer floor
+arithmetic, a declared ``_PR_ROUNDS`` power iterations — which makes
+every round bit-exact cross-engine and therefore expressible as an
+unrolled MATERIALIZED per-round CTE chain in DuckDB (the standing
+kmeans/kcore unrolled-recursion recipe; a float fixpoint is not
+portable: recursive CTEs cannot aggregate per round and float damping
+accumulates engine-ordering ULPs). The adaptive float fixpoint
+(Σ|Δrank| ≤ 1e-6 witness, fused rounds, localCheckpoint truncation)
+stays as the library path ``pagerank_float_fixpoint`` — the variant a
+user runs when they want a convergence guarantee instead of a fixed
+budget — NumPy-differentialed in tests/test_properties.py; the
+quantized twin gets an EXACT integer NumPy differential there too.
 """
 
 from __future__ import annotations
@@ -32,20 +42,30 @@ from ..plans.registry import register
 from ..sources.parquet import load
 
 _DAMPING = 0.85
-# Convergence contract: iterate until the L1 rank movement Σ|Δrank|
-# drops to _TOL (total rank mass is 1, so the tolerance is scale-free —
-# the same 1e-6 means the same thing at 2k nodes and 2B), with a hard
-# iteration ceiling as the runaway guard. Damping alone only bounds the
-# contraction at 0.85/round (~90 rounds to 1e-6); the measured
-# contraction on the co-occurrence graph is ~0.1/round (well-mixed,
-# near-uniform degrees), so the witness exits at round 7 on both the
-# sf0.01 and sf0.1 corpora — a fixed count is either 30% wasted rounds
-# here or an under-converged answer on a slower-mixing graph. Same
-# fixpoint discipline as dedup_cluster_components.
+# Convergence contract (float library path): iterate until the L1 rank
+# movement Σ|Δrank| drops to _TOL (total rank mass is 1, so the
+# tolerance is scale-free — the same 1e-6 means the same thing at 2k
+# nodes and 2B), with a hard iteration ceiling as the runaway guard.
+# Damping alone only bounds the contraction at 0.85/round (~90 rounds
+# to 1e-6); the measured contraction on the co-occurrence graph is
+# ~0.1/round (well-mixed, near-uniform degrees), so the witness exits
+# at round 7 on both the sf0.01 and sf0.1 corpora — a fixed count is
+# either 30% wasted rounds here or an under-converged answer on a
+# slower-mixing graph. Same fixpoint discipline as
+# dedup_cluster_components.
 _TOL = 1e-6
 _MAX_ITERATIONS = 20
 _PR_FUSE = 2  # power iterations per materialized round (see docstring)
 _TOP_K = 20
+# Quantized graded twin: rank mass in micro-units of _PR_QSCALE
+# (integer floor arithmetic end to end — bit-exact cross-engine), a
+# declared fixed _PR_ROUNDS power iterations (the float path's
+# measured fixpoint exit is round 7 on both graded corpora; 8 gives
+# one round of slack and the quantization floor ~n/_PR_QSCALE is far
+# below any top-20 rank gap). 85*_PR_QSCALE = 8.5e13 << 2^63, so the
+# damped update never leaves BIGINT range.
+_PR_QSCALE = 1_000_000_000_000
+_PR_ROUNDS = 8
 
 
 # The STRONG (≥2 shared orders) canonical edge relation feeds both the
@@ -98,22 +118,166 @@ def cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle() -> str:
+    """Unrolled quantized power iteration: one MATERIALIZED rank
+    relation per round (the kmeans/kcore unrolled-recursion recipe —
+    inlined chains re-expand the whole prefix per reference). Every
+    arithmetic step is BIGINT floor division, identical to the Spark
+    plan's ``div`` expressions, so the chain is bit-exact; DuckDB's
+    sum() widens to HUGEINT mid-expression, which is fine internally
+    and CAST back to BIGINT before it can reach a result column."""
+    q = _PR_QSCALE
+    parts = [
+        f"""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        ),
+        sym AS MATERIALIZED (
+            SELECT u AS src, v AS dst FROM e
+            UNION ALL SELECT v AS src, u AS dst FROM e
+        ),
+        deg AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src
+        ),
+        c AS MATERIALIZED (
+            SELECT CAST({q} // count(*) AS BIGINT) AS r0,
+                   CAST((15 * {q}) // (100 * count(*)) AS BIGINT) AS base_q
+            FROM deg
+        ),
+        rank0 AS MATERIALIZED (
+            SELECT d.src AS node, c.r0 AS r FROM deg d CROSS JOIN c
+        )
+        """
+    ]
+    for k in range(1, _PR_ROUNDS + 1):
+        parts.append(
+            f"""
+        , rank{k} AS MATERIALIZED (
+            SELECT s.dst AS node,
+                   CAST(c.base_q + (85 * sum(p.r // d.deg)) // 100
+                        AS BIGINT) AS r
+            FROM sym s
+            JOIN rank{k - 1} p ON p.node = s.src
+            JOIN deg d ON d.src = s.src
+            CROSS JOIN c
+            GROUP BY s.dst, c.base_q
+        )
+        """
+        )
+    parts.append(
+        f"""
+        SELECT node, CAST(r AS BIGINT) AS rank_micro
+        FROM rank{_PR_ROUNDS}
+        ORDER BY r DESC, node LIMIT {_TOP_K}
+        """
+    )
+    return "".join(parts)
+
+
 @register(
     "graph_pagerank_cooccur",
     category="graph",
-    oracle=None,  # rows-only: float fixed-point iteration (NumPy-verified)
+    oracle=_pagerank_oracle(),
 )
 def graph_pagerank_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 parts by PageRank over the co-occurrence graph
-    (damping 0.85, uniform init, iterated to the Σ|Δrank| ≤ 1e-6
-    fixpoint — see the _TOL note above).
+    """Top-20 parts by quantized PageRank over the co-occurrence graph
+    (damping 85/100, uniform init, a declared _PR_ROUNDS = 8 power
+    iterations, rank mass in _PR_QSCALE integer micro-units).
+
+    The GRADED twin of ``pagerank_float_fixpoint`` (round-6 oracle
+    upgrade — the registry's last planned rows-only conversion): all
+    arithmetic is BIGINT floor division (``r div deg`` per out-edge,
+    ``base_q + (85 * mass) div 100`` per update), so every round is
+    bit-exact across engines and the DuckDB oracle unrolls the same 8
+    rounds as MATERIALIZED CTEs. Quantization error is bounded by one
+    micro-unit per out-edge per round — ~deg/_PR_QSCALE ≈ 1e-9 of
+    total mass on the graded graphs, orders below any top-20 gap —
+    and the fixed budget replaces the convergence witness, which is
+    what makes the plan FULLY LAZY: 8 unrolled (edge ⋈ rank → keyed
+    sum) rounds in ONE job, no localCheckpoint, no per-round driver
+    round-trip (each round references its predecessor exactly once,
+    so lineage grows linearly — the 4^rounds pathology needs a double
+    self-reference). The persisted (src, dst, deg) relation serves
+    all 8 join references from cache; only the node-sized rank
+    relation shuffles per round — identical economics to the float
+    path minus 4 checkpoint barriers and 4 witness aggregations.
+
+    No dangling nodes (edges are symmetric, so out-degree ≥ 1 for
+    every node), so the update rule is pure relational algebra — no
+    dangling-mass redistribution term. Top-20 plans as
+    TakeOrderedAndProject with the (rank desc, node asc) total
+    tie-break; the emitted rank is the raw BIGINT micro-rank."""
+    out = _pagerank_out_edges(spark, sf_dir)
+    deg_nodes = out.select("src").distinct()
+    # 1-row integer constants: uniform init mass and the per-round
+    # teleport base, both floor-divided from one node count
+    consts = deg_nodes.agg(F.count(F.lit(1)).alias("n")).select(
+        F.expr(f"{_PR_QSCALE} div n").alias("r0"),
+        F.expr(f"(15 * {_PR_QSCALE}) div (100 * n)").alias("base_q"),
+    )
+    ranks = deg_nodes.crossJoin(F.broadcast(consts)).select(
+        F.col("src").alias("node"), F.col("r0").alias("r")
+    )
+    for _ in range(_PR_ROUNDS):
+        # Keyed join, deliberately NOT a broadcast: the edge relation
+        # keeps its persisted partitioning; only the node-sized rank
+        # relation shuffles to meet it. Each round references its
+        # predecessor exactly once — linear lineage, single lazy job.
+        ranks = (
+            out.join(ranks, out.src == ranks.node)
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("mass"))
+            .crossJoin(F.broadcast(consts))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("base_q + (85 * mass) div 100").alias("r"),
+            )
+        )
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("node"))
+        .limit(_TOP_K)
+        .select("node", F.col("r").alias("rank_micro"))
+    )
+
+
+# The (src, dst, deg) out-edge relation feeds all _PR_ROUNDS join
+# references of the unrolled power iteration plus the float library
+# path; persisted + memoized per (SparkContext, corpus) like the
+# strong-edge substrate so the 8 references are 8 in-memory scans.
+_PR_OUT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _pagerank_out_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PR_OUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    edges = cooccur_edges(spark, sf_dir).repartition("src")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree rides the edge relation: one wide row per src
+    out = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    _PR_OUT_CACHE[key] = out
+    return out
+
+
+def pagerank_float_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library path (UNREGISTERED): top-20 parts by float PageRank
+    iterated to the Σ|Δrank| ≤ _TOL fixpoint — the variant a user runs
+    for a convergence guarantee instead of the graded twin's fixed
+    budget. NumPy-differentialed in tests/test_properties.py.
 
     Per iteration: contributions = edges ⋈ ranks (keyed on src, the
     edge relation's persisted partitioning), then groupBy(dst).sum —
-    ONE shuffle, partial-aggregated map-side. The co-occurrence graph
-    has no dangling nodes (edges are symmetric, so out-degree ≥ 1 for
-    every node in the graph), which keeps the update rule pure
-    relational algebra — no dangling-mass redistribution term.
+    ONE shuffle, partial-aggregated map-side.
 
     Iterations are FUSED two per materialized round (_PR_FUSE): at
     local scale each round's cost is dominated by fixed job/checkpoint
@@ -124,23 +288,15 @@ def graph_pagerank_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     a contraction (measured factor ~0.1/iter here, ≤0.85 worst case),
     so pair-delta ≤ τ bounds the single-step delta by τ/(1−c) — same
     fixpoint guarantee, half the driver round-trips. The NumPy
-    differential (tests/test_properties.py) runs the IDENTICAL fused
-    schedule, so both sides stop after the same iteration count. Only
-    scalars cross to the driver (node count + one witness per round,
-    a node-keyed join of two checkpointed node-sized relations); like
-    dedup_cluster_components this builder executes eagerly (count +
-    per-round localCheckpoint), the documented exception to the
-    lazy-builder rule (plans/registry.py)."""
-    from pyspark import StorageLevel
+    differential runs the IDENTICAL fused schedule, so both sides stop
+    after the same iteration count. Only scalars cross to the driver
+    (node count + one witness per round, a node-keyed join of two
+    checkpointed node-sized relations); like dedup_cluster_components
+    this function executes eagerly (count + per-round localCheckpoint)
+    — acceptable here because it is NOT a registry builder."""
+    out = _pagerank_out_edges(spark, sf_dir)
 
-    edges = cooccur_edges(spark, sf_dir).repartition(
-        "src"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # out-degree rides the edge relation: one wide row per src
-    out = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nodes = out.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
     ranks = nodes.select(
         "node", F.lit(1.0 / n).alias("rank")
@@ -148,12 +304,6 @@ def graph_pagerank_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (1.0 - _DAMPING) / n
 
     def power_step(r):
-        # Keyed join, deliberately NOT a broadcast: re-broadcasting the
-        # refreshed ranks relation would collect it to the driver every
-        # round (one driver round-trip per round — measured slower hot,
-        # and an anti-pattern at any scale). The edge relation keeps
-        # its persisted hashpartitioning(src); only the node-sized
-        # ranks relation shuffles to meet it.
         contribs = (
             out.join(r, out.src == r.node)
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))

@@ -10,10 +10,11 @@ Conventions enforced here by construction:
 
 * each builder takes ``(spark, sf_dir)`` and returns a *lazy* DataFrame
   (no action inside builders — documented exceptions, each justified at
-  its site: the iterative fixpoint pair (``dedup_cluster_components``
-  via the memoized ``_component_labels`` closure,
-  ``graph_pagerank_cooccur``) checkpoints its rounds — the standard
-  Spark recipe for iterative algorithms — and
+  its site: the iterative fixpoint builders (``dedup_cluster_components``
+  via the memoized ``_component_labels`` closure, ``graph_kcore_bounded``)
+  checkpoint their rounds — the standard Spark recipe for iterative
+  algorithms (``graph_pagerank_cooccur`` left this list in r6: its
+  quantized fixed-round twin unrolls lazily) — and
   ``scan_partition_pruning`` materializes its hive-partitioned scratch
   layout once per corpus fingerprint);
 * every computed column is aliased identically in the DataFrame code
@@ -116,6 +117,9 @@ DRIVER_PRIORITY = (
     "embed_drift_split_centroids",  # r5: integer-exact drift canary
     "text_vocab_growth",  # r5: Heaps-law curve (plan fixed this round)
     # --- ROUND-6 ADDITIONS land here, above the refresh block ---
+    # re-witness: upgraded rows-only -> SQL oracle this round (the
+    # quantized fixed-round twin), same precedent as sim_ann_ivf in r5
+    "graph_pagerank_cooccur",
     # --- refresh: oldest (r1) green records, 5 rounds stale ---
     "scan_parquet",
     "scan_predicate_pushdown",

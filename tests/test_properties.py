@@ -461,13 +461,25 @@ def test_pack_greedy_bins_invariants(spark):
         assert sorted(fills) == list(range(len(fills)))
 
 
-def test_pagerank_matches_numpy_power_iteration(spark):
-    """graph_pagerank_cooccur vs an independent NumPy power iteration
-    on the identical edge list: same damping, same FUSED iteration
-    schedule (_PR_FUSE steps per round) and same Σ|Δrank| ≤ _TOL
-    pair-delta stopping rule (so both sides run the identical number
-    of iterations), per-node agreement to 1e-6 — the no-SQL-oracle
-    iterative op gets its exact check here instead."""
+def _cooccur_edge_list(spark, sf_dir):
+    from ruleset_analysis_spark.operators.graph import cooccur_edges
+
+    edges = [(r["src"], r["dst"]) for r in cooccur_edges(spark, sf_dir).collect()]
+    nodes = sorted({u for u, _ in edges})
+    idx = {u: i for i, u in enumerate(nodes)}
+    deg = [0] * len(nodes)
+    for u, _ in edges:
+        deg[idx[u]] += 1
+    return edges, nodes, idx, deg
+
+
+def test_pagerank_float_matches_numpy_power_iteration(spark):
+    """pagerank_float_fixpoint (the UNREGISTERED library path) vs an
+    independent NumPy power iteration on the identical edge list: same
+    damping, same FUSED iteration schedule (_PR_FUSE steps per round)
+    and same Σ|Δrank| ≤ _TOL pair-delta stopping rule (so both sides
+    run the identical number of iterations), per-node agreement to
+    1e-6."""
     import numpy as np
 
     from ruleset_analysis_spark.operators.graph import (
@@ -476,18 +488,13 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         _PR_FUSE,
         _TOL,
         _TOP_K,
-        cooccur_edges,
-        graph_pagerank_cooccur,
+        pagerank_float_fixpoint,
     )
 
     sf_dir = "/root/testdata/sf0.001"
-    edges = [(r["src"], r["dst"]) for r in cooccur_edges(spark, sf_dir).collect()]
-    nodes = sorted({u for u, _ in edges})
-    idx = {u: i for i, u in enumerate(nodes)}
+    edges, nodes, idx, degl = _cooccur_edge_list(spark, sf_dir)
     n = len(nodes)
-    deg = np.zeros(n)
-    for u, _ in edges:
-        deg[idx[u]] += 1
+    deg = np.array(degl, dtype=float)
 
     def power_step(r):
         nxt = np.zeros(n)
@@ -507,10 +514,47 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     order = sorted(range(n), key=lambda i: (-r[i], nodes[i]))[:_TOP_K]
     want = [(nodes[i], r[i]) for i in order]
 
-    got = [(row["node"], row["rank"]) for row in graph_pagerank_cooccur(spark, sf_dir).collect()]
+    got = [
+        (row["node"], row["rank"])
+        for row in pagerank_float_fixpoint(spark, sf_dir).collect()
+    ]
     assert [g[0] for g in got] == [w[0] for w in want]
     for (gn, gr), (wn, wr) in zip(got, want):
         assert abs(gr - wr) < 1e-6, (gn, gr, wr)
+
+
+def test_pagerank_quantized_matches_python_exactly(spark):
+    """graph_pagerank_cooccur (the GRADED quantized fixed-round twin)
+    vs a pure-Python integer re-implementation: identical _PR_QSCALE
+    micro-unit floor arithmetic, identical _PR_ROUNDS schedule —
+    agreement must be EXACT (these are BIGINT ops, any difference is
+    a real divergence), independent of the DuckDB oracle that shares
+    the Spark plan's round structure."""
+    from ruleset_analysis_spark.operators.graph import (
+        _PR_QSCALE,
+        _PR_ROUNDS,
+        _TOP_K,
+        graph_pagerank_cooccur,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges, nodes, idx, deg = _cooccur_edge_list(spark, sf_dir)
+    n = len(nodes)
+    base_q = (15 * _PR_QSCALE) // (100 * n)
+    r = [_PR_QSCALE // n] * n
+    for _ in range(_PR_ROUNDS):
+        mass = [0] * n
+        for u, v in edges:
+            mass[idx[v]] += r[idx[u]] // deg[idx[u]]
+        r = [base_q + (85 * m) // 100 for m in mass]
+    order = sorted(range(n), key=lambda i: (-r[i], nodes[i]))[:_TOP_K]
+    want = [(nodes[i], r[i]) for i in order]
+
+    got = [
+        (row["node"], row["rank_micro"])
+        for row in graph_pagerank_cooccur(spark, sf_dir).collect()
+    ]
+    assert got == want
 
 
 def test_pca_projection_matches_numpy(spark):
