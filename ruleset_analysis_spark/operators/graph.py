@@ -565,40 +565,59 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 4, so the bound is near the true core), all-integer output.
 
     Rides the persisted strong-edge relation (shared with triangles /
-    link prediction — no new basket scan). Per round: two semi-shaped
-    joins against the shrinking alive set and ONE keyed count exchange
-    — the alive relation is node-sized and shrinks monotonically, so
-    at 100 TB the cost is bounded by rounds × (edge join + node agg),
-    the same economics as the label-propagation closure. Each round's
-    node-state relation is localCheckpointed — the standard iterative
-    recipe every fixpoint sibling follows (without it the alive set's
-    double self-reference per round re-expands the full prefix:
-    measured 26 s / ~900 stages at sf0.01 vs ~1 s checkpointed), so
-    this builder executes eagerly (documented lazy-rule exception,
-    plans/registry.py)."""
+    link prediction — no new basket scan). DELTA ITERATION (r6
+    rewrite, same integers): the alive-degree of a survivor is its
+    previous degree minus its edges into the JUST-PEELED frontier —
+    d_r(v) = d_{r-1}(v) − |N(v) ∩ peeled_{r-1}| — because
+    d_{r-1} counted neighbors in alive_{r-2} = alive_{r-1} ∪
+    peeled_{r-1}. So only round 1 pays a full-edge degree count;
+    rounds 2..R join the edge relation against the (shrinking)
+    frontier ONLY, one keyed exchange of frontier-incident edges
+    each. The prior formulation recounted alive-neighbor degrees from
+    the FULL edge set every round (two alive semi-joins + a full-edge
+    agg × R) — at 100 TB the delta form touches R× less edge data;
+    the frontier join is stats-planned (no broadcast hint: round-1
+    frontiers can be large, later ones are tiny — AQE sees the
+    checkpointed sizes). Per-round node state is localCheckpointed —
+    the standard iterative recipe (without it the state's double
+    self-reference per round re-expands the full prefix: measured
+    26 s / ~900 stages at sf0.01 vs ~1 s checkpointed), so this
+    builder executes eagerly (documented lazy-rule exception,
+    plans/registry.py). The oracle keeps the recount formulation —
+    both count the same alive edges, so the integers are identical."""
     e = strong_cooccur_edges(spark, sf_dir)
     sym = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
     deg0 = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg0"))
-    alive = deg0.select("node")
+    # round-1 alive-degree IS deg0 (everything is alive before round 1)
+    dj = deg0.select("node", F.col("deg0").alias("d"))
     peeled = []
     for r in range(1, _KCORE_ROUNDS + 1):
-        d = (
-            sym.join(alive, "node")
-            .join(alive.select(F.col("node").alias("nbr")), "nbr")
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("dd"))
-        )
-        dj = alive.join(d, "node", "left").select(
-            "node", F.coalesce("dd", F.lit(0)).alias("d")
-        ).localCheckpoint()
+        dj = dj.localCheckpoint()
         peeled.append(
             dj.filter(F.col("d") < _KCORE_K).select(
                 "node", F.lit(r).alias("r")
             )
         )
-        alive = dj.filter(F.col("d") >= _KCORE_K).select("node")
+        if r == _KCORE_ROUNDS:
+            break
+        frontier = dj.filter(F.col("d") < _KCORE_K).select(
+            F.col("node").alias("nbr")
+        )
+        losses = (
+            sym.join(frontier, "nbr")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("lost"))
+        )
+        dj = (
+            dj.filter(F.col("d") >= _KCORE_K)
+            .join(losses, "node", "left")
+            .select(
+                "node",
+                (F.col("d") - F.coalesce("lost", F.lit(0))).alias("d"),
+            )
+        )
     peel_all = peeled[0]
     for p in peeled[1:]:
         peel_all = peel_all.unionByName(p)
