@@ -1,0 +1,249 @@
+#!/usr/bin/env python
+"""100x stress tier for the dedup / similarity / text bucket substrates.
+
+The graded corpora top out at sf0.1 (5k documents / 2k embeddings) —
+small enough that even a quadratic plan finishes in seconds, so the
+committed floors alone cannot catch an operator whose *blocking*
+quietly degrades with corpus growth. This tool measures the property
+the 100 TB story actually claims: **near-linear wall growth for the
+banded/bucketed families as the corpus scales 1x -> 10x -> 100x**
+(500k documents / 200k vectors at 100x), on corpora with the same
+duplicate/near-duplicate structure as the graded testdata.
+
+Method: generate documents+embeddings at each multiplier with the
+fuzz-sweep value domains (vectorized — 500k docs in seconds), copy the
+relational tables from the base sf so every loader resolves, then time
+each family query twice per scale (min — substrate memoization mirrors
+bench.py behavior) and report the wall-growth exponent
+log(t100/t1)/log(100). An exponent near 1 is linear scaling; ~2 means
+a pair stage is quadratic in the corpus after all. Spark-side only (no
+DuckDB at 100x — correctness is the differential tiers' job; this tier
+is for plan shape under growth). Writes one JSON line per query to
+--out for SCALE.md.
+
+Usage:
+    python scripts/stress_scale.py [--mult 1 10 100] [--queries q1 q2]
+        [--base /root/testdata/sf0.1] [--out /tmp/stress_scale.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load_fuzz_module():
+    """Value domains come from fuzz_sweep so the stress corpora carry
+    the same vocabulary/lang/source structure the graded tiers use."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fuzz_sweep.py")
+    spec = importlib.util.spec_from_file_location("fuzz_sweep", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_FUZZ = _load_fuzz_module()
+VOCAB, LANGS, SOURCES = _FUZZ.VOCAB, _FUZZ.LANGS, _FUZZ.SOURCES
+
+# The families whose blocking discipline the 100 TB claims rest on.
+STRESS_QUERIES = [
+    # dedup: banded equi-joins on sketch relations
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_weighted_jaccard",
+    "dedup_containment",
+    "dedup_minhash_estimate",
+    "dedup_embedding_cosine",
+    "dedup_cluster_components",
+    "dedup_cluster_representatives",
+    "dedup_lsh_band_tuning",
+    "dedup_incremental_newbatch",
+    "dedup_exact_substring",
+    "curation_dedup_rate_report",
+    # similarity / ANN: bucketed, never all-pairs
+    "sim_cosine_topk",
+    "sim_pairwise_threshold",
+    "sim_pairwise_bucketed",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_knn_graph",
+    "sim_outlier_lowmax",
+    "embed_recall_eval",
+    "embed_kmeans_clusters",
+    # text substrates: shingle relation + token explode
+    "text_tfidf_topterms",
+    "text_ngram_novelty",
+    "text_vocab_growth",
+    "corpus_boilerplate_ngrams",
+]
+
+
+def gen_documents_fast(rng: np.random.Generator, out_dir: str, n: int) -> None:
+    """Vectorized twin of fuzz_sweep.gen_documents: same value domains
+    and duplicate structure (~4% exact dups of the first-50 pool, ~8%
+    near-dups with ~5% token perturbation), built from one flat token
+    draw instead of a per-doc Python loop (500k docs in ~2 s)."""
+    lens = rng.integers(20, 120, n)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    flat = rng.integers(0, len(VOCAB), int(offs[-1]))
+    vocab_arr = np.array(VOCAB)
+    texts = [
+        " ".join(vocab_arr[flat[offs[i]:offs[i + 1]]]) for i in range(n)
+    ]
+    pool = min(50, max(1, n // 10))
+    for i in rng.choice(np.arange(pool, n), max(1, n // 25), replace=False):
+        texts[i] = texts[int(rng.integers(0, pool))]
+    for i in rng.choice(np.arange(pool, n), max(1, n // 12), replace=False):
+        toks = texts[int(rng.integers(0, pool))].split()
+        for j in rng.choice(len(toks), max(1, len(toks) // 20), replace=False):
+            toks[j] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+        texts[i] = " ".join(toks)
+    doc_id = np.sort(rng.choice(np.arange(1, n * 3), n, replace=False))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(rng.choice(LANGS, n), pa.string()),
+            "source": pa.array(rng.choice(SOURCES, n), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+
+
+def gen_embeddings_fast(
+    rng: np.random.Generator, out_dir: str, n: int, d: int = 64
+) -> None:
+    """Vectorized twin of fuzz_sweep.gen_embeddings (same near-dup and
+    duplicate-heavy-label structure)."""
+    vecs = rng.normal(0, 1, (n, d)).astype(np.float32)
+    pool = min(50, max(1, n // 10))
+    dup_idx = rng.choice(np.arange(pool, n), max(1, n // 16), replace=False)
+    src_idx = rng.integers(0, pool, len(dup_idx))
+    vecs[dup_idx] = vecs[src_idx] + rng.normal(
+        0, 0.01, (len(dup_idx), d)
+    ).astype(np.float32)
+    label = rng.integers(0, 10, n).astype(np.int32)
+    label[rng.choice(n, n // 10, replace=False)] = 3
+    vec_id = np.sort(rng.choice(np.arange(1, n * 3), n, replace=False))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(vec_id, pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(label, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def build_corpus(base: str, out_dir: str, mult: int, seed: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events",
+    ):
+        src = os.path.join(base, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
+    n_docs = pq.ParquetFile(
+        os.path.join(base, "documents.parquet")
+    ).metadata.num_rows * mult
+    n_vecs = pq.ParquetFile(
+        os.path.join(base, "embeddings.parquet")
+    ).metadata.num_rows * mult
+    rng = np.random.default_rng(seed)
+    gen_documents_fast(rng, out_dir, n_docs)
+    gen_embeddings_fast(rng, out_dir, n_vecs)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*", default=None)
+    ap.add_argument("--mult", type=int, nargs="+", default=[1, 10, 100])
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--seed", type=int, default=61)
+    ap.add_argument("--out", default="/tmp/stress_scale.json")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+    names = args.queries or STRESS_QUERIES
+
+    from ruleset_analysis_spark.plans.registry import all_specs
+    from ruleset_analysis_spark.session import get_spark
+
+    specs = all_specs()
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 2
+
+    spark = get_spark(app_name="stress_scale", driver_memory="48g")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {}
+    for m in args.mult:
+        d = f"/tmp/stress_sf0.1_x{m}_seed{args.seed}"
+        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+            t0 = time.time()
+            build_corpus(args.base, d, m, args.seed)
+            print(f"built x{m} corpus in {time.time() - t0:.1f}s -> {d}")
+        dirs[m] = d
+
+    results: dict[str, dict] = {}
+    for name in names:
+        spec = specs[name]
+        row: dict = {"query": name, "t": {}, "rows": {}}
+        for m in args.mult:
+            best, nrows = None, None
+            for _ in range(2):
+                t0 = time.time()
+                nrows = spec.builder(spark, dirs[m]).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            row["t"][str(m)] = round(best, 2)
+            row["rows"][str(m)] = nrows
+        ms = sorted(args.mult)
+        if len(ms) >= 2 and row["t"][str(ms[0])] > 0:
+            import math
+
+            lo, hi = ms[0], ms[-1]
+            ratio = row["t"][str(hi)] / max(row["t"][str(lo)], 1e-9)
+            row["exponent"] = round(
+                math.log(max(ratio, 1e-9)) / math.log(hi / lo), 2
+            )
+        results[name] = row
+        print(json.dumps(row), flush=True)
+
+    with open(args.out, "w") as f:
+        for row in results.values():
+            f.write(json.dumps(row) + "\n")
+    print(f"\nwrote {args.out}")
+    worst = sorted(
+        results.values(), key=lambda r: -r.get("exponent", 0)
+    )[:5]
+    print("highest wall-growth exponents (1.0 = linear):")
+    for r in worst:
+        print(f"  {r['query']}: {r.get('exponent')} {r['t']}")
+    if not args.keep:
+        for m, d in dirs.items():
+            if m != 1:
+                pass  # corpora are reusable across runs; delete by hand
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

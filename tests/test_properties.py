@@ -557,6 +557,64 @@ def test_pagerank_quantized_matches_python_exactly(spark):
     assert got == want
 
 
+def test_vocab_growth_ntile_boundaries_edge_corpora(spark, tmp_path):
+    """text_vocab_growth's r6 scale plan replaces the oracle's literal
+    ntile(10) with partitioned-window rank arithmetic + a broadcast
+    boundary array; this pins the equivalence exactly where boundary
+    arithmetic can drift from ntile semantics: n < 10 (every doc its
+    own bucket), n = 10, n % 10 != 0 (uneven first buckets), and
+    doc_ids with gaps straddling the 4096 coarse-group edges."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ruleset_analysis_spark.oracle import compare, duck_connect
+    from ruleset_analysis_spark.plans.registry import all_specs
+
+    spec = all_specs()["text_vocab_growth"]
+    rng = random.Random(3)
+    cases = {
+        "n3": [5, 900, 12345],
+        "n7_gaps": [0, 1, 99, 4095, 4096, 4097, 900000],
+        "n10": list(range(10)),
+        "n23": sorted(rng.sample(range(10**5), 23)),
+    }
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    for case, ids in cases.items():
+        d = str(tmp_path / case)
+        (tmp_path / case).mkdir()
+        texts = [
+            " ".join(
+                rng.choice(words + [f"k{i}"]) for _ in range(rng.randint(1, 12))
+            )
+            for i in ids
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": texts,
+                    "lang": ["en"] * len(ids),
+                    "source": ["s"] * len(ids),
+                    "n_chars": [len(t) for t in texts],
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "embeddings",
+        ):
+            pq.write_table(
+                pa.table({"x": pa.array([], pa.int64())}), f"{d}/{t}.parquet"
+            )
+        con = duck_connect(d)
+        res = compare(case, spec.builder(spark, d), con, spec.oracle)
+        con.close()
+        assert res.ok, f"{case}: {res}"
+
+
 def test_pca_projection_matches_numpy(spark):
     """embed_pca_project vs direct NumPy PCA on the same vectors: same
     centering, same eigh, same sign convention — projections agree to
