@@ -94,9 +94,17 @@ STRESS_QUERIES = [
 
 def gen_documents_fast(rng: np.random.Generator, out_dir: str, n: int) -> None:
     """Vectorized twin of fuzz_sweep.gen_documents: same value domains
-    and duplicate structure (~4% exact dups of the first-50 pool, ~8%
-    near-dups with ~5% token perturbation), built from one flat token
-    draw instead of a per-doc Python loop (500k docs in ~2 s)."""
+    and duplicate rates (~4% exact dups, ~8% near-dups with ~5% token
+    perturbation), built from one flat token draw instead of a per-doc
+    Python loop (500k docs in ~2 s). One deliberate difference from
+    the fuzz generator: the duplicate SOURCE POOL scales with n
+    (n//100, floor 50) so duplicate-clique sizes stay scale-invariant
+    (~4-12 members) — a fixed 50-doc pool at 500k docs produces
+    ~800-way near-identical cliques whose C(k,2) pair outputs grow
+    quadratically with the corpus, swamping every wall-growth
+    measurement with an artifact of the data, not the plan (measured:
+    dedup_near_minhash emitted 25M candidate pairs at 100x under the
+    fixed pool — 96x the 10x output for 10x the docs)."""
     lens = rng.integers(20, 120, n)
     offs = np.concatenate([[0], np.cumsum(lens)])
     flat = rng.integers(0, len(VOCAB), int(offs[-1]))
@@ -104,7 +112,7 @@ def gen_documents_fast(rng: np.random.Generator, out_dir: str, n: int) -> None:
     texts = [
         " ".join(vocab_arr[flat[offs[i]:offs[i + 1]]]) for i in range(n)
     ]
-    pool = min(50, max(1, n // 10))
+    pool = min(max(50, n // 100), max(1, n - 1))
     for i in rng.choice(np.arange(pool, n), max(1, n // 25), replace=False):
         texts[i] = texts[int(rng.integers(0, pool))]
     for i in rng.choice(np.arange(pool, n), max(1, n // 12), replace=False):
@@ -131,7 +139,8 @@ def gen_embeddings_fast(
     """Vectorized twin of fuzz_sweep.gen_embeddings (same near-dup and
     duplicate-heavy-label structure)."""
     vecs = rng.normal(0, 1, (n, d)).astype(np.float32)
-    pool = min(50, max(1, n // 10))
+    # scale-invariant near-dup cliques — same rationale as documents
+    pool = min(max(50, n // 100), max(1, n - 1))
     dup_idx = rng.choice(np.arange(pool, n), max(1, n // 16), replace=False)
     src_idx = rng.integers(0, pool, len(dup_idx))
     vecs[dup_idx] = vecs[src_idx] + rng.normal(
@@ -225,6 +234,17 @@ def main() -> int:
             row["exponent"] = round(
                 math.log(max(ratio, 1e-9)) / math.log(hi / lo), 2
             )
+            # Threshold-pair ops (ngram/weighted jaccard, pairwise
+            # sims) have output Θ(#qualifying pairs) — quadratic in n
+            # on bounded-vocab corpora BY DEFINITION of the answer,
+            # not by plan defect. For those the honest scale metric is
+            # wall per emitted row: flat-or-falling = the plan scales,
+            # whatever the output cardinality does.
+            r_lo, r_hi = row["rows"][str(lo)] or 1, row["rows"][str(hi)] or 1
+            row["us_per_row"] = {
+                str(lo): round(1e6 * row["t"][str(lo)] / r_lo, 1),
+                str(hi): round(1e6 * row["t"][str(hi)] / r_hi, 1),
+            }
         results[name] = row
         print(json.dumps(row), flush=True)
 
