@@ -107,8 +107,18 @@ def gen_documents_fast(rng: np.random.Generator, out_dir: str, n: int) -> None:
     fixed pool — 96x the 10x output for 10x the docs)."""
     lens = rng.integers(20, 120, n)
     offs = np.concatenate([[0], np.cumsum(lens)])
-    flat = rng.integers(0, len(VOCAB), int(offs[-1]))
-    vocab_arr = np.array(VOCAB)
+    # Heaps'-law vocabulary: V ~ K * tokens^0.5. The fuzz tier's fixed
+    # 30-word vocabulary is fine at 500 docs but PERCOLATES at 500k —
+    # chance trigram collisions connect every same-source doc pair at
+    # low Jaccard thresholds, so components collapse to one cluster
+    # per source (measured: exactly 20 clusters at 100x) and pair
+    # counts measure the vocabulary artifact, not the plan. Synthetic
+    # words follow a Zipf-ish draw so frequent/rare structure exists.
+    total_tokens = int(offs[-1])
+    v_extra = max(0, int(2.0 * total_tokens**0.5) - len(VOCAB))
+    vocab_arr = np.array(list(VOCAB) + [f"w{i}" for i in range(v_extra)])
+    zipf_w = 1.0 / np.arange(1, len(vocab_arr) + 1) ** 1.1
+    flat = rng.choice(len(vocab_arr), total_tokens, p=zipf_w / zipf_w.sum())
     texts = [
         " ".join(vocab_arr[flat[offs[i]:offs[i + 1]]]) for i in range(n)
     ]
