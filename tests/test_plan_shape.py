@@ -416,6 +416,7 @@ BNLJ_ALLOWED = {
     "curation_temperature_mix", # 1-row broadcast weight-total scalar
     "text_vocab_growth",        # 1-row broadcast decile-boundary array
     "graph_pagerank_cooccur",   # 1-row broadcast (r0, base_q) constants
+    "dedup_lsh_band_tuning",    # 1-row broadcast tuning-sample modulus
 }
 
 
