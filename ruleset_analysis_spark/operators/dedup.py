@@ -1288,10 +1288,15 @@ _TUNE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
 # recipe is a fixed-size deterministic sample. Docs are kept when
 # md5(doc_id) % K == 0 with K = 2^(#{j : n_docs > 25_000·2^j}) — a
 # pure-integer threshold chain both engines compute identically, so
-# the sample is ~12-25k docs at ANY corpus size and the gate is a
-# NO-OP (K = 1) at every graded tier. Same md5-portable 60-bit hash
-# as the sketches; same adaptive-parameter discipline as the LSH
-# signature depth (similarity._LSH_DEPTH_THRESHOLDS).
+# the gate is a NO-OP (K = 1) at every graded tier and the sample
+# stays ~12-25k docs up to the chain's SATURATION point: the last
+# threshold is 25k·2^14 ≈ 410M docs, so K caps at 2^15 = 32768 and
+# beyond ~819M docs the sample grows linearly again as n/32768
+# (e.g. ~30k docs at 1e9, ~30M at 1e12 — extend the range() bound
+# if a deployment ever tunes banding on a corpus that large). Same
+# md5-portable 60-bit hash as the sketches; same adaptive-parameter
+# discipline (and same documented-saturation convention) as the LSH
+# signature depth (similarity._LSH_BITS_MAX).
 _TUNE_SAMPLE_THRESHOLDS = tuple(25_000 * (1 << j) for j in range(15))
 
 
@@ -1417,9 +1422,12 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     More rows per band slides down the S-curve (fewer, more precise
     candidates); the graded 4×4 production config sits mid-curve.
 
-    Cost shape: the signature relation is the SAME persisted per-doc
-    sketch the graded near-dup filter builds (CacheManager plan
-    identity — zero marginal sketch work); the exact-Jaccard verify
+    Cost shape: the per-doc sketch rides the SAME persisted
+    exploded-shingle relation the graded near-dup filter builds, but
+    since the r6 sample gate inserted its crossJoin+filter under it
+    the sketch aggregation itself is a separate (persisted) plan —
+    it can no longer hit the near-dup sketch's CacheManager entry,
+    even at graded tiers where K=1. The exact-Jaccard verify
     runs ONCE over the (16,1) superset candidates (any config's
     candidate pair shares ≥1 minhash, so every other config
     semi-joins its verdict out of that single verified relation

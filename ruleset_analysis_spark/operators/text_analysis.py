@@ -985,9 +985,11 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     docs = toks.select("doc_id").distinct()
-    grouped = docs.withColumn(
-        "g", F.floor(F.col("doc_id") / F.lit(4096))
-    )
+    # integer division, NOT floor(x/4096): the float quotient is exact
+    # only for doc_id < 2^53, and the recipe claims the full BIGINT
+    # doc_id domain — a misassigned coarse group would corrupt every
+    # downstream global rank
+    grouped = docs.withColumn("g", F.expr("doc_id div 4096"))
     gcounts = grouped.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
     # cumulative offsets over the BOUNDED coarse-group relation — the
     # only unpartitioned window below the final 10-row curve, and it

@@ -236,11 +236,13 @@ def main() -> int:
                     best = dt if best is None else min(best, dt)
             except Exception as exc:  # noqa: BLE001
                 msg = str(exc)
-                if "quadratic per block" in msg or "USER_RAISED_EXCEPTION" in msg:
-                    # the operator's own scale guard fired — that IS
-                    # the designed behavior for exact all-pairs forms
-                    # once a block outgrows the cap; record the
-                    # refusal as a pass and move on
+                # Match the bounded_block guard by its own message text
+                # ("exact all-pairs is quadratic per block", _util.py),
+                # NOT the generic USER_RAISED_EXCEPTION class — any
+                # other raise_error at scale is a genuine failure and
+                # must land under "error", not be classified as a
+                # designed refusal.
+                if "quadratic per block" in msg:
                     row.setdefault("guard_refused", []).append(m)
                     continue
                 row.setdefault("error", {})[str(m)] = msg[:200]
@@ -280,10 +282,13 @@ def main() -> int:
     print("highest wall-growth exponents (1.0 = linear):")
     for r in worst:
         print(f"  {r['query']}: {r.get('exponent')} {r['t']}")
+    # /tmp disk is the binding limit for 100x runs (shuffle spill plus
+    # the corpora themselves) — delete the grown corpora unless --keep
+    # asks to retain them for a follow-up run.
     if not args.keep:
         for m, d in dirs.items():
-            if m != 1:
-                pass  # corpora are reusable across runs; delete by hand
+            if m != 1 and os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
     return 0
 
 
