@@ -388,10 +388,25 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PCA_COMPONENTS = 2
+# Quantized graded twin (r7, the pagerank/kmeans recipe applied to an
+# eigensolve): inputs quantize to _PCA_QSCALE integer quanta, the
+# corpus reduces to EXACT integer sufficient statistics (n, Σq, qᵀq —
+# BIGINT-safe to ~2.5e9 vectors at |x|≤1: Σqᵢqⱼ ≤ n·(6e4)²), and the
+# top-2 basis comes from a declared _PCA_ROUNDS-round integer power
+# iteration over the 64×64 scatter matrix n·G − s·sᵀ — every step
+# truncating integer division (DuckDB ``//`` == Spark ``div`` ==
+# the Python model code's _tdiv), so the basis and the projection are
+# bit-exact cross-engine. The model stage is 64-row/4096-row relations
+# — HUGEINT in the DuckDB CTE chain, arbitrary-precision Python ints
+# on the Spark driver; only the corpus-sized stages touch 64-bit.
+_PCA_QSCALE = 100_000
+_PCA_VSCALE = 1_000_000  # basis vectors normalized to max-abs = 1e6
+_PCA_ROUNDS = 24
 
 
 def _gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: per-batch Gram-matrix partials.
+    """mapInPandas kernel: per-batch float Gram-matrix partials (the
+    eigh library path — see ``pca_project_eigh``).
 
     Each Arrow batch of n vectors collapses to ONE row carrying
     (count, column sums, flattened XᵀX) — the sufficient statistics of
@@ -413,35 +428,301 @@ def _gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def _int_gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: per-batch EXACT integer Gram partials over
+    pre-quantized BIGINT vectors (the graded twin's reduce stage).
+
+    The matmul runs in float64 BLAS when every product-sum is exactly
+    representable (batch·max(q)² < 2^53 — always true for unit-ish
+    embeddings at _PCA_QSCALE and Arrow's 10k-row batches) and falls
+    back to arbitrary-precision object arithmetic otherwise, so the
+    partials are exact integers either way."""
+    import numpy as np
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        xi = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        qmax = int(np.abs(xi).max(initial=0))
+        if qmax * qmax * len(xi) < 2**53:
+            x = xi.astype(np.float64)
+            g = (x.T @ x).astype(np.int64)
+        else:  # exact fallback for out-of-contract magnitudes
+            xo = xi.astype(object)
+            g = xo.T @ xo
+        yield pd.DataFrame(
+            {
+                "n": [len(xi)],
+                "s": [xi.sum(axis=0).tolist()],
+                "g": [[int(v) for v in np.asarray(g).ravel()]],
+            }
+        )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — the semantics BOTH
+    SQL engines share (DuckDB ``//``, Spark ``div``); Python's ``//``
+    floors, which differs on negative numerators."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def _pca_power_basis(
+    n: int, s: list[int], g: list[list[int]]
+) -> tuple[list[int], list[int], list[int]]:
+    """Driver-side model stage of the graded twin: exact-integer power
+    iteration on the scatter matrix m = n·G − s·sᵀ.
+
+    Component 1: _PCA_ROUNDS rounds of v ← trunc(m·v · VSCALE / max|m·v|)
+    from the uniform start [VSCALE]*d. Component 2: same loop from the
+    ramp start [1..d], with an exact integer Gram–Schmidt step against
+    w1 after each normalize (o = t·(w1ᵀw1) − (tᵀw1)·w1 — products only,
+    no division, so no precision leaves the chain). max(·,1) guards the
+    all-zero degenerate vector; signs pin to first-largest-|entry|
+    positive. Python ints are arbitrary precision, mirroring the
+    oracle's HUGEINT CTEs term for term."""
+    d = len(s)
+    m = [[n * g[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)]
+
+    def normalize(u: list[int]) -> list[int]:
+        mx = max(max(abs(x) for x in u), 1)
+        return [_tdiv(x * _PCA_VSCALE, mx) for x in u]
+
+    def pin_sign(v: list[int]) -> list[int]:
+        j = max(range(d), key=lambda i: (abs(v[i]), -i))
+        return [-x for x in v] if v[j] < 0 else v
+
+    v1 = [_PCA_VSCALE] * d
+    for _ in range(_PCA_ROUNDS):
+        v1 = normalize([sum(m[i][j] * v1[j] for j in range(d)) for i in range(d)])
+    w1 = pin_sign(v1)
+
+    ww = sum(x * x for x in w1)
+    v2 = list(range(1, d + 1))
+    for _ in range(_PCA_ROUNDS):
+        t = normalize([sum(m[i][j] * v2[j] for j in range(d)) for i in range(d)])
+        c = sum(t[i] * w1[i] for i in range(d))
+        v2 = normalize([t[i] * ww - c * w1[i] for i in range(d)])
+    w2 = pin_sign(v2)
+    sbar = [_tdiv(si, n) for si in s]
+    return sbar, w1, w2
+
+
+def _pca_oracle() -> str:
+    """Unrolled quantized power iteration (the pagerank recipe on an
+    eigensolve): integer sufficient statistics from an indexed unnest,
+    then one MATERIALIZED 64-row CTE per normalize step. DuckDB's
+    HUGEINT carries the model stage (sums and vector products widen
+    past 64-bit by design there); the result columns CAST back to
+    BIGINT. ``//`` truncates toward zero in DuckDB — the same
+    semantics as Spark ``div`` and the builder's _tdiv."""
+    q, vs, dim = _PCA_QSCALE, _PCA_VSCALE, 64
+    parts = [
+        f"""
+        WITH qrel AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {q}.0)
+                        AS BIGINT) AS qv
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+        ),
+        cnt AS MATERIALIZED (
+            SELECT CAST(count(*) // {dim} AS BIGINT) AS n FROM qrel
+        ),
+        stats AS MATERIALIZED (
+            SELECT i, CAST(sum(qv) AS BIGINT) AS s FROM qrel GROUP BY i
+        ),
+        sbar AS MATERIALIZED (
+            SELECT st.i, st.s // c.n AS sb FROM stats st CROSS JOIN cnt c
+        ),
+        gram AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j, sum(a.qv * b.qv) AS g
+            FROM qrel a JOIN qrel b ON b.vec_id = a.vec_id
+            GROUP BY a.i, b.i
+        ),
+        mat AS MATERIALIZED (
+            SELECT gm.i, gm.j,
+                   CAST(c.n AS HUGEINT) * gm.g
+                   - CAST(sa.s AS HUGEINT) * sb.s AS m
+            FROM gram gm
+            JOIN stats sa ON sa.i = gm.i
+            JOIN stats sb ON sb.i = gm.j
+            CROSS JOIN cnt c
+        ),
+        v1_0 AS (
+            SELECT unnest(range(1, {dim + 1})) AS i, CAST({vs} AS HUGEINT) AS v
+        )"""
+    ]
+    for r in range(1, _PCA_ROUNDS + 1):
+        parts.append(
+            f"""
+        , u1_{r} AS MATERIALIZED (
+            SELECT mt.i AS i, sum(mt.m * v.v) AS u
+            FROM mat mt JOIN v1_{r - 1} v ON v.i = mt.j GROUP BY mt.i
+        ),
+        v1_{r} AS MATERIALIZED (
+            SELECT i, (u * {vs})
+                   // greatest((SELECT max(abs(u)) FROM u1_{r}), 1) AS v
+            FROM u1_{r}
+        )"""
+        )
+    parts.append(
+        f"""
+        , flip1 AS (
+            SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS f
+            FROM v1_{_PCA_ROUNDS} ORDER BY abs(v) DESC, i ASC LIMIT 1
+        ),
+        w1 AS MATERIALIZED (
+            SELECT i, v * fl.f AS v FROM v1_{_PCA_ROUNDS} CROSS JOIN flip1 fl
+        ),
+        ww AS MATERIALIZED (SELECT sum(v * v) AS s FROM w1),
+        v2_0 AS (
+            SELECT unnest(range(1, {dim + 1})) AS i,
+                   CAST(unnest(range(1, {dim + 1})) AS HUGEINT) AS v
+        )"""
+    )
+    for r in range(1, _PCA_ROUNDS + 1):
+        parts.append(
+            f"""
+        , u2_{r} AS MATERIALIZED (
+            SELECT mt.i AS i, sum(mt.m * v.v) AS u
+            FROM mat mt JOIN v2_{r - 1} v ON v.i = mt.j GROUP BY mt.i
+        ),
+        t2_{r} AS MATERIALIZED (
+            SELECT i, (u * {vs})
+                   // greatest((SELECT max(abs(u)) FROM u2_{r}), 1) AS t
+            FROM u2_{r}
+        ),
+        o2_{r} AS MATERIALIZED (
+            SELECT t.i AS i, t.t * ww.s - ct.c * w.v AS o
+            FROM t2_{r} t
+            JOIN w1 w ON w.i = t.i
+            CROSS JOIN ww
+            CROSS JOIN (
+                SELECT sum(tt.t * wv.v) AS c
+                FROM t2_{r} tt JOIN w1 wv ON wv.i = tt.i
+            ) ct
+        ),
+        v2_{r} AS MATERIALIZED (
+            SELECT i, (o * {vs})
+                   // greatest((SELECT max(abs(o)) FROM o2_{r}), 1) AS v
+            FROM o2_{r}
+        )"""
+        )
+    parts.append(
+        f"""
+        , flip2 AS (
+            SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS f
+            FROM v2_{_PCA_ROUNDS} ORDER BY abs(v) DESC, i ASC LIMIT 1
+        ),
+        w2 AS MATERIALIZED (
+            SELECT i, v * fl.f AS v FROM v2_{_PCA_ROUNDS} CROSS JOIN flip2 fl
+        )
+        SELECT qr.vec_id,
+               CAST(sum((qr.qv - sb.sb) * w1.v) AS BIGINT) AS pc1_q,
+               CAST(sum((qr.qv - sb.sb) * w2.v) AS BIGINT) AS pc2_q
+        FROM qrel qr
+        JOIN sbar sb ON sb.i = qr.i
+        JOIN w1 ON w1.i = qr.i
+        JOIN w2 ON w2.i = qr.i
+        GROUP BY qr.vec_id
+        """
+    )
+    return "".join(parts)
+
+
 @register(
     "embed_pca_project",
     category="multimodal",
-    oracle=None,  # rows-only: eigendecomposition (NumPy-differential test)
+    oracle=_pca_oracle(),
 )
 def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA projection: embeddings → top-2 principal
-    components, the dimensionality-reduction pass before clustering /
-    visualization / cheap ANN.
+    """Distributed PCA projection, GRADED QUANTIZED TWIN (r7 oracle
+    upgrade — the last non-sketch rows-only row retired): embeddings →
+    a deterministic top-variance 2D basis via a declared
+    _PCA_ROUNDS-round integer power iteration, the
+    dimensionality-reduction pass before clustering / visualization /
+    cheap ANN.
 
-    The scale split: executors reduce the corpus to Gram-matrix
-    partials (one (count, Σx, XᵀX) row per partition — O(d²) each, via
-    ``mapInPandas``); ONLY those partials cross to the driver, which
-    eigendecomposes the d×d covariance (64×64 — microseconds) and
-    broadcasts the projection matrix back as literal arrays; the
-    projection itself is a JVM higher-order dot-fold per row. The
-    corpus never shuffles and never lands on the driver — the same
-    sufficient-statistics discipline as sim_ann_ivf's centroids.
-    Eigenvector sign is pinned (largest-|entry| coordinate positive)
-    so output is deterministic run-to-run. Eager by necessity
-    (aggregating partials is an action), like the other iterative/
+    The scale split is unchanged from the float path: executors reduce
+    the corpus to EXACT integer Gram partials (one (n, Σq, qᵀq) row per
+    partition, O(d²) each, via ``mapInPandas`` — integer sums are
+    associative, so the reduction is partitioning-invariant, which is
+    precisely what makes the twin hashable); ONLY those partials cross
+    to the driver, which runs the fixed-round integer power iteration
+    (64×64, arbitrary-precision Python — microseconds) and broadcasts
+    the basis back as literal BIGINT arrays; the projection is a JVM
+    integer dot-fold per row. The corpus never shuffles.
+
+    Semantics vs true PCA, stated honestly: power iteration converges
+    to the eigh components at rate (λ2/λ1)^rounds. The graded corpus
+    is near-isotropic (λ2/λ1 ≈ 0.98 measured at every sf), so 24
+    rounds yield a deterministic variance-seeking basis, NOT the
+    converged eigenvectors — on spectra with real structure (the
+    regime where PCA is useful) the same budget converges. Users who
+    want converged float PCA run the ``pca_project_eigh`` library path
+    (NumPy-differentialed in tests); the graded twin trades that for a
+    bit-exact cross-engine contract, exactly like
+    ``graph_pagerank_cooccur`` vs ``pagerank_float_fixpoint``. Output
+    is (vec_id, pc1_q, pc2_q) in quanta·VSCALE integer units. Eager by
+    necessity (aggregating partials is an action), like the other
     model-fitting builders."""
-    import numpy as np
-
     from ..schemas import EMBEDDING_DIM
 
     # dirty-data gate (SCALE.md convention): NULL or wrong-dimension
     # vectors are dropped JVM-side BEFORE the kernel — np.stack on a
     # ragged batch would abort the whole job on one bad row
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMBEDDING_DIM)
+    )
+    qd = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x ->"
+            f" CAST(floor(CAST(x AS DOUBLE) * {_PCA_QSCALE}.0) AS BIGINT))"
+        ).alias("qv"),
+    )
+    parts = qd.select("qv").mapInPandas(
+        _int_gram_partials, "n long, s array<long>, g array<long>"
+    ).collect()
+    d = EMBEDDING_DIM
+    out_schema = "vec_id long, pc1_q long, pc2_q long"
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    n = sum(int(p["n"]) for p in parts)
+    s = [sum(int(p["s"][i]) for p in parts) for i in range(d)]
+    g = [
+        [sum(int(p["g"][i * d + j]) for p in parts) for j in range(d)]
+        for i in range(d)
+    ]
+    sbar, w1, w2 = _pca_power_basis(n, s, g)
+
+    sbar_lit = F.array(*[F.lit(v).cast("long") for v in sbar])
+    cen = F.zip_with(F.col("qv"), sbar_lit, lambda x, m: x - m)
+    out_cols = [F.col("vec_id")]
+    for k, w in enumerate((w1, w2)):
+        w_lit = F.array(*[F.lit(v).cast("long") for v in w])
+        dot = F.aggregate(
+            F.zip_with(cen, w_lit, lambda c, wv: c * wv),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        out_cols.append(dot.alias(f"pc{k + 1}_q"))
+    return qd.select(*out_cols)
+
+
+def pca_project_eigh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library path (UNREGISTERED): float PCA projection onto the true
+    top-2 eigh components — the variant a user runs when they want
+    converged PCA instead of the graded twin's fixed integer budget.
+    Same distributed shape (float Gram partials via ``mapInPandas``,
+    driver-side 64×64 eigendecomposition, literal-array projection);
+    NumPy-differentialed in tests/test_properties.py. Eigenvector sign
+    pinned largest-|entry|-positive, matching the twin's convention."""
+    import numpy as np
+
+    from ..schemas import EMBEDDING_DIM
+
     e = load(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
         & (F.size("embedding") == EMBEDDING_DIM)

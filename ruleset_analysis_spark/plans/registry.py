@@ -56,102 +56,91 @@ OPERATOR_MODULES = (
 )
 
 # Driver-facing ordering. The driver's correctness harness witnesses a
-# bounded prefix of ``queries()`` (rounds 1-4 each recorded ~the first
-# 50 dict entries), so insertion order is a measurement channel, not a
-# style choice. The list rotates per round so every family eventually
-# gets a driver-green row: round 1 covered the relational core, round
-# 2 the flagship + LLM families, round 3 the
-# tpch/graph/curation/event/joins/windows tails (49/50 green), round 4
-# the 18 TPC-H composites + sketch/setop tails + oracle upgrades
-# (48/49 green — the one red, tpch_q12, was an oracle HUGEINT bug,
-# fixed this round with CAST(sum(...) AS BIGINT)).
+# bounded prefix of ``queries()`` (every round so far recorded ~the
+# first 50 dict entries), so insertion order is a measurement channel,
+# not a style choice. The list rotates per round so every family holds
+# a fresh driver-green row: r1 relational core, r2 flagship + LLM
+# families, r3 tpch/graph/curation/event tails, r4 TPC-H composites +
+# sketch/setop tails, r5 the q12 re-witness + 30 additions, r6 the 27
+# r5 late additions + pagerank re-witness + the first 22 r1 refreshes
+# (CORRECTNESS_r06: 50/50 green — with it, EVERY registry name holds a
+# driver record and the registry froze at 260).
 #
-# ROUND-6 WINDOW (entries 1-50). The round-5 window (q12 re-witness +
-# 15 never-witnessed + 4 stale rows-only + 30 r5 additions) came back
-# 45/45 oracled green + 5 rows-only — zero red rows (CORRECTNESS_r05)
-# — so every one of those 50 names now holds a fresh r5 record and
-# rotates OUT of the window.
+# From round 7 on the window is pure maintenance: a FRONT block for
+# re-witnesses (oracle upgrades — rows-only -> SQL twin — and any
+# genuinely new engine surface) and a REFRESH block that is exactly
+# the stalest-first prefix of the cumulative witness ledger
+# (tests/test_differential.py::test_refresh_block_is_oldest_first
+# recomputes it from the committed CORRECTNESS_r0*.json files, so a
+# hand-ordering error fails loudly). 260 queries / 50 slots means the
+# full re-witness cycle is >= 5.2 rounds (SURVEY §5).
 #
-#   * 1-27: the 27 round-5 late additions that landed after the r5
-#     window filled — the only queries with NO driver record of any
-#     kind (their evidence so far: the r5 judge differential 27/27,
-#     the 10×/shuffled/fuzz tiers, and a 50/50 vanilla-session window
-#     simulation). Converting them to driver hash-green records is the
-#     round-6 headline (VERDICT r5, task #1).
-#   * 28-50: refresh of the OLDEST green records — the r1 relational
-#     core, whose only driver record is now 5 rounds stale (the r5
-#     additions pushed them out of the r5 window before they ran).
-#   * ROUND-6 ADDITIONS (if any — VERDICT task #7 says widen only for
-#     a genuinely new engine surface) land ABOVE the refresh block.
-# Every name absent from this list falls to registration order; all
-# such names hold an r2-r5 driver hash-green record. A stale name here
-# fails loudly (tests/test_differential.py asserts priority ⊆
-# registry and prefix order).
-DRIVER_PRIORITY = (
-    # 1-27: never witnessed by any driver window (r5 late additions)
-    "graph_degree_distribution",  # r5: whole-graph degree histogram
-    "agg_skewness_kurtosis",  # r5: exact-moment tail-shape report
-    "text_ngram_novelty",  # r5: per-doc first-owner novelty score
-    "firewall_policy_diff",  # r5: generation diff x live traffic
-    "event_changepoint_cusum",  # r5: integer-exact CUSUM drift day
-    "sample_importance_weighted",  # r5: per-row weight hash sampling
-    "agg_welch_ttest",  # r5: pairwise Welch t + Satterthwaite dof
-    "scan_csv_malformed_policy",  # r5: PERMISSIVE quarantine census
-    "agg_chi2_independence",  # r5: quantized-reduction chi-squared
-    "curation_temperature_mix",  # r5: sqrt-temperature source weights
-    "window_median_moving",  # r5: exact rolling median composition
-    "agg_mann_whitney_u",  # r5: pair-counting nonparametric U test
-    "event_dau_mau_stickiness",  # r5: DAU/MAU bounded-explode ratio
-    "agg_ks_test",  # r5: integer-extremum Kolmogorov-Smirnov D
-    "agg_benford_deviation",  # r5: literal-ppm Benford screening
-    "agg_gini_coefficient",  # r5: exact rank-weighted concentration
-    "udtf_table_arg_grouped",  # r5: TABLE-arg PARTITION BY UDTF
-    "scan_partition_overwrite_dynamic",  # r5: backfill-safe overwrite
-    "agg_autocorrelation_lag1",  # r5: integer-exact r1 momentum
-    "event_ohlc_bars",  # r5: one-pass OHLC candle rollup
-    "join_scd2_point_in_time",  # r5: merge-stream PIT dimension lookup
-    "udf_iter_pandas",  # r5: iterator-form pandas UDF (init amortize)
-    "event_interarrival_burstiness",  # r5: exact-micros gap CV
-    "stream_exec_sliding",  # r5: true overlapping-window drain
-    "event_cohort_revenue_ltv",  # r5: cohort x age revenue matrix
-    "embed_drift_split_centroids",  # r5: integer-exact drift canary
-    "text_vocab_growth",  # r5: Heaps-law curve (plan fixed this round)
-    # --- ROUND-6 ADDITIONS land here, above the refresh block ---
-    # re-witness: upgraded rows-only -> SQL oracle this round (the
-    # quantized fixed-round twin), same precedent as sim_ann_ivf in r5
-    "graph_pagerank_cooccur",
-    # --- refresh: oldest (r1) green records, 5 rounds stale ---
-    "scan_parquet",
-    "scan_predicate_pushdown",
-    "scan_projection_pushdown",
-    "project_arithmetic",
-    "filter_equality",
-    "filter_conjunction",
-    "filter_range",
-    "filter_null_handling",
-    "agg_count_by_key",
-    "agg_multi",
-    "agg_count_distinct",
-    "agg_distinct_rows",
-    "agg_having",
-    "agg_grouping_sets",
-    "agg_cube",
-    "agg_stddev_percentile",
-    "agg_collect_sorted",
-    "agg_corr_covar",
-    "agg_histogram",
-    "agg_pivot",
-    "date_funcs",
-    "math_funcs",
-    "conditional_case",
+# ROUND-7 WINDOW (entries 1-50):
+#   * FRONT: embed_pca_project — upgraded rows-only -> SQL oracle this
+#     round (quantized fixed-round power-method twin; the pagerank/
+#     sim_ann_ivf precedent), so its r5 rows-only record must become a
+#     hash-green one.
+#   * REFRESH: the 22 rows whose latest record is r1 (strings/arrays/
+#     joins/windows core, in r1 witness order) + the 27 oldest r2 rows
+#     (firewall/dedup/text/multimodal/UDF flagships, in r2 witness
+#     order). The 14 youngest r2 rows rotate in next round.
+DRIVER_PRIORITY_FRONT = (
+    "embed_pca_project",  # r7 re-witness: rows-only -> quantized SQL twin
+)
+DRIVER_PRIORITY_REFRESH = (
+    # --- latest record r1 (6 rounds stale), r1 witness order ---
+    "string_regex_extract",
     "string_funcs",
     "string_like",
-    "string_regex_extract",
-    "string_distance",
+    "conditional_case",
     "array_funcs",
     "array_explode",
+    "string_distance",
     "date_series_gapfill",
+    "agg_min_max_by",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_multiway",
+    "join_left_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_theta_range",
+    "join_cross",
+    "join_self_asof",
+    "join_range_bucketed",
+    "window_rank_topk_per_group",
+    "window_running_sum",
+    # --- latest record r2 (5 rounds stale), r2 witness order ---
+    "rule_usage_report",
+    "firewall_rule_hits",
+    "firewall_cidr_match",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_components",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "sim_pairwise_threshold",
+    "text_tokenize_counts",
+    "text_tfidf_topterms",
+    "text_lang_stats",
+    "text_langid_heuristic",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_normalize",
+    "text_pii_redact",
+    "multimodal_join",
+    "embed_array_stats",
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "udf_scalar_pandas",
+    "udaf_grouped_pandas",
+    "udtf_split_props",
+    "udtf_python_native",
 )
+DRIVER_PRIORITY = DRIVER_PRIORITY_FRONT + DRIVER_PRIORITY_REFRESH
 
 
 @dataclass(frozen=True)

