@@ -229,8 +229,14 @@ def graph_pagerank_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keeps its persisted partitioning; only the node-sized rank
         # relation shuffles to meet it. Each round references its
         # predecessor exactly once — linear lineage, single lazy job.
+        # SHUFFLE_HASH on the rank side (r7): the default SortMergeJoin
+        # re-SORTED the edge-sized cached relation in every round (the
+        # cache preserves partitioning, not ordering); hashing the
+        # node-sized rank relation instead streams the edges unsorted —
+        # 8 edge-relation sorts drop out of the job for one node-sized
+        # hash build per round.
         ranks = (
-            out.join(ranks, out.src == ranks.node)
+            out.join(ranks.hint("shuffle_hash"), out.src == ranks.node)
             .select("dst", F.expr("r div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("mass"))
