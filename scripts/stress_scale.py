@@ -56,6 +56,7 @@ def _load_fuzz_module():
 
 _FUZZ = _load_fuzz_module()
 VOCAB, LANGS, SOURCES = _FUZZ.VOCAB, _FUZZ.LANGS, _FUZZ.SOURCES
+EVENT_TYPES = _FUZZ.EVENT_TYPES
 
 # The families whose blocking discipline the 100 TB claims rest on.
 STRESS_QUERIES = [
@@ -90,6 +91,53 @@ STRESS_QUERIES = [
     "text_vocab_growth",
     "corpus_boilerplate_ngrams",
 ]
+
+# r7 tier: the events/lineitem-fed families (VERDICT r6 task #2 — the
+# documents tier caught two real scale-killers; the graph tier is
+# where the next one would hide: skewed co-occurrence keys, basket²
+# blowup, window state growth). Grown tables: events (traffic growth
+# inside the SAME Jan-2024 window — denser days, the realistic mode
+# for event streams) and orders+lineitem (more orders against the
+# FIXED part/customer/supplier dims, so the co-occurrence graph
+# DENSIFIES — per-node degree grows with corpus, exactly the skew
+# regime a 100 TB co-occurrence graph lives in).
+STRESS_QUERIES_EVENTS = [
+    # graph: iterative + wedge joins over the densifying basket graph
+    "graph_pagerank_cooccur",
+    "graph_kcore_bounded",
+    "graph_triangle_count",
+    "graph_link_prediction",
+    "graph_degree_distribution",
+    "join_cooccur_baskets",
+    # as-of / interval / PIT joins over the grown event stream
+    "join_asof_backward",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "join_scd2_point_in_time",
+    # event/window state machines
+    "stream_session_window",
+    "stream_rollup_multires",
+    "funnel_ordered_steps",
+    "event_transition_matrix",
+    "event_scd2_intervals",
+    "event_wau_sliding_distinct",
+    "event_dau_mau_stickiness",
+    "event_cohort_revenue_ltv",
+    "window_median_moving",
+    # TPC-H composites over the grown fact tables
+    "tpch_q1_pricing_summary",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_orders",
+]
+
+FAMILIES = {"docs": STRESS_QUERIES, "events": STRESS_QUERIES_EVENTS}
+# which tables each family's corpus must GROW (everything else copies
+# from the base sf so loaders and FKs resolve)
+FAMILY_TABLES = {
+    "docs": ("documents", "embeddings"),
+    "events": ("events", "orders", "lineitem"),
+}
 
 
 def gen_documents_fast(rng: np.random.Generator, out_dir: str, n: int) -> None:
