@@ -392,10 +392,37 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "graph_link_prediction",
-    category="graph",
-    oracle="""
+# Super-hub witness cap for common-neighbor link prediction. The
+# wedge stage enumerates one row per (witness, endpoint-pair) — cost
+# Σ_w deg(w)², which a single hub node turns quadratic: the r8 events
+# stress tier measured the Zipf-densified x10 basket graph (1.08M
+# strong edges, max degree 19,274) at 4.37e9 wedges / 718 s wall,
+# exponent 2.33 — the same fixed-parameter trap the LSH depth fix
+# closed for the similarity family. The standard discount (the reason
+# Adamic-Adar weights common neighbors by 1/log deg) is that a witness
+# connected to everything carries no pair-specific signal, so witnesses
+# with degree > cap are EXCLUDED from the evidence set: Jaccard is
+# computed over the informative neighborhoods N'(x) = N(x) \ hubs
+# (numerator and denominator consistently), while hubs remain fully
+# eligible as RANKED ENDPOINTS. cap = 64·2^{#{j : m > 8192·8^j}} —
+# one doubling per 8x edge growth (cap ∝ m^(1/3), wedge bound
+# Σ ≤ cap·2m ∝ m^(4/3); measured at x10: 4.37e9 → 1.77e8 wedges with
+# 570/20,000 nodes discounted). Pure-integer threshold chain, so both
+# engines compute the identical cap from count(*); at every graded
+# tier (m ≤ 3,573, max degree ≤ 51) the hub set is EMPTY and results
+# are bit-identical to the uncapped r1 semantics. Saturates at
+# cap = 16,384 past m = 8192·8^7 ≈ 1.7e10 edges; beyond that the
+# witness bound grows as m/16384 again — extend the range() bound if
+# a deployment ever ranks links on a graph that large.
+_LP_HUB_CAP_BASE = 64
+_LP_HUB_THRESHOLDS = tuple(8192 * 8**j for j in range(8))
+
+
+def _link_prediction_oracle() -> str:
+    k_terms = " + ".join(
+        f"(CASE WHEN c.m > {t} THEN 1 ELSE 0 END)" for t in _LP_HUB_THRESHOLDS
+    )
+    return f"""
         WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         e AS (
             SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -411,9 +438,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT v AS w, u AS n FROM e
         ),
         deg AS (SELECT w, count(*) AS d FROM adj GROUP BY w),
+        caprel AS (
+            SELECT {_LP_HUB_CAP_BASE} << ({k_terms}) AS cap
+            FROM (SELECT count(*) AS m FROM e) c
+        ),
+        hubs AS (
+            SELECT w FROM deg CROSS JOIN caprel WHERE d > cap
+        ),
+        -- witness-filtered adjacency: rows whose CENTER is informative.
+        -- adj is symmetric, so grouping a2 by the n column also yields
+        -- the informative-neighborhood size |N(x) \\ hubs| per node.
+        a2 AS MATERIALIZED (
+            SELECT adj.w, adj.n FROM adj
+            WHERE NOT EXISTS (SELECT 1 FROM hubs h WHERE h.w = adj.w)
+        ),
+        deg2 AS (SELECT n AS w, count(*) AS d FROM a2 GROUP BY n),
         cand AS (
             SELECT x.n AS a, y.n AS b, count(*) AS common
-            FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+            FROM a2 x JOIN a2 y ON x.w = y.w AND x.n < y.n
             GROUP BY x.n, y.n
         ),
         nonedge AS (
@@ -427,11 +469,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(common AS DOUBLE) / (da.d + db.d - common), 6)
                    AS jaccard_score
         FROM nonedge
-        JOIN deg da ON da.w = a
-        JOIN deg db ON db.w = b
+        JOIN deg2 da ON da.w = a
+        JOIN deg2 db ON db.w = b
         ORDER BY jaccard_score DESC, part_a, part_b
         LIMIT 20
-    """,
+    """
+
+
+@register(
+    "graph_link_prediction",
+    category="graph",
+    oracle=_link_prediction_oracle(),
 )
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction on the strong co-occurrence
@@ -440,25 +488,58 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommender/graph-completion primitive ('these two parts co-occur
     with the same things; expect them together').
 
-    Same wedge substrate and Σ deg(w)² cost bound as the triangle
-    count (the ≥2-orders threshold is the guard); candidate pairs come
-    only from shared neighbors, never from an all-pairs scan; the
-    existing-edge exclusion is a left-anti hash join. Jaccard is an
-    exact rational of BIGINT counts (|N(a)∩N(b)| over the inclusion-
-    exclusion union), so the ranking is bit-identical cross-engine;
-    top-20 plans as TakeOrderedAndProject with a full deterministic
-    tie-break."""
-    # The thresholded edge relation is referenced three times (both
-    # wedge sides via adj, the existing-edge anti-join): the shared
-    # persisted strong-edge cache serves all three with exact size
-    # stats (pre-cache measurement: 5.6 → ~3 s at sf0.1 from
-    # persisting; stats keep the wedge joins broadcast-planned).
+    Same wedge substrate as the triangle count, with the ADAPTIVE
+    super-hub witness cap bounding the Σ deg(w)² wedge stage (see the
+    _LP_HUB_THRESHOLDS note: hub witnesses carry no pair-specific
+    signal and are excluded from the evidence set once their degree
+    exceeds the integer-chain cap; the hub set is EMPTY at every
+    graded tier, so graded results are bit-identical to the uncapped
+    form). Candidate pairs come only from shared informative
+    neighbors, never from an all-pairs scan; the existing-edge
+    exclusion is a left-anti hash join. Jaccard is an exact rational
+    of BIGINT counts over the informative neighborhoods (|N'(a)∩N'(b)|
+    over the inclusion-exclusion union of |N'| sizes), so the ranking
+    is bit-identical cross-engine; top-20 plans as
+    TakeOrderedAndProject with a full deterministic tie-break."""
+    # The thresholded edge relation is referenced four times (the
+    # symmetric adjacency feeding both wedge sides, the cap's edge
+    # count, the existing-edge anti-join): the shared persisted
+    # strong-edge cache serves all of them with exact size stats
+    # (pre-cache measurement: 5.6 → ~3 s at sf0.1 from persisting;
+    # stats keep the wedge joins broadcast-planned).
     e = strong_cooccur_edges(spark, sf_dir)
     adj = e.select(F.col("u").alias("w"), F.col("v").alias("n")).unionByName(
         e.select(F.col("v").alias("w"), F.col("u").alias("n"))
     )
     deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
-    x, y = adj.alias("x"), adj.alias("y")
+    # 1-row adaptive witness cap from the edge count (integer chain —
+    # both engines compute the identical value, no float/log risk)
+    k_sql = " + ".join(
+        f"(CASE WHEN m > {t} THEN 1 ELSE 0 END)" for t in _LP_HUB_THRESHOLDS
+    )
+    caprel = e.agg(F.count(F.lit(1)).alias("m")).select(
+        F.expr(f"shiftleft({_LP_HUB_CAP_BASE}, {k_sql})").alias("cap")
+    )
+    # hub relation is ≤ 2m/cap rows by construction (Σ deg = 2m) —
+    # broadcastable at any tier the cap chain admits
+    hubs = (
+        deg.crossJoin(F.broadcast(caprel))
+        .filter(F.col("d") > F.col("cap"))
+        .select(F.col("w").alias("hub"))
+    )
+    # witness-filtered adjacency; adj is symmetric, so grouping a2 by
+    # the NEIGHBOR column yields the informative degree |N(x) \ hubs|
+    # per node — one relation serves the wedge join and both degree
+    # lookups. Persisted: three references, and the wedge self-join
+    # prunes columns differently per side so ReuseExchange never fires.
+    from pyspark import StorageLevel
+
+    a2 = (
+        adj.join(F.broadcast(hubs), adj.w == F.col("hub"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg2 = a2.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    x, y = a2.alias("x"), a2.alias("y")
     cand = (
         x.join(y, (F.col("x.w") == F.col("y.w")) & (F.col("x.n") < F.col("y.n")))
         .groupBy(F.col("x.n").alias("a"), F.col("y.n").alias("b"))
@@ -470,8 +551,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cand.a == e.u) & (cand.b == e.v),
         "left_anti",
     )
-    da = deg.select(F.col("w").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("w").alias("b"), F.col("d").alias("db"))
+    da = deg2.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg2.select(F.col("n").alias("b"), F.col("d").alias("db"))
     score = F.round(
         F.col("common").cast("double")
         / (F.col("da") + F.col("db") - F.col("common")),

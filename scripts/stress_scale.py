@@ -217,25 +217,165 @@ def gen_embeddings_fast(
     pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
 
 
-def build_corpus(base: str, out_dir: str, mult: int, seed: int) -> None:
+def gen_events_fast(rng: np.random.Generator, out_dir: str, n: int) -> None:
+    """Vectorized events generator for the r7 tier: traffic growth
+    INSIDE the same Jan-2024 window (denser days — the realistic mode
+    for an event stream; growing the time span instead would keep
+    per-window state constant and hide state-growth defects). Users
+    scale linearly (per-user density stays ~66 events like the base
+    sf0.1 table) plus one deliberate heavy user owning ~5% of all
+    traffic — the bot-traffic skew regime a per-user window/session
+    plan must survive (the base driver table is uniform; skew is the
+    point of this tier). Same dirty-data conventions as
+    fuzz_sweep.gen_events: 1% late (Feb) arrivals and same-(user,ts)
+    collision pairs, both scaled with n."""
+    n_users = max(400, n // 66)
+    user = rng.integers(1, n_users + 1, n)
+    user[rng.random(n) < 0.05] = 7
+    base_ts = np.datetime64("2024-01-01T00:00:00", "us")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = base_ts + (rng.random(n) * span_us).astype("timedelta64[us]")
+    late = rng.random(n) < 0.01
+    ts[late] += np.timedelta64(35 * 24 * 3600 * 1_000_000, "us")
+    idx = rng.choice(n - 1, max(1, n // 200), replace=False)
+    user[idx + 1] = user[idx]
+    ts[idx + 1] = ts[idx]
+    etype = rng.choice(EVENT_TYPES, n, p=[0.35, 0.1, 0.1, 0.3, 0.15])
+    value = np.round(rng.uniform(0.01, 500.0, n), 2)
+    # props mix mirrors fuzz_sweep (int/float/bool/str/multikey/{}/NULL)
+    # but built with np.char.mod — a Python per-row loop at 10M rows
+    # would dominate corpus build time.
+    kinds = rng.choice(7, n, p=[0.62, 0.10, 0.05, 0.05, 0.08, 0.05, 0.05])
+    kint = rng.integers(0, 100, n)
+    kflt = np.round(rng.uniform(0, 100, n), 2)
+    vocab_arr = np.array(VOCAB)
+    variants = [
+        np.char.mod('{"k": %d}', kint),
+        np.char.mod('{"k": %s}', kflt),
+        np.where(kint % 2 == 1, '{"k": true}', '{"k": false}'),
+        np.char.mod('{"k": "%s"}', vocab_arr[kint % len(VOCAB)]),
+        np.char.add(
+            np.char.mod('{"k": %d, ', kint), np.char.mod('"j": %d}', kint * 3 % 97)
+        ),
+        np.full(n, "{}"),
+    ]
+    props = np.select([kinds == k for k in range(6)], variants, default="")
+    mask = kinds != 6
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "ts": pa.array(ts),
+            "user_id": pa.array(user.astype(np.int64)),
+            "event_type": pa.array(etype, pa.string()),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array(props.astype(object), pa.string(), mask=~mask),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "events.parquet"))
+
+
+def gen_orders_lineitem_fast(
+    rng: np.random.Generator, out_dir: str, n_orders: int
+) -> None:
+    """Vectorized orders+lineitem generator: MORE orders against the
+    FIXED customer (0..14999) / part (0..19999) / supplier (0..999)
+    dimensions of the copied base tables, so the basket co-occurrence
+    graph DENSIFIES — per-part degree grows with the corpus, exactly
+    the regime a 100 TB co-occurrence graph lives in. Unlike the
+    uniform base table, part popularity follows a Zipf-ish draw
+    (exponent 0.6 → hottest part in ~0.8% of lines) so the pair
+    groupBy sees genuinely skewed keys; basket sizes stay 1-7 lines so
+    the per-order pair expansion stays bounded (C(7,2) max) whatever
+    the corpus size."""
+    o_orderkey = np.arange(n_orders, dtype=np.int64)
+    day_us = 24 * 3600 * 1_000_000
+    o_date = np.datetime64("1995-01-01", "us") + (
+        rng.integers(0, 2404, n_orders) * day_us
+    ).astype("timedelta64[us]")
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(o_orderkey),
+            "o_custkey": pa.array(rng.integers(0, 15000, n_orders)),
+            "o_orderstatus": pa.array(rng.choice(["O", "F", "P"], n_orders)),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(900.0, 500000.0, n_orders), 2)
+            ),
+            "o_orderdate": pa.array(o_date),
+            "o_orderpriority": pa.array(
+                rng.choice(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+                    n_orders,
+                )
+            ),
+        }
+    )
+    pq.write_table(orders, os.path.join(out_dir, "orders.parquet"))
+
+    lines_per = rng.integers(1, 8, n_orders)
+    n_lines = int(lines_per.sum())
+    l_orderkey = np.repeat(o_orderkey, lines_per)
+    offs = np.concatenate([[0], np.cumsum(lines_per)[:-1]])
+    l_linenumber = (np.arange(n_lines) - np.repeat(offs, lines_per) + 1).astype(
+        np.int32
+    )
+    zipf_w = 1.0 / np.arange(1, 20001) ** 0.6
+    l_partkey = rng.choice(20000, n_lines, p=zipf_w / zipf_w.sum()).astype(np.int64)
+    ship = np.repeat(o_date, lines_per) + (
+        rng.integers(1, 121, n_lines) * day_us
+    ).astype("timedelta64[us]")
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(l_orderkey),
+            "l_partkey": pa.array(l_partkey),
+            "l_suppkey": pa.array(rng.integers(0, 1000, n_lines)),
+            "l_linenumber": pa.array(l_linenumber),
+            "l_quantity": pa.array(rng.integers(1, 51, n_lines).astype(np.float64)),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(900.0, 105000.0, n_lines), 2)
+            ),
+            "l_discount": pa.array(np.round(rng.uniform(0.0, 0.1, n_lines), 2)),
+            "l_tax": pa.array(np.round(rng.uniform(0.0, 0.08, n_lines), 2)),
+            "l_returnflag": pa.array(rng.choice(["N", "A", "R"], n_lines)),
+            "l_linestatus": pa.array(rng.choice(["O", "F"], n_lines)),
+            "l_shipdate": pa.array(ship),
+        }
+    )
+    pq.write_table(lineitem, os.path.join(out_dir, "lineitem.parquet"))
+
+
+_ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def build_corpus(
+    base: str, out_dir: str, mult: int, seed: int, family: str = "docs"
+) -> None:
+    """Grow the family's tables by ``mult``; copy everything else from
+    the base sf so loaders and FK dimensions resolve unchanged."""
+    grow = FAMILY_TABLES[family]
     os.makedirs(out_dir, exist_ok=True)
-    for t in (
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events",
-    ):
+    for t in _ALL_TABLES:
+        if t in grow:
+            continue
         src = os.path.join(base, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copyfile(src, dst)
-    n_docs = pq.ParquetFile(
-        os.path.join(base, "documents.parquet")
-    ).metadata.num_rows * mult
-    n_vecs = pq.ParquetFile(
-        os.path.join(base, "embeddings.parquet")
-    ).metadata.num_rows * mult
+
+    def base_rows(t: str) -> int:
+        return pq.ParquetFile(os.path.join(base, f"{t}.parquet")).metadata.num_rows
+
     rng = np.random.default_rng(seed)
-    gen_documents_fast(rng, out_dir, n_docs)
-    gen_embeddings_fast(rng, out_dir, n_vecs)
+    if family == "docs":
+        gen_documents_fast(rng, out_dir, base_rows("documents") * mult)
+        gen_embeddings_fast(rng, out_dir, base_rows("embeddings") * mult)
+    elif family == "events":
+        gen_events_fast(rng, out_dir, base_rows("events") * mult)
+        gen_orders_lineitem_fast(rng, out_dir, base_rows("orders") * mult)
+    else:  # pragma: no cover - guarded by argparse choices
+        raise ValueError(f"unknown family {family!r}")
 
 
 def main() -> int:
@@ -246,8 +386,13 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=61)
     ap.add_argument("--out", default="/tmp/stress_scale.json")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--family", choices=sorted(FAMILIES), default="docs",
+        help="which corpus family to grow (docs: documents+embeddings; "
+        "events: events+orders+lineitem against fixed dims)",
+    )
     args = ap.parse_args()
-    names = args.queries or STRESS_QUERIES
+    names = args.queries or FAMILIES[args.family]
 
     from ruleset_analysis_spark.plans.registry import all_specs
     from ruleset_analysis_spark.session import get_spark
@@ -262,11 +407,15 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     dirs = {}
+    # marker table = one the family actually regenerates, so a docs-run
+    # corpus can never be mistaken for a complete events-run corpus
+    marker = FAMILY_TABLES[args.family][-1]
     for m in args.mult:
-        d = f"/tmp/stress_sf0.1_x{m}_seed{args.seed}"
-        if not os.path.exists(os.path.join(d, "embeddings.parquet")):
+        suffix = "" if args.family == "docs" else f"_{args.family}"
+        d = f"/tmp/stress_sf0.1{suffix}_x{m}_seed{args.seed}"
+        if not os.path.exists(os.path.join(d, f"{marker}.parquet")):
             t0 = time.time()
-            build_corpus(args.base, d, m, args.seed)
+            build_corpus(args.base, d, m, args.seed, args.family)
             print(f"built x{m} corpus in {time.time() - t0:.1f}s -> {d}")
         dirs[m] = d
 
