@@ -75,9 +75,15 @@ OPERATOR_MODULES = (
 # hand-ordering error fails loudly). 260 queries / 50 slots means the
 # full re-witness cycle is >= 5.2 rounds (SURVEY §5).
 #
-# ROUND-7 WINDOW (entries 1-50):
-#   * FRONT: embed_pca_project — upgraded rows-only -> SQL oracle this
-#     round (quantized fixed-round power-method twin; the pagerank/
+# ROUND-7/8 WINDOW (entries 1-50). Round 7 ended without a driver
+# correctness pass (no CORRECTNESS_r07.json was recorded), so this
+# window carries unchanged into round 8 — the same 50 names are still
+# the stalest-first prefix of the committed r1-r6 ledger, and the r7
+# plan-only changes (pagerank shuffle-hash hint, link-prediction hub
+# cap — both bit-identical at graded tiers, differentials green) keep
+# their existing r6/r4 hash records by the r6 verdict's own rule.
+#   * FRONT: embed_pca_project — upgraded rows-only -> SQL oracle in
+#     r7 (quantized fixed-round power-method twin; the pagerank/
 #     sim_ann_ivf precedent), so its r5 rows-only record must become a
 #     hash-green one.
 #   * REFRESH: the 22 rows whose latest record is r1 (strings/arrays/
