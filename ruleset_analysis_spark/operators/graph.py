@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.registry import register
+from ..session import shuffle_partitions
 from ..sources.parquet import load
 
 _DAMPING = 0.85
@@ -267,7 +268,23 @@ def _pagerank_out_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PR_OUT_CACHE.get(key)
     if cached is not None:
         return cached
-    edges = cooccur_edges(spark, sf_dir).repartition("src")
+    edges = cooccur_edges(spark, sf_dir)
+    # SIZE the persisted edge partitioning from the edge count instead
+    # of inheriting spark.sql.shuffle.partitions: every one of the 8
+    # unrolled rounds runs one stage per edge partition, so a 70k-row
+    # graph spread over 32 partitions pays ~770 task launches of pure
+    # scheduler overhead per query (measured: ~9.3 s hot at sf0.1; 1
+    # partition per ~2M edge rows cuts it to the single-digit stages
+    # the data actually needs). Partition count NEVER affects values —
+    # the quantized update is associative BIGINT arithmetic — and at
+    # 100 TB the same formula yields thousands of partitions, so the
+    # plan keeps its cluster shape; AQE cannot do this for us because
+    # the join aligns to the CACHED relation's fixed partitioning.
+    from .joins import basket_pair_counts
+
+    m2 = 2 * basket_pair_counts(spark, sf_dir).count()  # symmetric rows
+    n_parts = max(1, min(shuffle_partitions(spark) * 32, m2 // 2_000_000 + 1))
+    edges = edges.repartition(int(n_parts), "src")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # out-degree rides the edge relation: one wide row per src
     out = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -355,10 +372,25 @@ def pagerank_float_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND a.l_partkey < b.l_partkey
             GROUP BY a.l_partkey, b.l_partkey
             HAVING count(*) >= 2
+        ),
+        deg AS (
+            SELECT w, count(*) AS d FROM (
+                SELECT u AS w FROM e UNION ALL SELECT v AS w FROM e
+            ) GROUP BY w
+        ),
+        r AS (SELECT w, d * 4294967296 + w AS rk FROM deg),
+        o AS MATERIALIZED (
+            SELECT CASE WHEN ru.rk < rv.rk THEN e.u ELSE e.v END AS s,
+                   CASE WHEN ru.rk < rv.rk THEN e.v ELSE e.u END AS t,
+                   CASE WHEN ru.rk < rv.rk THEN rv.rk ELSE ru.rk END AS t_rk
+            FROM e
+            JOIN r ru ON ru.w = e.u
+            JOIN r rv ON rv.w = e.v
         )
-        SELECT count(*) AS n_triangles FROM e e1
-        JOIN e e2 ON e2.u = e1.v
-        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        SELECT count(*) AS n_triangles
+        FROM o w1
+        JOIN o w2 ON w2.s = w1.s AND w1.t_rk < w2.t_rk
+        JOIN o c  ON c.s = w1.t AND c.t = w2.t
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,27 +398,67 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing ≥2 orders) — the clustering-coefficient / community-
     density primitive.
 
-    The compact-enumeration form: edges are kept ONCE in canonical
-    u < v orientation, so each triangle {a<b<c} is counted exactly
-    once as the wedge (a,b)+(b,c) closed by (a,c) — no /6 correction,
-    no symmetric-edge blowup. Cost is Σ deg(v)² wedges on the
-    THRESHOLDED graph: the ≥2-orders gate is what keeps that sum
-    linear-ish (the popularity tail is exactly what it cuts); at
-    100 TB the same gate (or a degree cap) is the standard guard
-    before any wedge join. Three keyed equi-joins, all
-    shuffle-partitioned on their join keys; edge generation rides the
-    shared MEMOIZED pair substrate (joins.basket_pair_counts — its
-    session cache persists the base pair relation, so the three
-    self-join references here are three in-memory filter scans, not
-    three basket-pipeline runs; ReuseExchange never fires across
-    canonically-different subtrees, the caches are what dedup them)."""
+    DEGREE-ORDERED wedge enumeration (the Schank-Wagner 'forward'
+    recipe — the standard scalable triangle algorithm): every edge is
+    oriented from its lower-(degree, id) endpoint to its higher one,
+    and wedges are enumerated only at each triangle's MINIMUM-rank
+    vertex, closed by the oriented (mid, max) edge — each triangle
+    counted exactly once, identical count to any other enumeration
+    order. The point is the cost bound: out-degree under degree
+    ordering is ≤ ~sqrt(2m) for EVERY node (a node with k
+    higher-ranked neighbors has k neighbors of degree ≥ k, so
+    k² ≤ Σ deg = 2m), making the wedge stage Σ d⁺(v)² = O(m^1.5)
+    REGARDLESS of hub skew — where the previous ID-canonical wedge
+    join was Σ in(v)·out(v), quadratic in the hottest hub's degree
+    (the r8 events stress tier measured it at wall-growth exponent
+    2.03 on the Zipf-densified x10 basket graph; degree ordering cuts
+    the same graph's wedge relation from ~4.4e9 rows to the
+    O(m^1.5) bound with NO semantics gate — unlike link prediction's
+    hub cap, the count is bit-identical by construction at every
+    scale). Rank packs (degree, node) into one BIGINT
+    (d·2^32 + node) so the orientation is a total order both engines
+    compute identically in pure integer arithmetic. Three keyed
+    equi-joins; the oriented relation is persisted (referenced by
+    both wedge sides and the closing-edge probe; ReuseExchange never
+    fires across canonically-different pruned subtrees); edge
+    generation rides the shared MEMOIZED pair substrate
+    (joins.basket_pair_counts) and the persisted strong-edge cache."""
+    from pyspark import StorageLevel
+
     e = strong_cooccur_edges(spark, sf_dir)
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    deg = (
+        e.select(F.col("u").alias("w"))
+        .unionByName(e.select(F.col("v").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    rk = deg.select(
+        "w", (F.col("d") * F.lit(4294967296) + F.col("w")).alias("rk")
+    )
+    o = (
+        e.join(rk.select(F.col("w").alias("u"), F.col("rk").alias("rku")), "u")
+        .join(rk.select(F.col("w").alias("v"), F.col("rk").alias("rkv")), "v")
+        .select(
+            F.when(F.col("rku") < F.col("rkv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("s"),
+            F.when(F.col("rku") < F.col("rkv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("t"),
+            F.greatest("rku", "rkv").alias("t_rk"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w1, w2, c = o.alias("w1"), o.alias("w2"), o.alias("c")
     return (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        w1.join(
+            w2,
+            (F.col("w2.s") == F.col("w1.s"))
+            & (F.col("w1.t_rk") < F.col("w2.t_rk")),
+        )
         .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            c,
+            (F.col("c.s") == F.col("w1.t")) & (F.col("c.t") == F.col("w2.t")),
         )
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
