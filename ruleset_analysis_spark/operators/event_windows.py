@@ -830,22 +830,31 @@ def event_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "click", F.col("value")).alias("cv"),
         F.when(F.col("event_type") == "click", F.unix_micros("ts")).alias("ct"),
     )
+    # BOTH fills are RUNNING frames ending at the current row — the
+    # forward fill is a REVERSED backward fill (the join_asof_nearest
+    # recipe), never first() over a FOLLOWING frame: Spark evaluates
+    # [x, unboundedFollowing] frames with the generic re-scanning
+    # processor, O(partition²) — measured 170 s for a single 100k-row
+    # user partition (the r8 stress heavy user made this a >25-min
+    # straggler task), vs 0.3 s for the equivalent [unbPrec, 0]
+    # running frame. Including the current row is a no-op: only click
+    # rows carry cv/ct, and only error rows are kept.
     wp = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = base.select(
         "event_id", "user_id", "event_type", "t_us",
         F.last("cv", ignorenulls=True).over(wp).alias("v0"),
         F.last("ct", ignorenulls=True).over(wp).alias("t0"),
-        F.first("cv", ignorenulls=True).over(wn).alias("v1"),
-        F.first("ct", ignorenulls=True).over(wn).alias("t1"),
+        F.last("cv", ignorenulls=True).over(wn).alias("v1"),
+        F.last("ct", ignorenulls=True).over(wn).alias("t1"),
     )
     return (
         filled.filter(

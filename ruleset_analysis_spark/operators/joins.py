@@ -665,14 +665,15 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same single-keyed-shuffle union trick as the backward join, run in
     the other direction: tag and union both sides, order the per-user
-    window ascending with clicks BEFORE errors on timestamp ties (a
-    same-timestamp click must NOT match — strict '>'), and backward-
-    fill with ``first(..., ignorenulls=True)`` over the
-    current-row→unbounded-following frame. Tie-break: the MIN click
-    event_id at the winning timestamp, spelled out in both engines
-    (DuckDB's native ASOF JOIN leaves equal-timestamp winners
-    arbitrary — the same hazard the backward join's fuzz sweep
-    caught)."""
+    window DESCENDING on the same (ts, is_err, event_id) composite (a
+    same-timestamp click must NOT match — strict '>'), and fill with
+    ``last(..., ignorenulls=True)`` over the running
+    unbounded-preceding frame (see the in-body note: a FOLLOWING
+    frame is O(partition²) in Spark's generic frame processor).
+    Tie-break: the MIN click event_id at the winning timestamp,
+    spelled out in both engines (DuckDB's native ASOF JOIN leaves
+    equal-timestamp winners arbitrary — the same hazard the backward
+    join's fuzz sweep caught)."""
     # ts IS NOT NULL on BOTH sides: a NULL ts sorts FIRST in the Spark
     # ascending window, so an untimestamped row would positionally pair
     # while the oracle's ts comparison can never match NULL — the
@@ -687,14 +688,25 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", F.lit(0).alias("is_err")
     )
     tagged = errors.unionByName(clicks)
-    # ascending (ts, is_err, event_id): same-ts clicks (is_err=0) sort
-    # BEFORE the error row, so the following-frame fill sees only
-    # strictly-later clicks — and among same-ts later clicks the min
-    # event_id comes first
+    # REVERSED RUNNING frame (the join_asof_nearest recipe): order
+    # DESCENDING on the same (ts, is_err, event_id) composite, so the
+    # [unboundedPreceding, current] frame holds exactly the rows whose
+    # ascending key EXCEEDS the error's — strictly-later clicks only
+    # (same-ts clicks have is_err 0 < 1, ascending key BELOW the
+    # error, out of frame), plus the error row itself whose click
+    # columns are NULL. last(ignorenulls) picks the nearest, i.e. the
+    # MIN click event_id at the winning timestamp. Never first() over
+    # a FOLLOWING frame: Spark executes [x, unboundedFollowing] with
+    # the generic re-scanning processor — O(partition²), measured
+    # 170 s on ONE 100k-row user partition (the r8 stress tier's
+    # heavy user), vs 0.3 s for this running form. (The old shape was
+    # invisible to the stress harness's count() timing — Catalyst
+    # pruned the unreferenced fill columns; the noop-sink timing fix
+    # exposed it.)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_err", "event_id")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("ts"), F.desc("is_err"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     click_id = F.when(F.col("is_err") == 0, F.col("event_id"))
     click_ts = F.when(F.col("is_err") == 0, F.col("ts"))
@@ -703,8 +715,8 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "is_err",
-        F.first(click_id, ignorenulls=True).over(w).alias("click_event_id"),
-        F.first(click_ts, ignorenulls=True).over(w).alias("click_ts"),
+        F.last(click_id, ignorenulls=True).over(w).alias("click_event_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("click_ts"),
     )
     return filled.filter(F.col("is_err") == 1).select(
         "event_id",
