@@ -413,6 +413,15 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/stress_scale.json")
     ap.add_argument("--keep", action="store_true")
     ap.add_argument(
+        "--budget", type=int, default=900,
+        help="per-(query, tier) wall budget in seconds: a watchdog "
+        "thread cancels the tier's Spark jobs past this and the row "
+        "records timeout_at instead of grinding for hours (two r8 "
+        "stragglers — the uncapped attribution join and the FOLLOWING-"
+        "frame interpolate — each ate >25 min of a session before "
+        "being killed by hand)",
+    )
+    ap.add_argument(
         "--family", choices=sorted(FAMILIES), default="docs",
         help="which corpus family to grow (docs: documents+embeddings; "
         "events: events+orders+lineitem against fixed dims)",
@@ -461,16 +470,44 @@ def main() -> int:
                 # while its (then-quadratic) window never executed. The
                 # noop write forces every output column through the
                 # full plan. Row count runs untimed afterwards.
-                for _ in range(2):
-                    t0 = time.time()
-                    spec.builder(spark, dirs[m]).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    dt = time.time() - t0
-                    best = dt if best is None else min(best, dt)
-                nrows = spec.builder(spark, dirs[m]).count()
+                # Watchdog: cancel the tier's jobs past --budget via a
+                # job group, so one straggler records a timeout row
+                # instead of consuming the whole session.
+                import threading
+
+                group = f"stress:{name}:x{m}"
+                sc = spark.sparkContext
+                timed_out = threading.Event()
+
+                def _cancel() -> None:
+                    timed_out.set()
+                    sc.cancelJobGroup(group)
+
+                sc.setJobGroup(group, group, interruptOnCancel=True)
+                watchdog = threading.Timer(args.budget, _cancel)
+                watchdog.start()
+                try:
+                    for _ in range(2):
+                        t0 = time.time()
+                        spec.builder(spark, dirs[m]).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        dt = time.time() - t0
+                        best = dt if best is None else min(best, dt)
+                    nrows = spec.builder(spark, dirs[m]).count()
+                finally:
+                    watchdog.cancel()
+                    sc.setJobGroup(None, None)
             except Exception as exc:  # noqa: BLE001
                 msg = str(exc)
+                if timed_out.is_set():
+                    row.setdefault("timeout_at", []).append(m)
+                    print(
+                        f"[TIMEOUT] {name} x{m}: exceeded {args.budget}s "
+                        "budget, jobs cancelled",
+                        flush=True,
+                    )
+                    continue
                 # Match the bounded_block guard by its own message text
                 # ("exact all-pairs is quadratic per block", _util.py),
                 # NOT the generic USER_RAISED_EXCEPTION class — any
