@@ -125,10 +125,35 @@ STRESS_QUERIES_EVENTS = [
     "event_dau_mau_stickiness",
     "event_cohort_revenue_ltv",
     "window_median_moving",
-    # TPC-H composites over the grown fact tables
+    # TPC-H composites over the grown fact tables — the COMPLETE
+    # 22-query family since r7 (q1/q9/q18 were the r7 scouts): the
+    # interesting rows are the ones with correlated-subquery shapes
+    # (q4/q17/q20/q21/q22), the big outer-join distribution (q13),
+    # and the multi-lineitem self-joins (q15/q21) — each is a plan
+    # that could quietly go quadratic under fact growth while the
+    # graded sf0.1 tier hides it.
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_priority_check",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
     "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",
+    "tpch_q19_bracket_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_accounts",
     # firewall / syslog (the reference's core domain): synthesize->
     # regex-parse rides events end to end, rule dims broadcast
     "firewall_rule_hits",
