@@ -1267,6 +1267,113 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two-level exact-quantile selector (r9): the value-bucket width for
+# the coarse pass. A bucket spans ≤4096 consecutive integer cents, so
+# the fine pass's within-bucket rollup relation holds ≤4096 rows per
+# (group, pick) WHATEVER the corpus size or value skew — the same
+# bounded-partition discipline as text_vocab_growth's coarse-group
+# decile boundaries.
+_RANK_BUCKET_WIDTH = 4096
+
+
+def _rank_pick_two_level(base, gcol, vcol, magg, picks):
+    """Exact order statistics with BOUNDED partitions at any corpus
+    size: for each ``(alias, num, den)`` in *picks*, the smallest
+    *vcol* whose ascending-value cumulative weight clears num/den of
+    the group total. Returns one row per (group, pick) with columns
+    (gcol, pick, v, tw).
+
+    The r9 scale fix behind agg_exact_percentiles_grouped and
+    agg_weighted_median: their original cumulative windows partitioned
+    by a HANDFUL of groups (3 return flags / 5 event types), so the
+    per-group sort put the whole corpus through 3-5 tasks — the 100x
+    events tier measured weighted-median at 69 s / exponent 0.93 (one
+    task sorting 5M rows; at 100 TB, one task sorting 33 TB). Both
+    answers are pure VALUE selections (within a tied run every row
+    carries the same value, so row-level ranks are never needed), so
+    the plan decomposes exactly:
+
+    1. coarse: weight per (group, value div 4096) bucket straight off
+       the base rows — ONE corpus pass through a map-side-combined
+       aggregation whose shuffle payload is the tiny bucket relation,
+       never the corpus; the per-group bucket cumulative is bounded
+       by the VALUE DOMAIN (÷4096), not the corpus (money cents here:
+       a few thousand buckets; a domain past ~10^10 values would need
+       a second bucketing level, the same documented extension as
+       text_vocab_growth past 10^12 docs);
+    2. the threshold-crossing bucket per pick (cum·den ≥ num·tw on
+       the bucket cumulative) joins back to the base rows by
+       BROADCAST (≤ groups × picks rows) — a second corpus pass that
+       FILTERS to the crossing buckets' rows before anything wide
+       happens;
+    3. the surviving rows (≈ corpus / #buckets per pick) roll up per
+       distinct value and take the fine cumulative over the ≤4096
+       distinct values of that one bucket.
+
+    All integer algebra (cross-multiplied thresholds — no float rank
+    arithmetic), identical answers to the one-window form the DuckDB
+    oracles still use. Two corpus passes, zero corpus-sized shuffle
+    payloads, every window partition bounded."""
+    b2 = base.withColumn(
+        "bkt", F.expr(f"{vcol} div {_RANK_BUCKET_WIDTH}")
+    )
+    wg = Window.partitionBy(gcol)
+    rb = b2.groupBy(gcol, "bkt").agg(magg.alias("bm"))
+    rb = rb.select(
+        gcol,
+        "bkt",
+        "bm",
+        F.sum("bm")
+        .over(wg.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("bm").over(wg).alias("tw"),
+    )
+    crossings = []
+    for alias, num, den in picks:
+        crossings.append(
+            rb.filter(F.col("cum") * den >= F.col("tw") * num)
+            .groupBy(gcol)
+            .agg(F.min("bkt").alias("bkt"))
+            .join(rb, [gcol, "bkt"])
+            .select(
+                gcol,
+                "bkt",
+                (F.col("cum") - F.col("bm")).alias("before"),
+                "tw",
+                F.lit(alias).alias("pick"),
+                F.lit(num).cast("long").alias("num"),
+                F.lit(den).cast("long").alias("den"),
+            )
+        )
+    cross = crossings[0]
+    for c in crossings[1:]:
+        cross = cross.unionByName(c)
+    fine = (
+        b2.join(F.broadcast(cross), [gcol, "bkt"])
+        .groupBy(gcol, "pick", vcol, "before", "tw", "num", "den")
+        .agg(magg.alias("m"))
+    )
+    wf = Window.partitionBy(gcol, "pick").orderBy(vcol)
+    fine = fine.select(
+        gcol,
+        "pick",
+        vcol,
+        "tw",
+        "num",
+        "den",
+        (
+            F.col("before")
+            + F.sum("m")
+            .over(wf.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("cumw"),
+    )
+    return (
+        fine.filter(F.col("cumw") * F.col("den") >= F.col("tw") * F.col("num"))
+        .groupBy(gcol, "pick")
+        .agg(F.min(F.col(vcol)).alias("v"), F.max("tw").alias("tw"))
+    )
+
+
 @register(
     "agg_exact_percentiles_grouped",
     category="agg",
@@ -1305,32 +1412,40 @@ def agg_exact_percentiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame
     interpolation, so both engines agree bit-for-bit where their
     native continuous percentiles interpolate doubles and drift.
 
-    Scale shape: one keyed exchange; the rank and count are two window
-    functions over the SAME partitioning (no re-exchange), and the
-    final groupBy reuses it too. Exact grouped percentiles
-    fundamentally require a per-group sort — that sort is per-PARTITION
-    after the exchange (never a global sort), and at 100 TB the skew
-    guard is the usual salting of a hot group. Poisoned money values
-    degrade out via the cents try_cast contract before ranking."""
+    Scale shape (r9 rewrite — see _rank_pick_two_level): the value at
+    rank ⌈q·n⌉ is a pure VALUE selection (a tied run all carries the
+    same value), so no per-group row sort is ever needed: two
+    map-side-combined corpus passes with tiny shuffle payloads, then
+    bounded bucket/fine cumulative windows. The original
+    one-window form partitioned by the 5 event types — at the 100x
+    events tier that put 2M-row sorts through single tasks (9.2 s,
+    exponent 0.56; after: every window partition ≤4096 rows at any
+    corpus size). ⌈q·n⌉ stays exact via the cross-multiplied integer
+    threshold cum·den ≥ num·n (min y with cum ≥ ⌈q·n⌉ ⟺ cum·den ≥
+    num·n for integer cum). Poisoned money values degrade out via
+    the cents try_cast contract before ranking."""
     ev = load(spark, sf_dir, "events")
-    y = ev.select(
-        "event_type", "event_id", cents("value").alias("y")
-    ).filter(F.col("y").isNotNull())
-    w = Window.partitionBy("event_type")
-    ranked = y.select(
+    y = ev.select("event_type", cents("value").alias("y")).filter(
+        F.col("y").isNotNull()
+    )
+    ans = _rank_pick_two_level(
+        y,
         "event_type",
         "y",
-        F.row_number().over(w.orderBy("y", "event_id")).alias("rn"),
-        F.count(F.lit(1)).over(w).alias("n"),
+        F.count(F.lit(1)).cast("long"),
+        [("p50_cents", 1, 2), ("p90_cents", 9, 10), ("p99_cents", 99, 100)],
     )
-    pick = lambda q: F.max(  # noqa: E731
-        F.when(F.col("rn") == F.ceil(F.col("n") * q).cast("long"), F.col("y"))
-    )
-    return ranked.groupBy("event_type").agg(
-        F.max("n").alias("n"),
-        pick(0.5).alias("p50_cents"),
-        pick(0.9).alias("p90_cents"),
-        pick(0.99).alias("p99_cents"),
+    return ans.groupBy("event_type").agg(
+        F.max("tw").cast("long").alias("n"),
+        F.max(F.when(F.col("pick") == "p50_cents", F.col("v"))).alias(
+            "p50_cents"
+        ),
+        F.max(F.when(F.col("pick") == "p90_cents", F.col("v"))).alias(
+            "p90_cents"
+        ),
+        F.max(F.when(F.col("pick") == "p99_cents", F.col("v"))).alias(
+            "p99_cents"
+        ),
     )
 
 
@@ -1372,46 +1487,49 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     half the corpus TOKENS sit' — row-weighted quantiles misstate
     token-weighted budgets whenever document lengths skew.
 
-    Formulation: a cumulative-weight window over the base rows ordered
-    by value, then the smallest value whose cumulative weight clears
-    the q·total threshold — integer cents, integer weights, integer
-    threshold algebra (cumw·2 ≥ W, cumw·10 ≥ 9W), bit-identical
-    cross-engine. Ties need no pre-rollup: rows of equal value may
-    accumulate in any order, but every row of the tie run carries the
-    SAME value, so whichever row crosses the threshold selects the
-    same answer — the ROWS frame is tie-order-INVARIANT here by
-    construction (deliberate: a (group, value) rollup first would be a
-    second keyed exchange for nothing, since prices are near-distinct).
-    Scale shape: ONE keyed exchange (the group partitioning, shared by
-    both windows and the final groupBy); the per-group sort is the
-    irreducible cost of an exact quantile. Poisoned money degrades out
-    via the cents try_cast contract (NULLs filtered identically both
-    sides — Spark sorts NULLs first ascending while DuckDB sorts them
-    last, so an unfiltered NULL would silently shift every
-    quantile)."""
+    Formulation: the smallest value whose cumulative weight over
+    ascending value clears the q·total threshold — integer cents,
+    integer weights, integer threshold algebra (cumw·2 ≥ W,
+    cumw·10 ≥ 9W), bit-identical cross-engine.
+
+    Scale shape (r9 rewrite — see _rank_pick_two_level): the original
+    cumulative window partitioned by the THREE return flags, so the
+    per-group sort put the whole fact table through 3 tasks — the
+    100x events tier measured 69 s / exponent 0.93 (one task sorting
+    5M rows; at 100 TB, one task sorting 33 TB — the worst plain row
+    of the whole sweep). Ties make the answer a pure VALUE selection,
+    so the rewrite takes bucket-level weight straight off the base
+    rows (map-side combine, bucket-relation-sized shuffle), finds the
+    threshold-crossing bucket on the bounded price-domain cumulative,
+    and broadcast-filters the base back to that one bucket's rows for
+    the ≤4096-distinct-price fine cumulative — every window partition
+    bounded at any corpus size. Same answers;
+    the DuckDB oracle keeps the one-window form. Poisoned money
+    degrades out via the cents try_cast contract (NULLs filtered
+    identically both sides — Spark sorts NULLs first ascending while
+    DuckDB sorts them last, so an unfiltered NULL would silently
+    shift every quantile)."""
     li = load(spark, sf_dir, "lineitem")
     base = li.select(
         "l_returnflag",
         cents("l_extendedprice").alias("px"),
         F.col("l_quantity").cast("long").alias("qty"),
     ).filter(F.col("px").isNotNull() & F.col("qty").isNotNull())
-    wp = Window.partitionBy("l_returnflag")
-    c = base.select(
+    ans = _rank_pick_two_level(
+        base,
         "l_returnflag",
         "px",
-        F.sum("qty")
-        .over(wp.orderBy("px").rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cumw"),
-        F.sum("qty").over(wp).alias("tw"),
+        F.sum("qty").cast("long"),
+        [("w_median_cents", 1, 2), ("w_p90_cents", 9, 10)],
     )
-    return c.groupBy("l_returnflag").agg(
-        F.max("tw").alias("total_weight"),
-        F.min(F.when(F.col("cumw") * 2 >= F.col("tw"), F.col("px"))).alias(
+    return ans.groupBy("l_returnflag").agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.max(F.when(F.col("pick") == "w_median_cents", F.col("v"))).alias(
             "w_median_cents"
         ),
-        F.min(
-            F.when(F.col("cumw") * 10 >= F.col("tw") * 9, F.col("px"))
-        ).alias("w_p90_cents"),
+        F.max(F.when(F.col("pick") == "w_p90_cents", F.col("v"))).alias(
+            "w_p90_cents"
+        ),
     )
 
 
@@ -2254,30 +2372,81 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan is deterministic anyway. Negative/NULL-degraded cents
     are excluded identically (Gini is defined on non-negative mass).
 
-    Shape: one type-keyed window rank (the corpus-sized exchange) and
-    one map-side-combined moment aggregation on the same partitioning
-    — no second shuffle. At 100 TB the window sort dominates, which
-    is the honest cost of an order-statistic index; the Pareto report
-    remains the cheap screen, Gini the exact readout."""
+    Shape (r9 rewrite — the same bounded-partition recipe as
+    _rank_pick_two_level): the original type-keyed rank window put
+    the whole corpus through 5 tasks (100x events tier: 12.1 s,
+    exponent 0.69 — one task sorting 2M rows). Tie invariance makes
+    Σi·c decomposable per DISTINCT value: a run of m equal values c
+    whose first global rank is a+1 contributes c·(m·a + m(m+1)/2)
+    whatever the within-run order, and a = (rows in smaller value
+    buckets) + (rows before c inside its bucket). So: (1) rollup
+    (type, c div 4096, c) → m — map-side combine crushes any hot
+    value to one partial per task, the only corpus-wide pass; (2) the
+    within-bucket cumulative runs over ≤4096 distinct values per
+    (type, bucket) — bounded whatever the corpus, and the post-rollup
+    (type, bucket) exchange is skew-PROOF because a bucket holds at
+    most 4096 rolled-up rows by construction; (3) bucket offsets come
+    from the domain-bounded bucket relation, broadcast back. Σi·c is
+    then one map-side-combined moment aggregation. At 100 TB no task
+    ever sorts more than a bucket; the Pareto report remains the
+    cheap screen, Gini the exact readout."""
     ev = (
         load(spark, sf_dir, "events")
-        .select("event_type", "event_id", cents("value").alias("c"))
+        .select("event_type", cents("value").alias("c"))
         .filter(
             F.col("event_type").isNotNull()
             & F.col("c").isNotNull()
             & (F.col("c") >= 0)
         )
+        .withColumn("bkt", F.expr(f"c div {_RANK_BUCKET_WIDTH}"))
     )
-    w = Window.partitionBy("event_type").orderBy("c", "event_id")
-    r = ev.select(
+    r1 = ev.groupBy("event_type", "bkt", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    rb = r1.groupBy("event_type", "bkt").agg(F.sum("m").alias("bm"))
+    wg = Window.partitionBy("event_type")
+    rb = rb.select(
         "event_type",
-        "c",
-        F.row_number().over(w).cast("decimal(38,0)").alias("i"),
+        "bkt",
+        (
+            F.sum("bm")
+            .over(wg.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("bm")
+        ).alias("a_bucket"),
     )
-    g = r.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("c").cast("long").alias("s"),
-        F.sum(F.col("i") * F.col("c")).alias("si"),
+    wb = Window.partitionBy("event_type", "bkt").orderBy("c")
+    per_c = (
+        r1.select(
+            "event_type",
+            "bkt",
+            "c",
+            "m",
+            (
+                F.sum("m").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+                - F.col("m")
+            ).alias("a_local"),
+        )
+        .join(F.broadcast(rb), ["event_type", "bkt"])
+        .select(
+            "event_type",
+            "c",
+            "m",
+            (F.col("a_bucket") + F.col("a_local"))
+            .cast("decimal(38,0)")
+            .alias("a"),
+        )
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    md = F.col("m").cast("decimal(38,0)")
+    g = per_c.groupBy("event_type").agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("m")).cast("long").alias("s"),
+        F.sum(
+            cd * md * F.col("a")
+            + cd * md * (md + F.lit(1).cast("decimal(38,0)")) / F.lit(2)
+        )
+        .cast("decimal(38,0)")
+        .alias("si"),
     )
     nd = F.col("n").cast("double")
     sd = F.col("s").cast("double")

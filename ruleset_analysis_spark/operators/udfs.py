@@ -298,11 +298,11 @@ class _TypeSummary:
     event_type: eval() is fed every row of one partition, terminate()
     emits that partition's summary row — the grouped-custom-aggregation
     shape for logic a SQL aggregate can't express. The rows it
-    receives are PER-USER PARTIALS pre-combined in the JVM (see the
-    builder), so Python sums exact BIGINTs and counts rows; a user's
-    rows are one partial by construction, making the distinct-user
-    count a row count over non-NULL users (count(DISTINCT) semantics:
-    a NULL-user partial contributes events but no user)."""
+    receives are PER-USER-BUCKET PARTIALS pre-combined in the JVM
+    (see the builder): n_users per bucket is exact because the md5
+    buckets PARTITION the user space (each user contributes one
+    level-1 partial per type, counted in exactly one bucket; NULL
+    users contribute events but no user on both engines)."""
 
     def __init__(self):
         self._type = None
@@ -313,8 +313,7 @@ class _TypeSummary:
     def eval(self, row):
         self._type = row["event_type"]
         self._n_events += row["n_events"]
-        if row["user_id"] is not None:
-            self._n_users += 1
+        self._n_users += row["n_users"]
         if row["sum_c"] is not None:
             self._sum_c += row["sum_c"]
 
@@ -354,17 +353,22 @@ def udtf_table_arg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     never raise); NULL event_type rows are excluded on both sides
     (a NULL partition key's routing is engine-specific).
 
-    Scale: the Python boundary is fed PER-USER PARTIALS pre-combined
-    by a JVM map-side aggregation, not raw events — shipping raw rows
-    into a row-at-a-time eval() measured 9-10 s at sf0.1 (and salting
-    the partition key for parallelism did NOT help: the cost is
-    per-row Python itself, ~10k rows/s), while the partial-combine
-    form is sub-second because Python sees |users|·|types| rows
-    regardless of corpus size. This is the standing rule at the
-    Python boundary: reduce in the JVM first, cross with partials —
-    the UDTF still witnesses partition routing and terminate()
-    emission on multi-row partitions. Distinct users stay exact
-    because a user contributes exactly one partial per type. Declared
+    Scale: the Python boundary is fed PER-USER-BUCKET PARTIALS
+    pre-combined by TWO JVM aggregation levels, not raw events —
+    shipping raw rows into a row-at-a-time eval() measured 9-10 s at
+    sf0.1 (and salting the partition key for parallelism did NOT
+    help: the cost is per-row Python itself, ~10k rows/s). The r9
+    second level closes the hole the 100x events tier exposed: the
+    per-USER partial relation grows with the user domain (measured
+    37.9 s at x100 / exponent 0.74 — row-at-a-time eval over the
+    grown |users|·|types| rows), so user partials now reduce again
+    into 1024 fixed md5 buckets per type. The buckets PARTITION the
+    user space, so summing per-bucket exact distinct counts IS the
+    per-type distinct count, and Python sees ≤ |types|·1024 rows at
+    ANY corpus size (after: 2.4 s / exponent 0.13 at x100). This is the
+    standing rule at the Python boundary: reduce in the JVM first,
+    cross with partials — the UDTF still witnesses partition routing
+    and terminate() emission on multi-row partitions. Declared
     Python surface (tests/test_plan_shape.py allowlist)."""
     from pyspark.sql.functions import udtf
 
@@ -372,13 +376,28 @@ def udtf_table_arg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ._util import cents
 
-    ev = (
+    per_user = (
         load(spark, sf_dir, "events")  # load first: ships the package
         .filter(F.col("event_type").isNotNull())
         .groupBy("event_type", "user_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.sum(cents("value")).alias("sum_c"),
+        )
+    )
+    ev = (
+        per_user.withColumn(
+            "ubkt",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT) % 1024"
+            ),
+        )
+        .groupBy("event_type", "ubkt")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count("user_id").alias("n_users"),
+            F.sum("sum_c").alias("sum_c"),
         )
     )
     summarizer = udtf(
