@@ -1328,26 +1328,37 @@ def _rank_pick_two_level(base, gcol, vcol, magg, picks):
         .alias("cum"),
         F.sum("bm").over(wg).alias("tw"),
     )
-    crossings = []
-    for alias, num, den in picks:
-        crossings.append(
-            rb.filter(F.col("cum") * den >= F.col("tw") * num)
-            .groupBy(gcol)
-            .agg(F.min("bkt").alias("bkt"))
-            .join(rb, [gcol, "bkt"])
-            .select(
-                gcol,
-                "bkt",
-                (F.col("cum") - F.col("bm")).alias("before"),
-                "tw",
-                F.lit(alias).alias("pick"),
-                F.lit(num).cast("long").alias("num"),
-                F.lit(den).cast("long").alias("den"),
-            )
+    # all crossing buckets in ONE conditional aggregation over the
+    # (tiny) bucket relation, melted to (group, pick) rows — one small
+    # job instead of a filter+agg+join chain per pick
+    stack = ", ".join(
+        f"'{alias}', {num}L, {den}L, bkt_{alias}" for alias, num, den in picks
+    )
+    cross = (
+        rb.groupBy(gcol)
+        .agg(
+            F.max("tw").alias("tw"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * den >= F.col("tw") * num, F.col("bkt")
+                    )
+                ).alias(f"bkt_{alias}")
+                for alias, num, den in picks
+            ],
         )
-    cross = crossings[0]
-    for c in crossings[1:]:
-        cross = cross.unionByName(c)
+        .select(
+            gcol,
+            "tw",
+            F.expr(
+                f"stack({len(picks)}, {stack}) AS (pick, num, den, bkt)"
+            ),
+        )
+        .join(
+            rb.select(gcol, "bkt", (F.col("cum") - F.col("bm")).alias("before")),
+            [gcol, "bkt"],
+        )
+    )
     fine = (
         b2.join(F.broadcast(cross), [gcol, "bkt"])
         .groupBy(gcol, "pick", vcol, "before", "tw", "num", "den")

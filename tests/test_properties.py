@@ -1214,3 +1214,128 @@ def test_utouch_credit_splits_to_exactly_one_million(k):
         return _ATTR_MID_POOL // m + (1 if pos - 1 <= _ATTR_MID_POOL % m else 0)
 
     assert sum(credit(p) for p in range(1, k + 1)) == _ATTR_TOTAL
+
+
+# --- r9 two-level exact-quantile selector -------------------------------
+
+_rank_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),                     # group
+        st.integers(-10_000, 10_000),                    # value (mixed sign:
+        #   exercises the trunc-div bucket 0 spanning [-4095, 4095])
+        st.integers(1, 7),                               # weight
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _brute_pick(rows, num, den):
+    """min v whose ascending-v cumulative weight w satisfies
+    cum·den ≥ num·total — the one-window reference semantics."""
+    out = {}
+    for g in {r[0] for r in rows}:
+        vw = sorted((v, w) for gg, v, w in rows if gg == g)
+        tot = sum(w for _, w in vw)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if cum * den >= num * tot:
+                out[g] = v
+                break
+    return out
+
+
+@given(rows=_rank_rows)
+@_SPARK_SETTINGS
+def test_rank_pick_two_level_matches_brute_force(spark, rows):
+    """_rank_pick_two_level == the one-window cumulative selector on
+    arbitrary small corpora: mixed-sign values (the trunc-div mixed
+    bucket), heavy ties (every row equal collapses to one bucket),
+    single-row groups, and weights — the edge set the crossing-bucket
+    logic must survive."""
+    from ruleset_analysis_spark.operators.aggregations import (
+        _rank_pick_two_level,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        (r["g"], r["pick"]): (r["v"], r["tw"])
+        for r in _rank_pick_two_level(
+            df, "g", "v", F.sum("w").cast("long"),
+            [("med", 1, 2), ("p90", 9, 10)],
+        ).collect()
+    }
+    for alias, num, den in (("med", 1, 2), ("p90", 9, 10)):
+        want = _brute_pick(rows, num, den)
+        tot = {
+            g: sum(w for gg, _, w in rows if gg == g)
+            for g in {r[0] for r in rows}
+        }
+        for g, v in want.items():
+            assert got[(g, alias)] == (v, tot[g]), (
+                f"{alias} pick for group {g}: want {v}, got {got[(g, alias)]}"
+            )
+
+
+@given(rows=_rank_rows)
+@_SPARK_SETTINGS
+def test_gini_two_level_matches_brute_force(spark, rows):
+    """The decomposed Σi·c equals the sorted-rank brute force (ties in
+    any order) — G compared exactly via the integer moments, not the
+    final float."""
+    rows = [(g, abs(v), w) for g, v, w in rows]  # gini is defined on c ≥ 0
+    # expand weights into row multiplicity so ranks are row-level
+    expanded = [(g, v) for g, v, w in rows for _ in range(w)]
+    df = spark.createDataFrame(expanded, "event_type string, c long")
+
+    from pyspark.sql import Window
+
+    # reproduce the operator's internal moment plan on this tiny frame
+    from ruleset_analysis_spark.operators.aggregations import (
+        _RANK_BUCKET_WIDTH,
+    )
+
+    ev = df.withColumn("bkt", F.expr(f"c div {_RANK_BUCKET_WIDTH}"))
+    r1 = ev.groupBy("event_type", "bkt", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    rb = r1.groupBy("event_type", "bkt").agg(F.sum("m").alias("bm"))
+    wg = Window.partitionBy("event_type")
+    rb = rb.select(
+        "event_type", "bkt",
+        (F.sum("bm").over(wg.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0))
+         - F.col("bm")).alias("a_bucket"),
+    )
+    wb = Window.partitionBy("event_type", "bkt").orderBy("c")
+    per_c = (
+        r1.select(
+            "event_type", "bkt", "c", "m",
+            (F.sum("m").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+             - F.col("m")).alias("a_local"),
+        )
+        .join(F.broadcast(rb), ["event_type", "bkt"])
+        .select(
+            "event_type", "c", "m",
+            (F.col("a_bucket") + F.col("a_local")).cast("decimal(38,0)").alias("a"),
+        )
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    md = F.col("m").cast("decimal(38,0)")
+    got = {
+        r["event_type"]: int(r["si"])
+        for r in per_c.groupBy("event_type")
+        .agg(
+            F.sum(
+                cd * md * F.col("a")
+                + cd * md * (md + F.lit(1).cast("decimal(38,0)")) / F.lit(2)
+            )
+            .cast("decimal(38,0)")
+            .alias("si")
+        )
+        .collect()
+    }
+    for g in {r[0] for r in expanded}:
+        vals = sorted(v for gg, v in expanded if gg == g)
+        want = sum((i + 1) * v for i, v in enumerate(vals))
+        assert got[g] == want, f"Σi·c for {g}: want {want}, got {got[g]}"
