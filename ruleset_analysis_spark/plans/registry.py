@@ -75,76 +75,71 @@ OPERATOR_MODULES = (
 # hand-ordering error fails loudly). 260 queries / 50 slots means the
 # full re-witness cycle is >= 5.2 rounds (SURVEY §5).
 #
-# ROUND-7/8 WINDOW (entries 1-50). Round 7 ended without a driver
-# correctness pass (no CORRECTNESS_r07.json was recorded), so this
-# window carries unchanged into round 8 — the same 50 names are still
-# the stalest-first prefix of the committed r1-r6 ledger, and the r7
-# plan-only changes (pagerank shuffle-hash hint, link-prediction hub
-# cap — both bit-identical at graded tiers, differentials green) keep
-# their existing r6/r4 hash records by the r6 verdict's own rule.
-#   * FRONT: embed_pca_project — upgraded rows-only -> SQL oracle in
-#     r7 (quantized fixed-round power-method twin; the pagerank/
-#     sim_ann_ivf precedent), so its r5 rows-only record must become a
-#     hash-green one.
-#   * REFRESH: the 22 rows whose latest record is r1 (strings/arrays/
-#     joins/windows core, in r1 witness order) + the 27 oldest r2 rows
-#     (firewall/dedup/text/multimodal/UDF flagships, in r2 witness
-#     order). The 14 youngest r2 rows rotate in next round.
-DRIVER_PRIORITY_FRONT = (
-    "embed_pca_project",  # r7 re-witness: rows-only -> quantized SQL twin
-)
+# ROUND-8 WINDOW (entries 1-50). CORRECTNESS_r07.json recorded the
+# round-7 window 50/50 green (embed_pca_project's rows-only record is
+# now hash-green), so the rotation advances oldest-first over the
+# committed r1-r7 ledger exactly as the r7 verdict prescribed.
+#   * FRONT: empty — no rows-only -> SQL oracle upgrades pending (the
+#     3 remaining rows-only entries are declared approximate sketches
+#     with no cross-engine twin) and the registry is frozen at 260.
+#   * REFRESH: the 14 rows whose latest record is r2 (batch stream_*
+#     windows, funnel, hash samplers, window core, subqueries — in r2
+#     witness order) + the 36 oldest r3 rows (firewall/tpch/graph/
+#     curation/event/join/window/agg tails, in r3 witness order).
+DRIVER_PRIORITY_FRONT: tuple[str, ...] = ()
 DRIVER_PRIORITY_REFRESH = (
-    # --- latest record r1 (6 rounds stale), r1 witness order ---
-    "string_regex_extract",
-    "string_funcs",
-    "string_like",
-    "conditional_case",
-    "array_funcs",
-    "array_explode",
-    "string_distance",
-    "date_series_gapfill",
-    "agg_min_max_by",
-    "join_inner_equi",
-    "join_broadcast",
-    "join_multiway",
-    "join_left_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_theta_range",
-    "join_cross",
-    "join_self_asof",
-    "join_range_bucketed",
-    "window_rank_topk_per_group",
-    "window_running_sum",
-    # --- latest record r2 (5 rounds stale), r2 witness order ---
-    "rule_usage_report",
-    "firewall_rule_hits",
-    "firewall_cidr_match",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_components",
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "sim_pairwise_threshold",
-    "text_tokenize_counts",
-    "text_tfidf_topterms",
-    "text_lang_stats",
-    "text_langid_heuristic",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "text_normalize",
-    "text_pii_redact",
-    "multimodal_join",
-    "embed_array_stats",
-    "multimodal_binary_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "udf_scalar_pandas",
-    "udaf_grouped_pandas",
-    "udtf_split_props",
-    "udtf_python_native",
+    # --- latest record r2 (6 rounds stale), r2 witness order ---
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "funnel_ordered_steps",
+    "sample_hash_deterministic",
+    "sample_stratified_hash",
+    "window_lag_lead",
+    "window_moving_avg_range",
+    "window_ntile_cume",
+    "window_first_last",
+    "subquery_scalar_agg",
+    "subquery_correlated_avg",
+    "subquery_exists",
+    "subquery_not_in_null_safe",
+    # --- latest record r3 (5 rounds stale), r3 witness order ---
+    "firewall_unused_rules",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "graph_triangle_count",
+    "text_repetition_ratio",
+    "text_contamination_ngram",
+    "doc_chunk_fixed_tokens",
+    "pack_greedy_bins",
+    "text_rarity_score",
+    "profile_corpus_columns",
+    "corpus_quality_filter",
+    "text_collocations_lift",
+    "event_cdc_upsert",
+    "event_path_3gram",
+    "event_scd2_intervals",
+    "event_transition_matrix",
+    "event_anomaly_mad",
+    "event_time_weighted_avg",
+    "retention_cohorts",
+    "join_salted_skew",
+    "join_fuzzy_blocked",
+    "join_null_safe_eq",
+    "join_cooccur_baskets",
+    "window_gaps_islands",
+    "window_cumulative_reach",
+    "window_rate_limit_quota",
+    "window_percent_dense",
+    "json_variant_extract",
+    "recursive_hierarchy_walk",
+    "udf_sql_scalar",
+    "agg_heavy_hitters_topk",
+    "agg_filtered_conditional",
+    "agg_grouping_sets_explicit",
+    "agg_mode_per_group",
 )
 DRIVER_PRIORITY = DRIVER_PRIORITY_FRONT + DRIVER_PRIORITY_REFRESH
 

@@ -335,7 +335,17 @@ def running_value_stats(events: DataFrame) -> DataFrame:
     accumulation directly); only the end-to-end query gates on the
     import, and the always-tested production path for this computation
     remains ``running_user_totals`` (applyInPandasWithState, no
-    protobuf dependency)."""
+    protobuf dependency).
+
+    Boundary CLOSED 2026-08-16 (driver round 8): an exhaustive search
+    of the container — installed site-packages, pip wheel cache, pip
+    http cache contents, and the filesystem — found no protobuf wheel
+    or vendored copy, and the environment is offline with installs
+    prohibited, so the e2e gate can never open here. This is final:
+    the importorskip test stays as the self-documenting probe (it will
+    pass unchanged on any cluster that has protobuf, which every real
+    Spark 4 deployment does), and no further rounds should re-attempt
+    a vendoring workaround."""
     return events.groupBy("user_id").transformWithStateInPandas(
         RunningValueStats(),
         outputStructType="user_id LONG, n_events LONG, sum_value DOUBLE",

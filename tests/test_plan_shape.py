@@ -402,6 +402,7 @@ BNLJ_ALLOWED = {
     "agg_hll_mergeable",        # 1-row grand-total sketch union
     "graph_link_prediction",    # 1-row broadcast adaptive hub-cap scalar
     "event_attribution_utouch", # 1-row broadcast adaptive day-cap scalar
+    "window_rank_topk_per_group",  # 1-row broadcast adaptive salt-count scalar
     "agg_countmin_sketch",      # 4-row broadcast depth relation
     "embed_kmeans_clusters",    # 4-row broadcast centroid relation
     "date_series_gapfill",      # 1-row date-bounds relation

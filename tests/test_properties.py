@@ -1250,8 +1250,9 @@ def _brute_pick(rows, num, den):
 @_SPARK_SETTINGS
 def test_rank_pick_two_level_matches_brute_force(spark, rows):
     """_rank_pick_two_level == the one-window cumulative selector on
-    arbitrary small corpora: mixed-sign values (the trunc-div mixed
-    bucket), heavy ties (every row equal collapses to one bucket),
+    arbitrary small corpora: mixed-sign values (exact-floor-division
+    buckets must keep every bucket 4096 wide across the sign
+    boundary), heavy ties (every row equal collapses to one bucket),
     single-row groups, and weights — the edge set the crossing-bucket
     logic must survive."""
     from ruleset_analysis_spark.operators.aggregations import (
@@ -1289,53 +1290,16 @@ def test_gini_two_level_matches_brute_force(spark, rows):
     expanded = [(g, v) for g, v, w in rows for _ in range(w)]
     df = spark.createDataFrame(expanded, "event_type string, c long")
 
-    from pyspark.sql import Window
+    # exercise the OPERATOR'S helper (not an inline copy — a future
+    # edit to the decomposition is caught here, round-7 ADVICE fix)
+    from ruleset_analysis_spark.operators.aggregations import _gini_moments
 
-    # reproduce the operator's internal moment plan on this tiny frame
-    from ruleset_analysis_spark.operators.aggregations import (
-        _RANK_BUCKET_WIDTH,
-    )
-
-    ev = df.withColumn("bkt", F.expr(f"c div {_RANK_BUCKET_WIDTH}"))
-    r1 = ev.groupBy("event_type", "bkt", "c").agg(
-        F.count(F.lit(1)).cast("long").alias("m")
-    )
-    rb = r1.groupBy("event_type", "bkt").agg(F.sum("m").alias("bm"))
-    wg = Window.partitionBy("event_type")
-    rb = rb.select(
-        "event_type", "bkt",
-        (F.sum("bm").over(wg.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0))
-         - F.col("bm")).alias("a_bucket"),
-    )
-    wb = Window.partitionBy("event_type", "bkt").orderBy("c")
-    per_c = (
-        r1.select(
-            "event_type", "bkt", "c", "m",
-            (F.sum("m").over(wb.rowsBetween(Window.unboundedPreceding, 0))
-             - F.col("m")).alias("a_local"),
-        )
-        .join(F.broadcast(rb), ["event_type", "bkt"])
-        .select(
-            "event_type", "c", "m",
-            (F.col("a_bucket") + F.col("a_local")).cast("decimal(38,0)").alias("a"),
-        )
-    )
-    cd = F.col("c").cast("decimal(38,0)")
-    md = F.col("m").cast("decimal(38,0)")
     got = {
-        r["event_type"]: int(r["si"])
-        for r in per_c.groupBy("event_type")
-        .agg(
-            F.sum(
-                cd * md * F.col("a")
-                + cd * md * (md + F.lit(1).cast("decimal(38,0)")) / F.lit(2)
-            )
-            .cast("decimal(38,0)")
-            .alias("si")
-        )
-        .collect()
+        r["event_type"]: (int(r["n"]), int(r["s"]), int(r["si"]))
+        for r in _gini_moments(df, "event_type").collect()
     }
     for g in {r[0] for r in expanded}:
         vals = sorted(v for gg, v in expanded if gg == g)
-        want = sum((i + 1) * v for i, v in enumerate(vals))
-        assert got[g] == want, f"Σi·c for {g}: want {want}, got {got[g]}"
+        want_si = sum((i + 1) * v for i, v in enumerate(vals))
+        want = (len(vals), sum(vals), want_si)
+        assert got[g] == want, f"moments for {g}: want {want}, got {got[g]}"
