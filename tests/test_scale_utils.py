@@ -204,3 +204,44 @@ def test_strong_tau_chain_identical_cross_engine():
     # the graded tiers must sit on the historical tau = 2
     assert _STRONG_TAU_BASE << 0 == 2
     assert 1_196_000 < _STRONG_TAU_THRESHOLDS[0], "sf0.1 must stay tau=2"
+
+
+def test_scale_story_index_partitions_registry():
+    """SCALE.md's scale-story index must partition the registry: every
+    graded key appears in exactly one of the 'Measured exponents' /
+    'Declared trivial' lists. Keeps the 100-TB story checkable — a new
+    registry entry (or a key dropped from a stress table) fails here
+    until the index takes a position on it."""
+    import os
+    import re
+
+    from ruleset_analysis_spark.plans.registry import all_specs
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "SCALE.md")).read()
+    m = re.search(
+        r"## Scale-story index.*?(?=\n## )", text, flags=re.DOTALL
+    )
+    assert m, "SCALE.md scale-story index section missing"
+    section = m.group(0)
+    meas_part = section.split("### Measured exponents")[1].split(
+        "### Declared trivial"
+    )[0]
+    triv_part = section.split("### Declared trivial")[1]
+    specs = set(all_specs())
+    measured = {n for n in re.findall(r"`([a-z0-9_]+)`", meas_part) if n in specs}
+    trivial = {
+        mm.group(1)
+        for mm in re.finditer(r"^\| `([a-z0-9_]+)` \|", triv_part, re.MULTILINE)
+    }
+    assert trivial <= specs, f"index names not in registry: {trivial - specs}"
+    both = measured & trivial
+    assert not both, f"keys in both index lists: {sorted(both)}"
+    neither = specs - measured - trivial
+    assert not neither, f"keys missing from the index: {sorted(neither)}"
+    # the measured list must reflect actual stress records: every name
+    # it claims must appear somewhere ABOVE the index (tier tables or
+    # prose), not only inside the index itself
+    above = text[: m.start()]
+    unbacked = {n for n in measured if n not in above}
+    assert not unbacked, f"measured claims with no stress record: {sorted(unbacked)}"
