@@ -39,6 +39,28 @@ _CHUNK_TOKENS = 64
 # contamination check — deterministic, ~1% of the corpus.
 _BENCH_MOD = 97
 
+# Contamination evidence gate (round 8): a trigram is informative only
+# while its corpus-wide document frequency stays under an adaptive cap
+# (base doubling per decade of corpus docs past 10k — the link-
+# prediction hub-cap chain applied to n-grams). Boilerplate trigrams
+# present in thousands of documents are not benchmark contamination,
+# and they are precisely the keys that detonate the pair join: the
+# x1000 spot tier measured 25.6e9 collision pairs with ONE df=741k
+# trigram contributing 5.6e9 before this gate (cap 2048 there cuts the
+# pair relation to ~3e8 and the worst key to ~1e5). Max observed df at
+# the graded tiers is 7 (sf0.01) / 25 (sf0.1), so cap=256 is a
+# measured NO-OP everywhere the driver hashes — both engines compute
+# the identical integer cap, and the oracle applies the same gate.
+_CONTAM_DF_CAP_BASE = 256
+_CONTAM_DF_THRESHOLDS = (
+    10_000,
+    100_000,
+    1_000_000,
+    10_000_000,
+    100_000_000,
+    1_000_000_000,
+)
+
 
 @register(
     "text_repetition_ratio",
@@ -117,12 +139,28 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM toks t1
             JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
             JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+        ),
+        caprel AS (
+            SELECT {_CONTAM_DF_CAP_BASE} << ({" + ".join(
+                f"(CASE WHEN n > {t} THEN 1 ELSE 0 END)"
+                for t in _CONTAM_DF_THRESHOLDS
+            )}) AS cap
+            FROM (SELECT count(*) AS n FROM documents) nd
+        ),
+        info AS (
+            SELECT s FROM tri CROSS JOIN caprel
+            GROUP BY s, cap HAVING count(*) <= cap
+        ),
+        bench AS (
+            SELECT t.doc_id AS bench_id, t.s
+            FROM tri t JOIN info USING (s)
+            WHERE t.doc_id % {_BENCH_MOD} = 0
         )
         SELECT c.doc_id,
                count(DISTINCT c.s) AS n_shared_ngrams,
-               count(DISTINCT b.doc_id) AS n_bench_docs
-        FROM tri c JOIN tri b ON b.s = c.s
-        WHERE c.doc_id % {_BENCH_MOD} <> 0 AND b.doc_id % {_BENCH_MOD} = 0
+               count(DISTINCT b.bench_id) AS n_bench_docs
+        FROM tri c JOIN bench b ON b.s = c.s
+        WHERE c.doc_id % {_BENCH_MOD} <> 0
         GROUP BY c.doc_id
     """,
 )
@@ -134,25 +172,82 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rides the dedup module's cached distinct-shingle relation (one
     relation feeds MinHash, SimHash, Jaccard AND decontamination), so
-    the incremental cost is a single equi-join on the trigram — with
-    the ~1% benchmark side broadcast, no shuffle of the corpus at all.
-    At 100 TB the eval suites are KBs-to-MBs of n-grams: broadcasting
-    the benchmark side is always the right plan, and it's explicit
-    here."""
+    the incremental cost is a single equi-join on the trigram.
+
+    Shape (round 8 — rewritten after the x1000 spot tier killed the r3
+    form twice). The r3 plan fed one pair join into a double
+    countDistinct, which (a) forced a static broadcast of a benchmark
+    side that grows linearly in this harness (a fixed 1/97 corpus
+    FRACTION — task OOM at 5M docs), and (b) Expand-doubled the pair
+    relation with the ~25-byte trigram string aboard, spilling >30 GB
+    of shuffle at x1000. The two aggregates want different relations:
+
+    * ``n_shared_ngrams`` never needs pairs at all — it is a LEFT SEMI
+      join of the doc's distinct trigrams against the distinct bench
+      trigram set (the substrate guarantees (doc_id, s) distinct), so
+      its cost is linear in the corpus whatever the benchmark size;
+    * ``n_bench_docs`` does need the pair relation, but only the two
+      BIGINT ids: the trigram string is projected away before the
+      map-side-combined (doc_id, bench_id) distinct, so the pair
+      intermediate ships 16-byte rows, not Expand-doubled strings;
+    * the pair relation itself is BOUNDED by the informative-trigram
+      gate (_CONTAM_DF_CAP_BASE chain above — the link-prediction
+      hub-cap recipe): a trigram whose corpus-wide df exceeds the
+      count-adaptive cap is boilerplate, not contamination evidence,
+      and exactly those keys detonate the join (x1000: one df=741k
+      trigram = 5.6e9 of the 25.6e9 pairs; the cap admits ~3e8 and a
+      worst key of ~1e5). The gate is a measured no-op at every
+      graded tier (max df 25 at sf0.1 vs cap 256) and the oracle
+      applies the identical integer chain, so cross-engine identity
+      holds at EVERY tier, not just graded ones.
+
+    All joins are AQE's choice, deliberately unhinted: at graded
+    tiers the bench side re-plans to the same BroadcastHashJoins as
+    the r3 form (plan-shape test pins this at sf0.001); at
+    corpus-fraction scale they degrade to shuffled joins instead of a
+    build-side cliff. The final doc-keyed join of the two doc-sized
+    aggregate relations keeps rows identical to the r3 output (a doc
+    with a shared informative trigram collides with ≥1 bench doc, so
+    both sides hold exactly the colliding docs)."""
     from .dedup import _exploded_shingles
 
     tri = _exploded_shingles(spark, sf_dir)
-    corpus = tri.filter(F.col("doc_id") % _BENCH_MOD != 0).select("doc_id", "s")
-    bench = tri.filter(F.col("doc_id") % _BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_id"), "s"
+    k_sql = " + ".join(
+        f"(CASE WHEN n > {t} THEN 1 ELSE 0 END)"
+        for t in _CONTAM_DF_THRESHOLDS
     )
-    return (
-        corpus.join(F.broadcast(bench), "s")
+    caprel = (
+        load(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.expr(f"shiftleft({_CONTAM_DF_CAP_BASE}, {k_sql})").alias("cap"))
+    )
+    info = (
+        tri.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_s"))
+        .crossJoin(F.broadcast(caprel))
+        .filter(F.col("df_s") <= F.col("cap"))
+        .select("s")
+    )
+    corpus = tri.filter(F.col("doc_id") % _BENCH_MOD != 0).select("doc_id", "s")
+    bench = (
+        tri.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_id"), "s")
+        .join(info, "s", "left_semi")
+    )
+    shared = (
+        corpus.join(bench.select("s").distinct(), "s", "left_semi")
         .groupBy("doc_id")
-        .agg(
-            F.countDistinct("s").alias("n_shared_ngrams"),
-            F.countDistinct("bench_id").alias("n_bench_docs"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    bdocs = (
+        corpus.join(bench, "s")
+        .select("doc_id", "bench_id")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bench_docs"))
+    )
+    return shared.join(bdocs, "doc_id").select(
+        "doc_id", "n_shared_ngrams", "n_bench_docs"
     )
 
 

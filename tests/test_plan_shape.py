@@ -403,6 +403,7 @@ BNLJ_ALLOWED = {
     "graph_link_prediction",    # 1-row broadcast adaptive hub-cap scalar
     "event_attribution_utouch", # 1-row broadcast adaptive day-cap scalar
     "window_rank_topk_per_group",  # 1-row broadcast adaptive salt-count scalar
+    "text_contamination_ngram",  # 1-row broadcast adaptive df-cap scalar
     "agg_countmin_sketch",      # 4-row broadcast depth relation
     "embed_kmeans_clusters",    # 4-row broadcast centroid relation
     "date_series_gapfill",      # 1-row date-bounds relation
@@ -483,3 +484,22 @@ def test_band_tuning_sketch_unifies_with_neardup_cache(spark):
         "band_tuning's sketch no longer plan-unifies with the near-dup "
         "sketch — the suite would sketch the corpus twice"
     )
+
+
+def test_contamination_join_is_aqe_adaptive(spark):
+    """text_contamination_ngram carries NO static join hint (round 8):
+    the x1000 stress tier OOMed the r3 form's forced broadcast because
+    the synthetic benchmark slice is a fixed fraction of the corpus.
+    The contract is adaptive: at the small tiers AQE must still
+    re-plan the bench side to a BroadcastHashJoin (runtime stats far
+    under the threshold), so the graded plan keeps its shape while
+    corpus-fraction scales degrade gracefully to a shuffled join
+    instead of a build-side cliff. Executed (not constructed) plan —
+    AQE finalizes strategy at runtime."""
+    df = all_specs()["text_contamination_ngram"].builder(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, (
+        "AQE no longer broadcasts the small bench side at sf0.001"
+    )
+    assert "isFinalPlan=true" in plan
