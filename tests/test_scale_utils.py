@@ -245,3 +245,41 @@ def test_scale_story_index_partitions_registry():
     above = text[: m.start()]
     unbacked = {n for n in measured if n not in above}
     assert not unbacked, f"measured claims with no stress record: {sorted(unbacked)}"
+
+
+def test_contamination_df_cap_chain_cross_engine():
+    """The informative-trigram df cap (round 8) must compute the SAME
+    integer in Spark SQL and DuckDB at every threshold boundary — the
+    tau-chain discipline applied to the contamination gate. Also pins
+    the graded-tier no-op: the caps at sf0.01/sf0.1 corpus sizes sit
+    far above the measured max trigram df (7 / 25), so the gate cannot
+    change a driver-hashed answer."""
+    import duckdb
+
+    from ruleset_analysis_spark.operators.curation import (
+        _CONTAM_DF_CAP_BASE,
+        _CONTAM_DF_THRESHOLDS,
+    )
+
+    k_sql = " + ".join(
+        f"(CASE WHEN n > {t} THEN 1 ELSE 0 END)"
+        for t in _CONTAM_DF_THRESHOLDS
+    )
+    con = duckdb.connect()
+    counts = [0, 1, 500, 1_500, 5_000, 500_000, 5_153_000]
+    for t in _CONTAM_DF_THRESHOLDS:
+        counts += [t - 1, t, t + 1]
+    counts.append(_CONTAM_DF_THRESHOLDS[-1] * 100)
+    for n in counts:
+        py_cap = _CONTAM_DF_CAP_BASE << sum(
+            1 for t in _CONTAM_DF_THRESHOLDS if n > t
+        )
+        (sql_cap,) = con.execute(
+            f"SELECT {_CONTAM_DF_CAP_BASE} << ({k_sql}) "
+            f"FROM (SELECT CAST({n} AS BIGINT) AS n)"
+        ).fetchone()
+        assert sql_cap == py_cap, f"chain divergence at n={n}"
+    # graded tiers: 500 docs (sf0.001/sf0.01) and 5000 docs (sf0.1)
+    # must land on the base cap, far above the measured max df of 25
+    assert _CONTAM_DF_CAP_BASE << 0 == 256
+    assert 5_000 < _CONTAM_DF_THRESHOLDS[0], "sf0.1 must stay cap=256"
