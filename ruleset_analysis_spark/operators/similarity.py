@@ -1385,15 +1385,18 @@ def embed_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket signatures with a bucket-keyed join; both arms are
     per-probe top-k/distinct — no all-pairs anywhere.
 
-    Round 8: the exact arm's ranking now takes the partial-top-k
-    pre-filter embed_knn_classify got in round 7 — the x1000 spot
-    tier timed this query out because its per-probe window still
-    dragged the full probes×corpus dot relation (2e8 rows at 2M
-    vectors) through ≤100 window partitions. Under the strict
-    (desc qd, asc vec_id) total order each input partition's local
-    top-10 is a superset of its contribution to the global top-10, so
-    the final window sees ≤ 10·|partitions| rows per probe whatever
-    the corpus size; output identical for any partitioning."""
+    Round 8 x1000 postscript: the spot tier first TIMED this query
+    out at a 1500 s two-pass watchdog, which looked like the
+    corpus-sized-window defect — it is not. The rank-≤-k pattern
+    already plans as WindowGroupLimit (partial k-heap below the
+    exchange, verified in the executed plan), so the per-probe window
+    never sees the 2e8-row dot relation; the wall is the audit arm's
+    honest linear cost (≈650 s for 27 probes × 2M vectors of HOF
+    integer dots plus the cold bucket substrate). Re-measured with an
+    audit-sized budget: 713 s min-of-2, exponent 0.77, µs/vector
+    falling 5× over three decades. A hand-rolled partial-top-k
+    pre-filter was tried and reverted — it re-implements what the
+    optimizer already guarantees, at the price of a second window."""
     e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
     qv = _quantized(e).select("vec_id", "q")
     bits = _lsh_buckets(spark, e)
@@ -1410,21 +1413,12 @@ def embed_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id", qdot.alias("qd"))
     )
-    # partial top-k per (probe, input partition) bounds every window
-    # partition at any corpus size; the final top-k is identical for
-    # any partitioning because (desc qd, asc vec_id) is a strict
-    # total order (the embed_knn_classify recipe).
-    wpre = Window.partitionBy("probe_id", F.spark_partition_id()).orderBy(
-        F.desc("qd"), F.asc("vec_id")
-    )
-    pre = (
-        dots.withColumn("rp", F.row_number().over(wpre))
-        .filter(F.col("rp") <= _RECALL_K)
-        .drop("rp")
-    )
+    # rank-<=-k + filter plans as WindowGroupLimit: a partial k-heap
+    # below the exchange bounds every window partition at any corpus
+    # size (see docstring postscript — pinned by the plan-shape test).
     w = Window.partitionBy("probe_id").orderBy(F.desc("qd"), F.asc("vec_id"))
     topk = (
-        pre.withColumn("rn", F.row_number().over(w))
+        dots.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _RECALL_K)
         .select("probe_id", "vec_id")
     )

@@ -42,55 +42,34 @@ from ._util import cents
 def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by value per market segment ("top talkers per rule").
 
-    Bounded-partition shape (round 8 — the same class of fix as the
-    round-7 weighted-median/gini rewrites): a plain
-    ``row_number() OVER (PARTITION BY segment)`` puts the ENTIRE
-    orders relation through 5 tasks — one task sorts the whole fact
-    table at any scale. Top-k decomposes exactly: a global top-3 row
-    is top-3 within ANY subset containing it, so (1) a salted local
-    pass ranks within (segment, pmod(o_orderkey, n_salts)) — n_salts
-    rides an integer threshold chain on count(*) (32 doubling per
-    decade past 1M rows, the adaptive-LSH-depth recipe; at graded
-    tiers n_salts=32 and the plan is bit-identical whatever the salt
-    count since ranks are recomputed globally) — and keeps ≤3 per
-    salt cell; (2) the global window then ranks ≤ segments×n_salts×3
-    survivors, a KB-sized relation. Both window partitions are
-    bounded: corpus/(segments·n_salts) locally, 3·n_salts globally.
-    The (o_totalprice DESC, o_orderkey ASC) tie-break makes both
-    passes deterministic, so the emitted rows and rn values equal the
-    one-window oracle form exactly."""
+    Scale shape — deliberately the plain one-window form: the
+    rank-≤-k-with-filter pattern plans as **WindowGroupLimit** in
+    Spark 4, with a PARTIAL group-limit below the exchange — each
+    input partition ships at most k=3 candidates per segment, and the
+    final per-segment window sees ≤ 3·|input partitions| rows at any
+    corpus size, never the fact table. Verified in the executed plan
+    (two WindowGroupLimit nodes: partial below the Exchange, final
+    above — pinned by the plan-shape test) and the mechanism
+    `sample_topk_reservoir` documents. A round-8 session briefly
+    replaced this with a hand-salted two-level top-k before the plan
+    audit showed the optimizer already provides exactly that bound;
+    hand-salting would only re-implement WindowGroupLimit with an
+    extra exchange and a count job."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    n_salts = F.lit(32)
-    for t in (1_000_000, 10_000_000, 100_000_000, 1_000_000_000):
-        n_salts = n_salts * F.when(F.col("n_rows") > t, 2).otherwise(1)
-    nrel = o.agg(F.count(F.lit(1)).alias("n_rows")).select(
-        n_salts.alias("n_salts")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
     )
-    base = (
+    return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .crossJoin(F.broadcast(nrel))
         .select(
             "c_mktsegment",
             "o_orderkey",
             "o_totalprice",
-            F.pmod(F.col("o_orderkey"), F.col("n_salts")).alias("salt"),
+            F.row_number().over(w).alias("rn"),
         )
+        .filter(F.col("rn") <= 3)
     )
-    order_cols = [F.desc("o_totalprice"), F.asc("o_orderkey")]
-    wl = Window.partitionBy("c_mktsegment", "salt").orderBy(*order_cols)
-    local = (
-        base.withColumn("rn_l", F.row_number().over(wl))
-        .filter(F.col("rn_l") <= 3)
-        .drop("rn_l", "salt")
-    )
-    wg = Window.partitionBy("c_mktsegment").orderBy(*order_cols)
-    return local.select(
-        "c_mktsegment",
-        "o_orderkey",
-        "o_totalprice",
-        F.row_number().over(wg).alias("rn"),
-    ).filter(F.col("rn") <= 3)
 
 
 @register(

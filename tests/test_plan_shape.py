@@ -402,7 +402,6 @@ BNLJ_ALLOWED = {
     "agg_hll_mergeable",        # 1-row grand-total sketch union
     "graph_link_prediction",    # 1-row broadcast adaptive hub-cap scalar
     "event_attribution_utouch", # 1-row broadcast adaptive day-cap scalar
-    "window_rank_topk_per_group",  # 1-row broadcast adaptive salt-count scalar
     "text_contamination_ngram",  # 1-row broadcast adaptive df-cap scalar
     "agg_countmin_sketch",      # 4-row broadcast depth relation
     "embed_kmeans_clusters",    # 4-row broadcast centroid relation
@@ -503,3 +502,25 @@ def test_contamination_join_is_aqe_adaptive(spark):
         "AQE no longer broadcasts the small bench side at sf0.001"
     )
     assert "isFinalPlan=true" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["window_rank_topk_per_group", "sample_topk_reservoir", "embed_recall_eval"],
+)
+def test_rank_topk_windows_plan_as_window_group_limit(spark, name):
+    """rank-≤-k + filter over a partitioned window must plan as
+    WindowGroupLimit with a PARTIAL node below the exchange (Spark 4):
+    each input partition ships at most k candidates per group, so the
+    final window never sees a corpus-sized partition even when the
+    partition key has O(1) cardinality (mktsegment, lang, probe panel).
+    This optimizer guarantee is why these queries keep the plain
+    one-window form — a round-8 session hand-salted the top-k before
+    the plan audit showed the bound already exists; this pin keeps the
+    next session from repeating either mistake (hand-salting, or an
+    optimizer/conf regression silently unbounding the exchange)."""
+    plan = _physical(spark, name)
+    assert plan.count("WindowGroupLimit") >= 2, (
+        f"{name}: partial+final WindowGroupLimit pair missing — the "
+        "rank filter no longer bounds the exchange"
+    )
