@@ -75,71 +75,70 @@ OPERATOR_MODULES = (
 # hand-ordering error fails loudly). 260 queries / 50 slots means the
 # full re-witness cycle is >= 5.2 rounds (SURVEY §5).
 #
-# ROUND-8 WINDOW (entries 1-50). CORRECTNESS_r07.json recorded the
-# round-7 window 50/50 green (embed_pca_project's rows-only record is
-# now hash-green), so the rotation advances oldest-first over the
-# committed r1-r7 ledger exactly as the r7 verdict prescribed.
+# ROUND-9 WINDOW (entries 1-50). CORRECTNESS_r08.json recorded the
+# round-8 window 50/50 green, so the rotation advances oldest-first
+# over the committed r1-r8 ledger exactly as the r8 verdict prescribed.
 #   * FRONT: empty — no rows-only -> SQL oracle upgrades pending (the
 #     3 remaining rows-only entries are declared approximate sketches
 #     with no cross-engine twin) and the registry is frozen at 260.
-#   * REFRESH: the 14 rows whose latest record is r2 (batch stream_*
-#     windows, funnel, hash samplers, window core, subqueries — in r2
-#     witness order) + the 36 oldest r3 rows (firewall/tpch/graph/
-#     curation/event/join/window/agg tails, in r3 witness order).
+#   * REFRESH: the 13 rows whose latest record is r3 (agg/embed/
+#     setop/scalar/join/scan tails, in r3 witness order) + the 37
+#     oldest r4 rows (TPC-H composites, sketch/setop tails, LSH/
+#     simhash blocking, in r4 witness order).
 DRIVER_PRIORITY_FRONT: tuple[str, ...] = ()
 DRIVER_PRIORITY_REFRESH = (
-    # --- latest record r2 (6 rounds stale), r2 witness order ---
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "funnel_ordered_steps",
-    "sample_hash_deterministic",
-    "sample_stratified_hash",
-    "window_lag_lead",
-    "window_moving_avg_range",
-    "window_ntile_cume",
-    "window_first_last",
-    "subquery_scalar_agg",
-    "subquery_correlated_avg",
-    "subquery_exists",
-    "subquery_not_in_null_safe",
-    # --- latest record r3 (5 rounds stale), r3 witness order ---
-    "firewall_unused_rules",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "graph_triangle_count",
-    "text_repetition_ratio",
-    "text_contamination_ngram",
-    "doc_chunk_fixed_tokens",
-    "pack_greedy_bins",
-    "text_rarity_score",
-    "profile_corpus_columns",
-    "corpus_quality_filter",
-    "text_collocations_lift",
-    "event_cdc_upsert",
-    "event_path_3gram",
-    "event_scd2_intervals",
-    "event_transition_matrix",
-    "event_anomaly_mad",
-    "event_time_weighted_avg",
-    "retention_cohorts",
-    "join_salted_skew",
-    "join_fuzzy_blocked",
-    "join_null_safe_eq",
-    "join_cooccur_baskets",
-    "window_gaps_islands",
-    "window_cumulative_reach",
-    "window_rate_limit_quota",
-    "window_percent_dense",
-    "json_variant_extract",
-    "recursive_hierarchy_walk",
-    "udf_sql_scalar",
-    "agg_heavy_hitters_topk",
-    "agg_filtered_conditional",
-    "agg_grouping_sets_explicit",
-    "agg_mode_per_group",
+    # --- latest record r3 (6 rounds stale), r3 witness order ---
+    "agg_pareto_concentration",
+    "agg_rfm_segmentation",
+    "agg_unpivot_melt",
+    "dedup_containment",
+    "embed_knn_classify",
+    "embed_centroid_per_label",
+    "embed_quantize_int8",
+    "subquery_lateral_topn",
+    "setop_except",
+    "map_funcs",
+    "json_extract",
+    "join_asof_backward",
+    "scan_schema_validate",
+    # --- latest record r4 (5 rounds stale), r4 witness order ---
+    "stream_rollup_multires",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "sim_pairwise_bucketed",
+    "text_rolling_fingerprint",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_bracket_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_accounts",
+    "sort_multi_key",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_except_all",
+    "agg_bitmap_distinct",
+    "agg_bitmap_overlap",
+    "agg_countmin_sketch",
+    "agg_decimal_money",
+    "curation_mix_weights",
+    "dedup_cluster_representatives",
+    "dedup_minhash_estimate",
+    "dedup_weighted_jaccard",
 )
 DRIVER_PRIORITY = DRIVER_PRIORITY_FRONT + DRIVER_PRIORITY_REFRESH
 

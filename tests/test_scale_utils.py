@@ -243,7 +243,15 @@ def test_scale_story_index_partitions_registry():
     # it claims must appear somewhere ABOVE the index (tier tables or
     # prose), not only inside the index itself
     above = text[: m.start()]
-    unbacked = {n for n in measured if n not in above}
+    # word-boundary match on the identifier charset: plain substring
+    # containment falsely credited any key that happens to be a
+    # substring of a longer key; tier tables list names bare and prose
+    # backticks them, so anchor on non-identifier neighbors, not `...`
+    unbacked = {
+        n
+        for n in measured
+        if not re.search(rf"(?<![a-z0-9_]){re.escape(n)}(?![a-z0-9_])", above)
+    }
     assert not unbacked, f"measured claims with no stress record: {sorted(unbacked)}"
 
 
@@ -283,3 +291,36 @@ def test_contamination_df_cap_chain_cross_engine():
     # must land on the base cap, far above the measured max df of 25
     assert _CONTAM_DF_CAP_BASE << 0 == 256
     assert 5_000 < _CONTAM_DF_THRESHOLDS[0], "sf0.1 must stay cap=256"
+
+
+def test_deliberate_refloors_frozen():
+    """scripts/deliberate_refloors.json is the bench_compare allowlist
+    for plan-replacement floor raises. It must stay EXACTLY the set of
+    documented x100/x1000-survival trades — an entry can only be added
+    here together with its receipts (round + reason + a bounded
+    max_ratio), so the allowlist can never quietly absorb a real
+    regression."""
+    import json
+    import os
+
+    from ruleset_analysis_spark.plans.registry import all_specs
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "scripts", "deliberate_refloors.json")) as f:
+        data = json.load(f)
+    entries = data["entries"]
+    assert set(entries) == {
+        "agg_exact_percentiles_grouped",
+        "agg_weighted_median",
+        "agg_gini_coefficient",
+        "embed_pca_project",
+        "graph_triangle_count",
+        "text_contamination_ngram",
+    }, "allowlist grew or shrank without updating this frozen set"
+    assert set(entries) <= set(all_specs()), "allowlisted key not in registry"
+    for k, meta in entries.items():
+        assert isinstance(meta["round"], int) and meta["round"] >= 7, k
+        assert meta["reason"].strip(), f"{k}: empty reason"
+        # bounded: a cap past ~3.5x would stop being a 'documented
+        # trade' and start being an unreviewed perf hole
+        assert 1.5 < meta["max_ratio"] <= 3.5, f"{k}: cap out of bounds"
