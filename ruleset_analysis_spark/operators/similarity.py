@@ -346,6 +346,52 @@ def _lsh_buckets(spark: SparkSession, e: DataFrame) -> DataFrame:
     )
 
 
+def _scored_same_bucket_pairs(
+    bits: DataFrame, payload: DataFrame, score, directed: bool
+) -> DataFrame:
+    """(vec_a, vec_b, score) for every same-(table_id, bucket) pair of
+    the corpus, WITH multi-table duplicates: a pair colliding in k of
+    the 4 tables appears k times. The score expression is a pure
+    deterministic function of the two payload arrays, so the copies
+    carry bit-identical scores and consumers collapse them with
+    max / dense_rank — NEVER by re-joining payloads onto the pair
+    relation.
+
+    This shape is the r9 x1000 catch (SCALE.md, round 9): the previous
+    candidates-distinct-then-re-join form shuffled two ~0.5 KB payload
+    arrays per candidate row — at 2M vectors (16-bit adaptive depth,
+    ~4e8 directed candidates) that is two sort-merge passes over a
+    ~200 GB relation, which filled the disk and killed the session.
+    Here the payload rides the 4n-row bucket-signature relation
+    through the ONE keyed self-join (both sides shuffle on the same
+    (table_id, bucket) key, so the exchange is reused), the score is
+    computed in that join's output projection, and nothing wider than
+    three scalar columns exists at |pairs| scale. The extra ≤4×
+    duplicate dot folds are the cheap side of the trade: a fold is
+    ~sub-µs of codegen arithmetic; an array-carrying shuffle row is
+    ~0.5 KB of disk twice."""
+    sided = bits.join(payload, "vec_id")
+    a, b = sided.alias("a"), sided.alias("b")
+    pair = (
+        F.col("a.vec_id") < F.col("b.vec_id")
+        if not directed
+        else F.col("a.vec_id") != F.col("b.vec_id")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & pair,
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            score(F.col("a.p"), F.col("b.p")).alias("score"),
+        )
+    )
+
+
 @register(
     "sim_ann_lsh",
     category="similarity",
@@ -449,26 +495,25 @@ def sim_pairwise_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     every candidate, so false positives cost only the verify fold;
     recall is the LSH OR-of-4-tables probability (≈ 1 - (1-p⁶)⁴,
     p = 1 - θ/π — high for near-duplicate angles; the property test
-    measures it against the exact scan on the test corpus)."""
+    measures it against the exact scan on the test corpus).
+
+    The verify fold runs INSIDE the bucket self-join and the threshold
+    filter runs before the duplicate collapse (`_scored_same_bucket_
+    pairs` — value-identical: filter-then-max = max-then-filter over
+    bit-identical copies), so the pair-scale relation is 3 scalar
+    columns and only threshold survivors reach the dedup shuffle."""
     e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
     bits = _lsh_buckets(spark, e)
-    a, b = bits.alias("a"), bits.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+    scored = _scored_same_bucket_pairs(
+        bits,
+        e.select("vec_id", F.col("vn").alias("p")),
+        lambda pa, pb: dot(pa, pb),
+        directed=False,
     )
-    cos = dot(F.col("va"), F.col("vb"))
     return (
-        cand.join(e.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("va")), "vec_a")
-        .join(e.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("vb")), "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cos_raw"))
-        .filter(F.col("cos_raw") >= 0.25)
+        scored.filter(F.col("score") >= 0.25)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("score").alias("cos_raw"))
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos"))
     )
 
@@ -1160,8 +1205,17 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     same 4 tables × 6-bit signatures ``sim_ann_lsh`` routes with):
     candidates are DIRECTED same-bucket pairs — a keyed self-join whose
     fan-out is Σ n_bucket², never all-pairs — scored with one dot fold
-    each, then per-vector top-k as a rank window over the CANDIDATE
-    scores (|candidates| rows, corpus-independent per vector). At
+    INSIDE that join (`_scored_same_bucket_pairs`: the vectors ride
+    the 4n-row signature relation, never the pair relation), then
+    per-vector top-k as a rank window over the CANDIDATE scores
+    (|candidates| rows, corpus-independent per vector). Multi-table
+    duplicate pairs carry bit-identical scores, so DENSE_RANK over the
+    strict (cos desc, vec_b) total order gives every DISTINCT
+    candidate the exact rank row_number would give it after a distinct
+    — and the duplicate collapse becomes a distinct over the ≤ 4·k·n
+    SURVIVORS instead of a shuffle of the full pair relation; the
+    window itself still plans as WindowGroupLimit (dense_rank is
+    rank-like, partial k-heap below the exchange — plan-pinned). At
     100 TB the bucket id is the partition key, the window partitions
     by vec_id on the scores relation, and k bounds the output to
     k·|corpus| edges. The deliberate asymmetry with the undirected
@@ -1170,30 +1224,15 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     k."""
     e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
     bits = _lsh_buckets(spark, e)
-    a, b = bits.alias("a"), bits.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .distinct()
-    )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("vn").alias("va"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("vn").alias("vb"))
-    scored = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", dot(F.col("va"), F.col("vb")).alias("cos_raw"))
-    )
+    scored = _scored_same_bucket_pairs(
+        bits,
+        e.select("vec_id", F.col("vn").alias("p")),
+        lambda pa, pb: dot(pa, pb),
+        directed=True,
+    ).withColumnRenamed("score", "cos_raw")
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_raw"), F.asc("vec_b"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.dense_rank().over(w))
         .filter(F.col("rn") <= _KNN_GRAPH_K)
         .select(
             F.col("vec_a").alias("vec_id"),
@@ -1201,6 +1240,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
             F.round("cos_raw", 6).alias("cos"),
         )
+        .distinct()
     )
 
 
@@ -1262,41 +1302,29 @@ def sim_outlier_lowmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-argmax cross-engine discipline every iterative sibling
     follows), max/ordering/tie-break are exact. Candidates ride the
     shared sign-bit bucket substrate — Σ n_bucket² directed pairs,
-    never all-pairs — so at 100 TB this is the same keyed-shuffle
-    economics as the kNN graph; the final ascending top-k is a
-    TakeOrdered, no global sort. The left join keeps candidate-less
-    vectors in frame (they are the MOST suspicious rows — an outlier
-    report that silently drops them inverts its own purpose)."""
+    never all-pairs, scored inside the bucket self-join
+    (`_scored_same_bucket_pairs`) — and because MAX is idempotent over
+    the bit-identical multi-table copies, the per-vector max needs NO
+    pair-level dedup at all: one map-side-partial groupBy(vec_a) over
+    3-scalar-column rows is the only pair-scale shuffle. The final
+    ascending top-k is a TakeOrdered, no global sort. The left join
+    keeps candidate-less vectors in frame (they are the MOST
+    suspicious rows — an outlier report that silently drops them
+    inverts its own purpose)."""
     e = normalized_vectors(spark, sf_dir).select("vec_id", "vn")
     qv = _quantized(e).select("vec_id", "q")
     bits = _lsh_buckets(spark, e)
-    a, b = bits.alias("a"), bits.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .distinct()
-    )
-    qa = qv.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
-    qb = qv.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
-    qdot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
+    qdot = lambda pa, pb: F.aggregate(  # noqa: E731
+        F.zip_with(pa, pb, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     best = (
-        cand.join(qa, "vec_a")
-        .join(qb, "vec_b")
-        .select("vec_a", qdot.alias("qd"))
+        _scored_same_bucket_pairs(
+            bits, qv.select("vec_id", F.col("q").alias("p")), qdot, directed=True
+        )
         .groupBy("vec_a")
-        .agg(F.max("qd").alias("max_qdot"))
+        .agg(F.max("score").alias("max_qdot"))
         .withColumnRenamed("vec_a", "vec_id")
     )
     return (

@@ -506,7 +506,15 @@ def test_contamination_join_is_aqe_adaptive(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["window_rank_topk_per_group", "sample_topk_reservoir", "embed_recall_eval"],
+    [
+        "window_rank_topk_per_group",
+        "sample_topk_reservoir",
+        "embed_recall_eval",
+        # dense_rank is rank-like too: the r9 knn rewrite relies on the
+        # same bound to collapse multi-table duplicates without a
+        # pair-relation shuffle (see similarity._scored_same_bucket_pairs)
+        "sim_knn_graph",
+    ],
 )
 def test_rank_topk_windows_plan_as_window_group_limit(spark, name):
     """rank-≤-k + filter over a partitioned window must plan as
@@ -524,3 +532,34 @@ def test_rank_topk_windows_plan_as_window_group_limit(spark, name):
         f"{name}: partial+final WindowGroupLimit pair missing — the "
         "rank filter no longer bounds the exchange"
     )
+
+
+@pytest.mark.parametrize(
+    "name", ["sim_knn_graph", "sim_pairwise_bucketed", "sim_outlier_lowmax"]
+)
+def test_bucket_pair_scoring_never_rejoins_payloads(spark, name):
+    """The r9 x1000 catch, pinned: the bucket-substrate pair queries
+    must score candidates INSIDE the (table_id, bucket) self-join —
+    payload arrays ride the 4n-row signature relation — and never
+    re-join vectors onto the pair relation. The pre-r9 form
+    (candidates.distinct() -> join(e, "vec_a") -> join(e, "vec_b"))
+    sorted two ~0.5 KB-array rows per candidate at |pairs| scale:
+    ~200 GB of spill at 2M vectors, disk-full abort. In the plan this
+    reads as a join node KEYED on vec_a or vec_b; the only joins the
+    rewrite allows are the bucket self-join (table_id, bucket) and the
+    n-scale payload attach (vec_id)."""
+    plan = _physical(spark, name)
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if any(
+            n in ln
+            for n in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        )
+    ]
+    assert join_lines, f"{name}: expected keyed joins in the plan"
+    for ln in join_lines:
+        assert "vec_a#" not in ln and "vec_b#" not in ln, (
+            f"{name}: a join keyed on the pair relation is back — "
+            f"payloads are being re-joined onto candidates: {ln.strip()}"
+        )
