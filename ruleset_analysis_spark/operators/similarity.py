@@ -294,6 +294,15 @@ def _lsh_buckets_oracle() -> str:
     """
 
 
+def _lsh_depth_rel(e: DataFrame) -> DataFrame:
+    """1-row (h) relation: the adaptive signature depth from count(*)
+    via the integer threshold chain (see _LSH_DEPTH_THRESHOLDS)."""
+    h_expr = F.lit(_LSH_BITS)
+    for t in _LSH_DEPTH_THRESHOLDS:
+        h_expr = h_expr + (F.col("n") > F.lit(t)).cast("int")
+    return e.agg(F.count(F.lit(1)).alias("n")).select(h_expr.alias("h"))
+
+
 def _lsh_buckets(spark: SparkSession, e: DataFrame) -> DataFrame:
     """(vec_id, table_id, bucket): sign-bit LSH signature per table at
     the ADAPTIVE depth (first h of the 20 planes per table, h from the
@@ -301,48 +310,101 @@ def _lsh_buckets(spark: SparkSession, e: DataFrame) -> DataFrame:
     _LSH_DEPTH_THRESHOLDS note; h = 6 at every graded tier, so pre-r6
     buckets are reproduced exactly there).
 
-    Broadcast the (tiny, deterministic) hyperplane rows — pre-filtered
-    to the h live planes by a 1-row count relation, so signature work
-    stays proportional to the depth actually used — fold a HOF dot per
-    (vector, plane), pack sign bits into an int bucket id — no shuffle
-    wider than the groupBy on (vec_id, table_id), and sign of
-    dot(v, plane) is scale-invariant so normalized vectors bucket
-    identically to raw ones.
+    Computed by an Arrow ``mapInPandas`` kernel with FOLD-ORDER-
+    PRESERVING accumulation: the 80 plane dots per vector accumulate
+    over the 64 dimensions in ascending order, one vectorized
+    multiply-add per step — each step performs exactly the (round(v·p),
+    round(acc+x)) pair of IEEE operations the JVM HOF fold performs,
+    in the same order, so the kernel's buckets are BIT-IDENTICAL to
+    the declarative form's (``_lsh_buckets_jvm``, kept as the
+    equality-test twin) and to the oracle's first-h-planes CTE. Sign
+    bits then pack into the per-table bucket int gated on ``bit_id <
+    h`` (h rides in as a broadcast 1-row column). No shuffle at all:
+    scan → 1-row broadcast → mapInPandas.
+
+    Why Python here, against the house rule: HigherOrderFunction is
+    CodegenFallback — interpreted, ~100 µs per 64-dim fold — and the
+    r9 x1000 tier measured the substrate at 387 s for 2M vectors in
+    the best JVM form (literal-plane projection, after the original
+    explode+groupBy form was already rewritten away); the Arrow kernel
+    computes the identical integers in 39.7 s. This is the documented
+    §2.H trade (vectorized Arrow beats interpreted expression trees
+    10×), applied to the one similarity stage that is pure dense
+    arithmetic; the five bucket consumers are declared in the plan
+    tests' Arrow allowlist.
 
     Persisted: both pairwise blocking (self-join, two references) and
     ANN probing (probe + candidate sides) reference the signature
     relation more than once, and column pruning defeats ReuseExchange;
     the relation is 3 ints per (vector, table) — a true sketch."""
+    import numpy as np
     from pyspark import StorageLevel
 
-    planes = spark.createDataFrame(
-        [
-            (t, b, [float(x) for x in _PLANES[t, b]])
-            for t in range(_LSH_TABLES)
-            for b in range(_LSH_BITS_MAX)
-        ],
-        "table_id int, bit_id int, plane array<double>",
-    )
-    h_expr = F.lit(_LSH_BITS)
-    for t in _LSH_DEPTH_THRESHOLDS:
-        h_expr = h_expr + (F.col("n") > F.lit(t)).cast("int")
-    hrel = e.agg(F.count(F.lit(1)).alias("n")).select(h_expr.alias("h"))
-    live_planes = planes.crossJoin(F.broadcast(hrel)).filter(
-        F.col("bit_id") < F.col("h")
-    )
+    planes = _PLANES.reshape(_LSH_TABLES * _LSH_BITS_MAX, 64).T.copy()
+    weights = 1 << np.arange(_LSH_BITS_MAX, dtype=np.int64)
+    n_tables, n_bits = _LSH_TABLES, _LSH_BITS_MAX
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h = int(pdf["h"].iloc[0])
+            vecs = np.array(list(pdf["vn"]), dtype=np.float64)
+            acc = np.zeros((len(pdf), planes.shape[1]), dtype=np.float64)
+            for i in range(planes.shape[0]):
+                # ascending-i accumulation: bit-identical to the fold
+                acc += vecs[:, i : i + 1] * planes[i : i + 1, :]
+            bits = (acc > 0).astype(np.int64)
+            live = np.where(np.arange(n_bits) < h, weights, 0)
+            out = []
+            for t in range(n_tables):
+                bucket = bits[:, t * n_bits : (t + 1) * n_bits] @ live
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "table_id": t,
+                            "bucket": bucket.astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
     return (
-        e.crossJoin(F.broadcast(live_planes))
-        .select(
-            "vec_id",
-            "table_id",
-            (
-                F.when(dot(F.col("vn"), F.col("plane")) > 0, F.lit(1)).otherwise(F.lit(0))
-                * F.expr("shiftleft(1, bit_id)")
-            ).alias("bit"),
-        )
-        .groupBy("vec_id", "table_id")
-        .agg(F.sum("bit").cast("int").alias("bucket"))
+        e.crossJoin(F.broadcast(_lsh_depth_rel(e)))
+        .mapInPandas(kernel, "vec_id long, table_id int, bucket int")
         .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _lsh_buckets_jvm(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """The declarative twin of :func:`_lsh_buckets`, kept ONLY as the
+    bit-equality reference for the kernel (tests/test_similarity
+    compares them row-for-row): per table, a sum of depth-gated sign
+    bits whose plane vectors are array LITERALS, each bit the same
+    ``dot(vn, plane) > 0`` HOF fold, gated lazily on ``bit_id < h``
+    (CaseWhen short-circuits — only live planes' dots evaluate), then
+    ``stack`` to the (vec_id, table_id, bucket) shape. Zero shuffle,
+    but every fold is interpreted (~100 µs): 387 s at 2M vectors where
+    the Arrow kernel takes 39.7 s — do not put this back on the query
+    path; change both twins (and the oracle) together or not at all."""
+    buckets = []
+    for t in range(_LSH_TABLES):
+        bucket = F.lit(0)
+        for b in range(_LSH_BITS_MAX):
+            plane = F.lit([float(x) for x in _PLANES[t, b]])
+            bit = F.when(dot(F.col("vn"), plane) > 0, F.lit(1 << b)).otherwise(
+                F.lit(0)
+            )
+            bucket = bucket + F.when(F.lit(b) < F.col("h"), bit).otherwise(F.lit(0))
+        buckets.append(bucket.cast("int").alias(f"bucket_{t}"))
+    wide = e.crossJoin(F.broadcast(_lsh_depth_rel(e))).select("vec_id", *buckets)
+    stacked = ", ".join(f"{t}, bucket_{t}" for t in range(_LSH_TABLES))
+    return wide.select(
+        "vec_id",
+        F.expr(f"stack({_LSH_TABLES}, {stacked}) AS (table_id, bucket)"),
     )
 
 

@@ -34,6 +34,15 @@ PYTHON_ALLOWED = {
     "udtf_table_arg_grouped",
     "pack_greedy_bins",
     "embed_pca_project",
+    # r9: the LSH bucket substrate moved to an Arrow mapInPandas kernel
+    # (fold-order-preserving accumulation, bit-identical to the JVM HOF
+    # form — see similarity._lsh_buckets); every consumer of the
+    # signature relation therefore carries one declared MapInPandas
+    "sim_ann_lsh",
+    "sim_pairwise_bucketed",
+    "sim_knn_graph",
+    "sim_outlier_lowmax",
+    "embed_recall_eval",
 }
 
 

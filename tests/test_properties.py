@@ -1303,3 +1303,30 @@ def test_gini_two_level_matches_brute_force(spark, rows):
         want_si = sum((i + 1) * v for i, v in enumerate(vals))
         want = (len(vals), sum(vals), want_si)
         assert got[g] == want, f"moments for {g}: want {want}, got {got[g]}"
+
+
+def test_lsh_kernel_buckets_bit_identical_to_jvm_fold(spark):
+    """The r9 Arrow bucket kernel's whole claim is BIT-equality with
+    the declarative form: its ascending-dimension accumulation performs
+    the same (round(v*p), round(acc+x)) IEEE pair per step as the JVM
+    HOF fold, so every sign bit — even one decided by the last ULP of
+    a near-zero dot — must agree. Compared row-for-row against the
+    kept JVM twin on the sf0.01 corpus (200 vectors x 4 tables); any
+    future kernel change that reorders the accumulation (e.g. swapping
+    in a BLAS matmul, whose pairwise summation rounds differently)
+    fails here before it can corrupt five queries' differentials."""
+    from ruleset_analysis_spark.operators.similarity import (
+        _lsh_buckets,
+        _lsh_buckets_jvm,
+        normalized_vectors,
+    )
+
+    e = normalized_vectors(spark, "/root/testdata/sf0.01").select("vec_id", "vn")
+    kernel = {
+        (r.vec_id, r.table_id): r.bucket for r in _lsh_buckets(spark, e).collect()
+    }
+    jvm = {
+        (r.vec_id, r.table_id): r.bucket
+        for r in _lsh_buckets_jvm(spark, e).collect()
+    }
+    assert kernel == jvm and len(kernel) > 0
