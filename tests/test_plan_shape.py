@@ -307,19 +307,19 @@ def test_quantile_sketch_aggregates_partial(spark):
     assert "Sort" not in plan
 
 
-def test_bucketed_pairwise_is_keyed_join(spark):
+def test_bucketed_pairwise_is_keyed_group_kernel(spark):
     """sim_pairwise_bucketed replaces the label-blocked all-pairs scan:
-    its candidate join must be a hash join on the bucket key, never a
-    cross/nested-loop product of the vector table with itself."""
+    candidates must be generated WITHIN (table_id, bucket) groups —
+    since r9 a grouped Arrow kernel keyed on the bucket signature
+    (Σ n_bucket² work, occupancy-bounded) — never a cross/nested-loop
+    product of the vector table with itself."""
     plan = _physical(spark, "sim_pairwise_bucketed")
     assert "CartesianProduct" not in plan
-    # candidate generation: a real keyed join on the bucket signature
-    assert any(
-        f"{node} [table_id" in plan
-        for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
-    )
-    # the only nested loop anywhere is the broadcast of the tiny 24-row
-    # hyperplane dim inside the (persisted) signature relation's cached
+    # pair generation: the grouped scoring kernel, keyed on the bucket
+    # signature (see similarity._bucket_pair_scores)
+    assert "FlatMapGroupsInPandas [table_id" in plan
+    # the only nested loop anywhere is the 1-row adaptive-depth
+    # broadcast inside the (persisted) signature relation's cached
     # lineage — every occurrence must sit below an InMemoryRelation,
     # i.e. it is the cache's description, not an executed product
     exec_plan = plan.split("InMemoryRelation")[0]

@@ -1330,3 +1330,98 @@ def test_lsh_kernel_buckets_bit_identical_to_jvm_fold(spark):
         for r in _lsh_buckets_jvm(spark, e).collect()
     }
     assert kernel == jvm and len(kernel) > 0
+
+
+def test_pair_scoring_kernel_bit_identical_to_jvm_join(spark):
+    """The r9 Arrow pair-scoring kernel vs the kept declarative twin
+    (`_scored_same_bucket_pairs`), on the graded sf0.01 corpus:
+
+    * tau mode must reproduce the JVM join's threshold survivors as an
+      exact MULTISET of (vec_a, vec_b, score) — same multi-table
+      duplicate copies, bit-identical doubles (the fold-order
+      accumulation claim);
+    * topk mode must be EXACT top-k pruning: running the identical
+      dense_rank-k + distinct window over the kernel's per-group
+      top-k and over the JVM join's full pair relation must give the
+      same final rows;
+    * max mode must match the JVM integer fold's global per-vector
+      max exactly.
+    """
+    from collections import Counter
+
+    from pyspark.sql import Window
+    from ruleset_analysis_spark.functions.vectors import dot
+    from ruleset_analysis_spark.operators.similarity import (
+        _KNN_GRAPH_K,
+        _bucket_pair_scores,
+        _lsh_buckets,
+        _quantized,
+        _scored_same_bucket_pairs,
+        normalized_vectors,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    e = normalized_vectors(spark, sf).select("vec_id", "vn")
+    bits = _lsh_buckets(spark, e)
+    pay = e.select("vec_id", F.col("vn").alias("p"))
+
+    jvm_full = _scored_same_bucket_pairs(
+        bits, pay, lambda a, b: dot(a, b), directed=True
+    )
+
+    # tau: multiset equality, bit-identical doubles
+    jvm_und = _scored_same_bucket_pairs(
+        bits, pay, lambda a, b: dot(a, b), directed=False
+    )
+    jvm_tau = Counter(
+        (r.vec_a, r.vec_b, r.score)
+        for r in jvm_und.filter(F.col("score") >= 0.25).collect()
+    )
+    ker_tau = Counter(
+        (r.vec_a, r.vec_b, r.score)
+        for r in _bucket_pair_scores(
+            bits, pay, mode="tau", directed=False, tau=0.25
+        ).collect()
+    )
+    assert jvm_tau == ker_tau and len(ker_tau) > 0
+
+    # topk: same final rows through the identical downstream window
+    def finish(scored):
+        w = Window.partitionBy("vec_a").orderBy(
+            F.desc("score"), F.asc("vec_b")
+        )
+        return {
+            (r.vec_a, r.vec_b, r.rn, r.score)
+            for r in scored.withColumn("rn", F.dense_rank().over(w))
+            .filter(F.col("rn") <= _KNN_GRAPH_K)
+            .distinct()
+            .collect()
+        }
+
+    ker_topk = _bucket_pair_scores(
+        bits, pay, mode="topk", directed=True, k=_KNN_GRAPH_K
+    )
+    assert finish(jvm_full) == finish(ker_topk)
+
+    # max: exact integer per-vector max
+    qv = _quantized(e).select("vec_id", F.col("q").alias("p"))
+    qdot = lambda pa, pb: F.aggregate(  # noqa: E731
+        F.zip_with(pa, pb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    jvm_max = {
+        (r.vec_a, r.mx)
+        for r in _scored_same_bucket_pairs(bits, qv, qdot, directed=True)
+        .groupBy("vec_a")
+        .agg(F.max("score").alias("mx"))
+        .collect()
+    }
+    ker_max = {
+        (r.vec_a, r.mx)
+        for r in _bucket_pair_scores(bits, qv, mode="max", integer=True)
+        .groupBy("vec_a")
+        .agg(F.max("score").alias("mx"))
+        .collect()
+    }
+    assert jvm_max == ker_max and len(ker_max) > 0
