@@ -692,9 +692,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN via random-hyperplane LSH (4 tables × 6-bit
     buckets): exact cosine is computed only within the probe's buckets.
 
-    Pipeline: broadcast the (tiny, deterministic) hyperplane table →
-    per-row bucket signature per table (HOF dot + sign bits, no
-    shuffle) → equi-join candidates with the probe's signatures →
+    Pipeline: per-row bucket signature per table (the zero-shuffle
+    Arrow kernel of ``_lsh_buckets``, bit-identical to the HOF-fold
+    sign bits) → equi-join candidates with the probe's signatures →
     exact top-k on the candidate set. This is the IVF/LSH routing
     pattern: at 100 TB the bucket id becomes the partition key and a
     query touches only matching partitions."""
