@@ -1170,6 +1170,81 @@ def _kmeans_oracle() -> str:
     return "".join(parts)
 
 
+def _km_partials_kernel(centroids: list, want: str):
+    """Arrow kernel factory for one Lloyd pass at fixed centroids:
+    assign every vector to its nearest centroid (exact BIGINT
+    squared distance, ties → smallest cluster id, numpy argmin's
+    first-occurrence rule) and emit per-task INTEGER partials —
+    ``want="means"``: (cluster, dim, Σq_dim, n) for the centroid
+    update; ``want="report"``: (cluster, n, Σdist) for the final
+    rollup. Partials are what cross the shuffle: O(k·d) rows per
+    task instead of the corpus. All sums are int64-exact (bounds in
+    the caller's docstring), so the partials reproduce the
+    JVM fold's integers bit-for-bit."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.int64)
+    k, d = c.shape
+
+    def kernel(batches):
+        import pandas as pd
+
+        n = np.zeros(k, dtype=np.int64)
+        s = np.zeros((k, d), dtype=np.int64)
+        inertia = np.zeros(k, dtype=np.int64)
+        n_degenerate = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = pdf["q"].tolist()
+            good = [a for a in arrs if len(a) == d]
+            n_degenerate += len(arrs) - len(good)
+            if not good:
+                continue
+            v = np.asarray(good, dtype=np.int64)
+            diff = v[:, None, :] - c[None, :, :]
+            dist = (diff * diff).sum(axis=2)
+            cl = dist.argmin(axis=1)
+            dmin = dist[np.arange(len(v)), cl]
+            for j in range(k):
+                mask = cl == j
+                m = int(mask.sum())
+                if not m:
+                    continue
+                n[j] += m
+                if want == "means":
+                    s[j] += v[mask].sum(axis=0)
+                else:
+                    inertia[j] += int(dmin[mask].sum())
+        # emit ONLY clusters this task saw members of — a globally
+        # empty cluster must produce zero rows (the old groupBy
+        # semantics: no row → previous centroid kept / no report row),
+        # never a 0/0 division
+        if want == "means":
+            nz = np.flatnonzero(n)
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(nz.astype(np.int32), d),
+                    "dim": np.tile(np.arange(d, dtype=np.int32), len(nz)),
+                    "s": s[nz].reshape(-1),
+                    "n": np.repeat(n[nz], d),
+                }
+            )
+        else:
+            n_out = n.copy()
+            n_out[0] += n_degenerate
+            nz = np.flatnonzero(n_out)
+            yield pd.DataFrame(
+                {
+                    "cluster": nz.astype(np.int32),
+                    "n": n_out[nz],
+                    "inertia": inertia[nz],
+                }
+            )
+
+    return kernel
+
+
 @register(
     "embed_kmeans_clusters",
     category="similarity",
@@ -1200,18 +1275,32 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2.6e14 per vector, safe to ~3e4 corpus growth over sf1000;
     beyond that the quantization scale is the documented knob.
 
-    Scale shape per iteration: assignment is a 4-row BROADCAST of the
-    centroid relation (nested-loop against O(1) rows — the allowlisted
-    class) + a codegen'd HOF distance fold, then argmin via
-    min(struct(dist, cluster)) riding the SAME vec_id-keyed exchange
-    that the centroid update's posexplode-mean reuses. Centroids move
-    as DATA through a broadcast relation, not as literals — literal
-    centroids would force Catalyst to recompile the whole-stage-codegen
-    unit every iteration (measured 3× compile cost), while a stable
-    plan shape compiles once and re-broadcasts 256 longs. The k×d
-    ints that cross the driver each round are model parameters, not
-    data. Empty clusters keep their previous centroid (the standard
-    Lloyd guard)."""
+    Scale shape per iteration (r9, guide §4.2): assignment is an
+    Arrow ``mapInPandas`` kernel over the persisted quantized relation
+    — the k×d centroid matrix rides INSIDE the kernel closure (model
+    parameters, like the IVF seeds), each task emits per-cluster
+    INTEGER partials (count, per-dim Σq for the update pass;
+    count + Σdist for the report pass), and only those O(k·d) partial
+    rows ever reach an exchange. The previous form was a 4-row
+    broadcast nested-loop + per-row ``zip_with/aggregate`` fold —
+    HigherOrderFunction is CodegenFallback, so every (vector,
+    centroid) distance paid the ~100 µs interpreted-fold tax the r9
+    x1000 tier measured on the LSH substrate, plus a 64× posexplode
+    of the corpus per update. All arithmetic is BIGINT (|q|·d ≤
+    2.6e14 ≪ 2^53), so the kernel's sums are exact and bit-identical
+    to the fold's; the one IEEE division per centroid component
+    (Σ/n, then HALF_UP round) stays a Spark built-in on the partial
+    sums — ``sum(s)/sum(n)`` divides the same exactly-representable
+    integers the old ``avg``'s double accumulator held, so every
+    round is bit-identical cross-engine and to the pre-r9 plan (the
+    differential + the pinned oracle prove it). The k×d ints that
+    cross the driver each round are model parameters, not data.
+    Empty clusters keep their previous centroid (the standard Lloyd
+    guard). Degenerate-row convention (unreachable through
+    ``_quantized``, which drops null/empty/zero-norm vectors and the
+    corpus dimension is uniform): a q whose length differs from the
+    centroids' is assigned cluster 0 with NULL dist and excluded
+    from the mean sums."""
     e = _quantized(normalized_vectors(spark, sf_dir)).select("vec_id", "q")
     # the _KM_K LOWEST ids, whatever they are — `vec_id < _KM_K` assumed
     # ids 0..3 exist and IndexError'd on a renumbered corpus (caught by
@@ -1219,41 +1308,24 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.orderBy("vec_id").limit(_KM_K).collect()
     centroids = [list(r["q"]) for r in seeds]
 
-    dist = F.aggregate(
-        F.zip_with(F.col("q"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-
-    assigned = None
-    for _ in range(_KM_ITERS):
-        cdf = spark.createDataFrame(
-            [(j, c) for j, c in enumerate(centroids)],
-            "cluster int, cvec array<long>",
-        )
-        assigned = (
-            e.crossJoin(F.broadcast(cdf))
-            .select("vec_id", "q", "cluster", dist.alias("dist"))
-            .groupBy("vec_id")
-            .agg(
-                F.min(F.struct("dist", "cluster")).alias("m"),
-                F.first("q").alias("q"),
+    # _KM_ITERS assignment rounds = _KM_ITERS − 1 centroid updates +
+    # the report pass below (the final assignment IS the report — the
+    # old form also reported the last assignment round, it just
+    # computed one extra never-consumed update alongside it)
+    for _ in range(_KM_ITERS - 1):
+        sums = (
+            e.mapInPandas(
+                _km_partials_kernel(centroids, want="means"),
+                "cluster int, dim int, s long, n long",
             )
-            .select(
-                "vec_id",
-                "q",
-                F.col("m.cluster").alias("cluster"),
-                F.col("m.dist").alias("dist"),
-            )
-        )
-        means = (
-            assigned.select("cluster", F.posexplode("q").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.round(F.avg("x")).cast("long").alias("m"))
+            .agg(
+                F.round(F.sum("s") / F.sum("n")).cast("long").alias("m")
+            )
             .collect()
         )
         by_cluster: dict[int, dict[int, int]] = {}
-        for r in means:
+        for r in sums:
             by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
         centroids = [
             [by_cluster[j][d] for d in range(len(centroids[j]))]
@@ -1262,10 +1334,14 @@ def embed_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_KM_K)
         ]
     return (
-        assigned.groupBy("cluster")
+        e.mapInPandas(
+            _km_partials_kernel(centroids, want="report"),
+            "cluster int, n long, inertia long",
+        )
+        .groupBy("cluster")
         .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.sum("dist").alias("inertia"),
+            F.sum("n").alias("n_members"),
+            F.sum("inertia").alias("inertia"),
         )
         .orderBy("cluster")
     )

@@ -43,6 +43,12 @@ PYTHON_ALLOWED = {
     "sim_knn_graph",
     "sim_outlier_lowmax",
     "embed_recall_eval",
+    # r9 optimization round: Lloyd assignment+partials moved to an
+    # Arrow kernel (integer-exact; see similarity._km_partials_kernel)
+    # — the interpreted zip_with/aggregate distance fold and the 64×
+    # posexplode per update were the cost, same CodegenFallback tax
+    # the LSH substrate paid before its kernel rewrite
+    "embed_kmeans_clusters",
 }
 
 
@@ -413,7 +419,6 @@ BNLJ_ALLOWED = {
     "event_attribution_utouch", # 1-row broadcast adaptive day-cap scalar
     "text_contamination_ngram",  # 1-row broadcast adaptive df-cap scalar
     "agg_countmin_sketch",      # 4-row broadcast depth relation
-    "embed_kmeans_clusters",    # 4-row broadcast centroid relation
     "date_series_gapfill",      # 1-row date-bounds relation
     "firewall_unused_rules",    # broadcast rules dim × summary row
     "firewall_policy_diff",     # broadcast ACL dim × O(rules) range
