@@ -1504,42 +1504,47 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    def bands_for(nb: int, nr: int) -> DataFrame:
-        return per_doc.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.concat_ws(
-                                ",",
-                                *[f"mh_{b * nr + r}" for r in range(nr)],
-                            ).alias("band_key"),
-                        )
-                        for b in range(nb)
-                    ]
-                )
-            ).alias("band"),
-        ).select("doc_id", "band.band_id", "band.band_key")
-
-    def cand_for(bands: DataFrame) -> DataFrame:
-        a, b = bands.alias("a"), bands.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
+    # r9 plan collapse: the four bandings are ONE cfg-tagged band
+    # relation (16+8+4+2 = 30 structs in a single explode — built as
+    # one F.expr string: the per-literal Column constructor path costs
+    # ~1.6 ms/py4j call, ~300 ms for this expression alone) and ONE
+    # (cfg, band_id, band_key)-keyed self-join. The r8 form planned 5
+    # separate band explodes + 5 self-joins + a 4-branch union — a
+    # 256-Exchange plan (plans/r09/dedup_lsh_band_tuning_before.txt)
+    # whose construction and planning dominated the query. Candidate
+    # sets per config are unchanged (the join key now simply includes
+    # the config tag), and cfg 0 IS the (16,1) superset the verify arm
+    # reads, so `sup` is a filter of the persisted candidates instead
+    # of its own join.
+    band_structs = ", ".join(
+        f"struct({ci} AS cfg, {b} AS band_id,"
+        " concat_ws(',', "
+        + ", ".join(f"mh_{b * nr + r}" for r in range(nr))
+        + ") AS band_key)"
+        for ci, (nb, nr) in enumerate(_TUNE_CONFIGS)
+        for b in range(nb)
+    )
+    bands_all = per_doc.select(
+        "doc_id", F.expr(f"explode(array({band_structs})) AS band")
+    ).select("doc_id", "band.cfg", "band.band_id", "band.band_key")
+    a, b = bands_all.alias("a"), bands_all.alias("b")
+    cand_all = (
+        a.join(
+            b,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-
-    sup = cand_for(bands_for(16, 1)).persist(StorageLevel.MEMORY_AND_DISK)
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sup = cand_all.filter(F.col("cfg") == 0).select("doc_a", "doc_b")
     tri = exploded.select("doc_id", "s")
     ta = tri.select(F.col("doc_id").alias("doc_a"), F.col("s"))
     tb = tri.select(F.col("doc_id").alias("doc_b"), F.col("s"))
@@ -1564,28 +1569,33 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    stats = []
-    for nbands, nrows in _TUNE_CONFIGS:
-        cand = cand_for(bands_for(nbands, nrows))
-        stats.append(
-            cand.join(verdict, ["doc_a", "doc_b"])
-            .agg(
-                F.count(F.lit(1)).alias("n_cand"),
-                F.sum(F.when(F.col("is_true"), 1).otherwise(0))
-                .cast("long")
-                .alias("n_true"),
-            )
-            .select(
-                F.lit(nbands).alias("bands"),
-                F.lit(nrows).alias("rows_per_band"),
-                "n_cand",
-                "n_true",
-            )
+    # one grouped pass over the tagged candidates replaces 4 global
+    # aggregations; the left join off the literal config dim restores
+    # the no-candidates row shape of the old per-config form
+    # (n_cand = 0, n_true NULL) should a config produce nothing
+    stats_g = cand_all.join(verdict, ["doc_a", "doc_b"]).groupBy("cfg").agg(
+        F.count(F.lit(1)).alias("n_cand_g"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_g"),
+    )
+    cfg_rows = ", ".join(
+        f"({ci}, {nb}, {nr})" for ci, (nb, nr) in enumerate(_TUNE_CONFIGS)
+    )
+    cfg_dim = spark.sql(
+        f"SELECT * FROM VALUES {cfg_rows} AS t(cfg, bands, rows_per_band)"
+    )
+    return (
+        cfg_dim.join(stats_g, "cfg", "left")
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce(F.col("n_cand_g"), F.lit(0).cast("long")).alias(
+                "n_cand"
+            ),
+            F.col("n_true_g").alias("n_true"),
         )
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionByName(s)
-    return out
+    )
 
 
 # Incremental-ingest split: a doc belongs to the NEW batch iff its
@@ -1798,18 +1808,26 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows (< {_SUBSTR_W + _SUBSTR_MIN_SHARED - 1} verbatim tokens)
     are noise-filtered.
 
-    Scale shape: one doc-keyed exchange builds all rolling windows
-    (the chunker's slice/md5 HOF pipeline, zero Python), the pair
-    generation is an equi-join keyed on the window hash, and the
-    document-frequency trim (df ≤ {_SUBSTR_DF_CAP}) is the boilerplate
-    guard that bounds the join's fan-out to Σ df² ≤ {_SUBSTR_DF_CAP}·|windows|
-    — ubiquitous nav-bar/licence windows are exactly what
+    Scale shape (r9 rewrite): one doc-keyed exchange builds all rolling
+    windows (the chunker's slice/md5 HOF pipeline, zero Python) ONCE
+    into a persisted relation — the r8 form derived it independently
+    on both sides of a window-function-df self-join, so the corpus
+    explode+md5 pipeline ran twice and the planner broadcast the whole
+    windows relation as the join build side (corpus-sized broadcast:
+    exactly the 100 TB detonation §3.1 warns about). The
+    document-frequency trim (df ≤ {_SUBSTR_DF_CAP}) is now a
+    map-side-combined count per h (shuffle payload = the distinct-
+    window relation, partitioned by h) joined back h-to-h, and the
+    pair generation exploits the trim's own invariant: with ≤
+    {_SUBSTR_DF_CAP} docs per surviving window, the per-h doc list is
+    a bounded array, so pairs come from a local sorted-array
+    expansion (≤ C({_SUBSTR_DF_CAP},2) per h) instead of a self-join —
+    no second corpus pass, no broadcast, Σ df² fan-out unchanged.
+    Ubiquitous nav-bar/licence windows are exactly what
     `corpus_boilerplate_ngrams` already reports per-doc, so dropping
     them HERE is correct, not lossy (df-trimmed windows can't witness
-    a rare pairwise copy). The df count rides a window function whose
-    hash partitioning IS the join's required distribution — Catalyst
-    reuses one exchange for both."""
-    from pyspark.sql import Window
+    a rare pairwise copy)."""
+    from pyspark import StorageLevel
 
     d = load(spark, sf_dir, "documents")
     tk = d.select("doc_id", tokens("text").alias("toks")).withColumn(
@@ -1828,23 +1846,34 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .distinct()
+        # referenced twice (df count + the doc-list rollup); persist is
+        # the narrow (doc_id, md5) relation — cheaper than recompute,
+        # same budget class as the shingle substrate
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dfn = F.count(F.lit(1)).over(Window.partitionBy("h"))
-    wk = (
-        win.withColumn("_df", dfn)
+    keep = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
         .filter((F.col("_df") >= 2) & (F.col("_df") <= _SUBSTR_DF_CAP))
-        .drop("_df")
+        .select("h")
     )
-    a, b = wk.alias("a"), wk.alias("b")
+    groups = (
+        win.join(keep, "h")
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
+    # all (a < b) pairs of the ≤-cap sorted doc list, generated locally
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) ->"
+                " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                " b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     return (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
         .filter(F.col("n_shared_windows") >= _SUBSTR_MIN_SHARED)
     )
