@@ -171,28 +171,52 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_properties.py. A ``bounded_block`` guard asserts (in
     plan, per row) that no label block exceeds ``_EXACT_BLOCK_CAP``
     rows — beyond that the quadratic baseline must not run and the job
-    aborts with a pointer to the bucketed form."""
+    aborts with a pointer to the bucketed form.
+
+    r9 optimization: scoring routes through the same grouped Arrow
+    kernel as the bucketed family (``_label_blocked_tau_pairs`` →
+    ``_bucket_pair_scores``, label as the block key) instead of a
+    label-keyed self-join whose per-pair HOF fold evaluated
+    INTERPRETED in both the join condition and the projection
+    (CodegenFallback, ~2×7 µs per pair; an unrolled 64-term arithmetic
+    expression was tried first and measured SLOWER — past ~32 terms
+    the generated method exceeds codegen limits and the whole stage
+    falls back to interpreted eval). Scores accumulate per dimension
+    in ascending order — the same IEEE (mul, add) pair per step as the
+    fold — so every double and every ≥-threshold decision is
+    bit-identical (pinned by test_pair_scoring_kernel_bit_identical_
+    to_jvm_join's tau arm and the differential)."""
+    return _label_blocked_tau_pairs(
+        spark, sf_dir, 0.25, "sim_pairwise_threshold"
+    )
+
+
+def _label_blocked_tau_pairs(
+    spark: SparkSession, sf_dir: str, tau: float, qname: str
+) -> DataFrame:
+    """Same-label cosine-threshold pairs (vec_a < vec_b) through the
+    grouped Arrow scoring kernel: ONE label-keyed exchange of the
+    payload relation, Σ n_label² · d vectorized FMAs inside the
+    kernel, survivor rows only out — never a pair-scale relation
+    across Arrow. NULL labels can't pair (the old ``a.label ==
+    b.label`` join condition) so they are filtered before grouping;
+    NULL/NaN vectors score NULL in the fold form and are skipped by
+    the kernel's validity classes — dropped either way. The
+    ``bounded_block`` guard stays in-plan on the grouped side."""
     e = normalized_vectors(spark, sf_dir)
-    # guard ONE side only: this is a SELF-join, so an oversized block
-    # trips the cap on side a iff it would on side b — guarding both
-    # would compute the count window twice for the same answer
-    a = bounded_block(e, "label", _EXACT_BLOCK_CAP, "sim_pairwise_threshold").alias("a")
-    b = e.alias("b")
-    cos = dot(F.col("a.vn"), F.col("b.vn"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            cos.alias("cos_raw"),
-        )
-        .filter(F.col("cos_raw") >= 0.25)
-        .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cos"))
+    blocks = bounded_block(
+        e.filter(F.col("label").isNotNull()), "label", _EXACT_BLOCK_CAP, qname
+    )
+    bits = blocks.select(
+        "vec_id", F.lit(0).alias("table_id"), F.col("label").alias("bucket")
+    )
+    pay = e.select("vec_id", F.col("vn").alias("p"))
+    scored = _bucket_pair_scores(
+        bits, pay, mode="tau", directed=False, tau=tau
+    )
+    lab = e.select(F.col("vec_id").alias("vec_a"), "label")
+    return scored.join(lab, "vec_a").select(
+        "vec_a", "vec_b", "label", F.round("score", 6).alias("cos")
     )
 
 

@@ -49,6 +49,12 @@ PYTHON_ALLOWED = {
     # posexplode per update were the cost, same CodegenFallback tax
     # the LSH substrate paid before its kernel rewrite
     "embed_kmeans_clusters",
+    # r9 optimization round: label-blocked tau scoring routed through
+    # the same grouped Arrow kernel (similarity._bucket_pair_scores);
+    # the label self-join evaluated the per-pair HOF fold INTERPRETED
+    # twice (join condition + projection). Bit-identical by the twin
+    # test's tau arm.
+    "sim_pairwise_threshold",
 }
 
 
