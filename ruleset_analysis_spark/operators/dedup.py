@@ -754,37 +754,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-duplicates: label-blocked pairs with cosine
     ≥ 0.4 (the threshold in both the filter below and the oracle; low
     because the synthetic embeddings are near-orthogonal). Spark
-    computes the dot product as a per-pair higher-order
-    fold (no element explosion); the oracle unnests — both accumulate
-    in double and agree after 6dp rounding. Like its similarity
-    sibling, the exact form is capped: ``bounded_block`` aborts in-plan
-    if any label block exceeds ``_EXACT_BLOCK_CAP`` rows (route through
-    the LSH-bucketed path beyond that)."""
-    from ..functions.vectors import dot
-    from ._util import bounded_block
-    from .similarity import _EXACT_BLOCK_CAP, normalized_vectors
+    scores the pairs in the grouped Arrow kernel shared with the
+    similarity family (label as the block key); the oracle unnests —
+    both accumulate in double, dimension-ascending, and agree after
+    6dp rounding. Like its similarity sibling, the exact form is
+    capped: ``bounded_block`` aborts in-plan if any label block
+    exceeds ``_EXACT_BLOCK_CAP`` rows (route through the LSH-bucketed
+    path beyond that).
 
-    e = normalized_vectors(spark, sf_dir)
-    # guard ONE side only: this is a SELF-join, so an oversized block
-    # trips the cap on side a iff it would on side b — guarding both
-    # would compute the count window twice for the same answer
-    a = bounded_block(e, "label", _EXACT_BLOCK_CAP, "dedup_embedding_cosine").alias("a")
-    b = e.alias("b")
-    cos = dot(F.col("a.vn"), F.col("b.vn"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            cos.alias("cos_raw"),
-        )
-        .filter(F.col("cos_raw") >= 0.4)
-        .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cos"))
+    r9 optimization: same rewrite as ``sim_pairwise_threshold`` — the
+    label self-join evaluated the per-pair HOF cosine fold INTERPRETED
+    (CodegenFallback) twice per surviving pair, once in the join
+    condition and once in the projection. ``_label_blocked_tau_pairs``
+    accumulates per dimension in the same IEEE (mul, add) order, so
+    every double and every ≥-threshold decision is bit-identical
+    (pinned by the twin test's tau arm and the differential)."""
+    from .similarity import _label_blocked_tau_pairs
+
+    return _label_blocked_tau_pairs(
+        spark, sf_dir, 0.4, "dedup_embedding_cosine"
     )
 
 

@@ -258,15 +258,30 @@ def graph_pagerank_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds as MATERIALIZED CTEs. Quantization error is bounded by one
     micro-unit per out-edge per round — ~deg/_PR_QSCALE ≈ 1e-9 of
     total mass on the graded graphs, orders below any top-20 gap —
-    and the fixed budget replaces the convergence witness, which is
-    what makes the plan FULLY LAZY: 8 unrolled (edge ⋈ rank → keyed
-    sum) rounds in ONE job, no localCheckpoint, no per-round driver
-    round-trip (each round references its predecessor exactly once,
-    so lineage grows linearly — the 4^rounds pathology needs a double
-    self-reference). The persisted (src, dst, deg) relation serves
-    all 8 join references from cache; only the node-sized rank
-    relation shuffles per round — identical economics to the float
-    path minus 4 checkpoint barriers and 4 witness aggregations.
+    and the fixed budget replaces the convergence witness: 8 unrolled
+    (edge ⋈ rank → keyed sum) rounds in one lazy job after a single
+    build-time node count (each round references its predecessor
+    exactly once, so lineage grows linearly — the 4^rounds pathology
+    needs a double self-reference). The persisted (src, dst, deg)
+    relation serves all 8 join references from cache; only the
+    node-sized rank relation shuffles per round — identical economics
+    to the float path minus 4 checkpoint barriers and 4 witness
+    aggregations.
+
+    r9 optimization (guide §2.4/§7.2): the uniform init mass and the
+    per-round teleport base used to ride a 1-row ``consts`` relation
+    crossJoined (broadcast) into every round. Lazy plan reuse does NOT
+    deduplicate that subtree — the initial plan carried 9 copies of
+    the (distinct → count) aggregation (112 InMemoryTableScans, 418
+    Exchanges, 730 HashAggregates over the whole query) plus one
+    BroadcastExchange + BNLJ per round, and paid whole-stage codegen
+    for all of it on first run. The node count n is now computed ONCE
+    at build time (a single count job over the persisted edge cache —
+    the same driver-math contract as the IVF seeds / PCA partials) and
+    r0/base_q are embedded as integer literals: Python ``//`` on
+    positive ints is the same floor division as SQL ``div``, so every
+    value is bit-identical. Plan: 9 aggregation subtrees + 9
+    broadcasts + 9 BNLJ gone; BNLJ allowlist entry removed.
 
     No dangling nodes (edges are symmetric, so out-degree ≥ 1 for
     every node), so the update rule is pure relational algebra — no
@@ -275,14 +290,16 @@ def graph_pagerank_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break; the emitted rank is the raw BIGINT micro-rank."""
     out = _pagerank_out_edges(spark, sf_dir)
     deg_nodes = out.select("src").distinct()
-    # 1-row integer constants: uniform init mass and the per-round
-    # teleport base, both floor-divided from one node count
-    consts = deg_nodes.agg(F.count(F.lit(1)).alias("n")).select(
-        F.expr(f"{_PR_QSCALE} div n").alias("r0"),
-        F.expr(f"(15 * {_PR_QSCALE}) div (100 * n)").alias("base_q"),
-    )
-    ranks = deg_nodes.crossJoin(F.broadcast(consts)).select(
-        F.col("src").alias("node"), F.col("r0").alias("r")
+    # integer constants: uniform init mass and the per-round teleport
+    # base, floor-divided from ONE build-time node count (see
+    # docstring; Python // == SQL div on positive ints)
+    n = deg_nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "node long, rank_micro long")
+    r0 = _PR_QSCALE // n
+    base_q = (15 * _PR_QSCALE) // (100 * n)
+    ranks = deg_nodes.select(
+        F.col("src").alias("node"), F.lit(r0).cast("long").alias("r")
     )
     for _ in range(_PR_ROUNDS):
         # Keyed join, deliberately NOT a broadcast: the edge relation
@@ -300,10 +317,11 @@ def graph_pagerank_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("dst", F.expr("r div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("mass"))
-            .crossJoin(F.broadcast(consts))
             .select(
                 F.col("dst").alias("node"),
-                F.expr("base_q + (85 * mass) div 100").alias("r"),
+                F.expr(
+                    f"CAST({base_q} AS BIGINT) + (85 * mass) div 100"
+                ).alias("r"),
             )
         )
     return (

@@ -55,6 +55,7 @@ PYTHON_ALLOWED = {
     # twice (join condition + projection). Bit-identical by the twin
     # test's tau arm.
     "sim_pairwise_threshold",
+    "dedup_embedding_cosine",
 }
 
 
@@ -438,7 +439,6 @@ BNLJ_ALLOWED = {
     "curation_sample_apply",    # 1-row broadcast relative-cap scalar
     "curation_temperature_mix", # 1-row broadcast weight-total scalar
     "text_vocab_growth",        # 1-row broadcast decile-boundary array
-    "graph_pagerank_cooccur",   # 1-row broadcast (r0, base_q) constants
     "dedup_lsh_band_tuning",    # 1-row broadcast tuning-sample modulus
 }
 
