@@ -1516,7 +1516,11 @@ def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..sources.parquet import path_for
-    from ..streaming.event_streams import drain_to_memory, read_event_stream
+    from ..streaming.event_streams import (
+        backlog_state_partitions,
+        drain_to_memory,
+        read_event_stream,
+    )
 
     # the file source lists a DIRECTORY; select the events table out of
     # the shared corpus dir by glob
@@ -1542,7 +1546,10 @@ def stream_exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collide on re-run (bench runs every query twice per session)
     _STREAM_EXEC_N[0] += 1
     return drain_to_memory(
-        agg, f"stream_exec_tumbling_{_STREAM_EXEC_N[0]}", "complete"
+        agg,
+        f"stream_exec_tumbling_{_STREAM_EXEC_N[0]}",
+        "complete",
+        state_partitions=backlog_state_partitions(spark, sf_dir),
     )
 
 
@@ -1628,6 +1635,7 @@ def stream_exec_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.parquet import path_for
     from ..streaming.event_streams import (
+        backlog_state_partitions,
         drain_to_memory,
         read_event_stream,
         running_user_totals,
@@ -1640,7 +1648,10 @@ def stream_exec_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = running_user_totals(stream)
     _STREAM_EXEC_N[0] += 1
     drained = drain_to_memory(
-        totals, f"stream_exec_stateful_{_STREAM_EXEC_N[0]}", "update"
+        totals,
+        f"stream_exec_stateful_{_STREAM_EXEC_N[0]}",
+        "update",
+        state_partitions=backlog_state_partitions(spark, sf_dir),
     )
     return drained.groupBy("user_id").agg(
         F.max("total_events").alias("total_events")
@@ -1686,7 +1697,11 @@ def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..sources.parquet import path_for
-    from ..streaming.event_streams import drain_to_memory, read_event_stream
+    from ..streaming.event_streams import (
+        backlog_state_partitions,
+        drain_to_memory,
+        read_event_stream,
+    )
 
     src = path_for(sf_dir, "events")
     stream = read_event_stream(
@@ -1695,7 +1710,10 @@ def stream_exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.select("user_id", "ts").dropDuplicates(["user_id", "ts"])
     _STREAM_EXEC_N[0] += 1
     drained = drain_to_memory(
-        deduped, f"stream_exec_dedup_{_STREAM_EXEC_N[0]}", "append"
+        deduped,
+        f"stream_exec_dedup_{_STREAM_EXEC_N[0]}",
+        "append",
+        state_partitions=backlog_state_partitions(spark, sf_dir),
     )
     return drained.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_distinct_ts")
@@ -2162,7 +2180,11 @@ def stream_exec_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..sources.parquet import path_for
-    from ..streaming.event_streams import drain_to_memory, read_event_stream
+    from ..streaming.event_streams import (
+        backlog_state_partitions,
+        drain_to_memory,
+        read_event_stream,
+    )
 
     src = path_for(sf_dir, "events")
     stream = read_event_stream(
@@ -2180,7 +2202,10 @@ def stream_exec_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_EXEC_N[0] += 1
     return drain_to_memory(
-        agg, f"stream_exec_sliding_{_STREAM_EXEC_N[0]}", "complete"
+        agg,
+        f"stream_exec_sliding_{_STREAM_EXEC_N[0]}",
+        "complete",
+        state_partitions=backlog_state_partitions(spark, sf_dir),
     )
 
 

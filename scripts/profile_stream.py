@@ -55,7 +55,10 @@ def main() -> int:
         t4 = time.time()
         n = spark.table(f"prof_stream_{trial}").count()
         t5 = time.time()
-        prog = [json.loads(p.json()) for p in q.recentProgress]
+        prog = [
+            json.loads(p.json() if callable(p.json) else p.json)
+            for p in q.recentProgress
+        ]
         print(
             f"trial={trial} read_stream={t1-t0:.3f} plan={t2-t1:.3f} "
             f"start={t3-t2:.3f} drain={t4-t3:.3f} read_table={t5-t4:.3f} "
