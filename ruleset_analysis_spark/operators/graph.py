@@ -141,20 +141,36 @@ def strong_cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     density-relative thresholded co-occurrence graph (the τ gate is
     the Σ deg² guard for every wedge join downstream; τ = 2 at every
     graded tier, see _STRONG_TAU_THRESHOLDS), memoized + persisted
-    per (SparkContext, corpus)."""
+    per (SparkContext, corpus).
+
+    r9 optimization (guide §2.2): the persisted relation is
+    REPARTITIONED from the pair count before caching instead of
+    inheriting the pair substrate's 32 partitions — every wedge
+    consumer (triangles, k-core, link prediction, degree histogram)
+    runs one stage per cached partition per reference, so 32
+    partitions for a few-thousand-row graded edge relation was pure
+    task-launch overhead (the same scheduler tax the pagerank edge
+    cache already sheds with the same formula). The divisor is the
+    PAIR count — the one integer already collected for τ, so sizing
+    costs no extra job — and at 100 TB the same formula yields
+    thousands of partitions; partitioning never affects values."""
     from pyspark import StorageLevel
 
+    from ..session import shuffle_partitions
     from .joins import basket_pair_counts
 
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _STRONG_CACHE.get(key)
     if cached is not None:
         return cached
-    tau = strong_cooccur_tau(spark, sf_dir)
+    p = basket_pair_counts(spark, sf_dir).count()
+    tau = _STRONG_TAU_BASE << sum(1 for t in _STRONG_TAU_THRESHOLDS if p > t)
+    n_parts = max(1, min(shuffle_partitions(spark) * 32, p // 2_000_000 + 1))
     e = (
         basket_pair_counts(spark, sf_dir)
         .filter(F.col("n_orders") >= tau)
         .select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+        .repartition(n_parts, "u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _STRONG_CACHE[key] = e
