@@ -59,27 +59,39 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
     # and the z-score finish below is the *same* IEEE expression tree
     # the DuckDB oracle evaluates — bit-identical at any row order.
     # (z is scale-invariant, so cents vs dollars is algebraically moot.)
+    #
+    # r9 optimization (guide §4.2): the body runs once per GROUP
+    # (~15k tiny frames at sf0.1) and the original pandas formulation
+    # cost ~430 µs/group, almost all of it Series/index construction
+    # and the object-dtype `.where` — not arithmetic. This form stays
+    # in numpy until the final frame: same ops, same IEEE expression
+    # tree (np.round IS what Series.round delegates to), and the
+    # non-finite→None mapping short-circuits on the group-level denom
+    # (z is finite iff denom is finite and nonzero — the per-element
+    # `.where` re-derived the same fact elementwise). Bit-identical by
+    # the kernel twin test below and the oracle differential.
     c = np.rint(pdf["value"].to_numpy() * 100.0).astype(np.int64)
     n = len(c)
     s1 = int(c.sum())
     s2 = int((c * c).sum())
     if n >= 2:
         var_c = (float(s2) - float(s1) * float(s1) / n) / (n - 1)
-        denom = np.sqrt(var_c)
+        denom = float(np.sqrt(var_c))
     else:
         denom = float("nan")
-    z = pd.Series((c - float(s1) / n) / denom, index=pdf.index).round(6)
-    # singleton / zero-variance groups: NaN where SQL yields NULL — map
-    # non-finite to None so parity with the oracle holds at any scale
-    # factor, not just corpora without one-event users
-    out = pd.DataFrame(
+    if denom > 0.0 and np.isfinite(denom):
+        zcol = np.round((c - float(s1) / n) / denom, 6)
+    else:  # singleton / zero-variance: NaN where SQL yields NULL
+        zcol = np.full(n, None, dtype=object)
+    # plain-ndarray columns: building the frame from the group's
+    # indexed Series pays index alignment per group (~3× the cost)
+    return pd.DataFrame(
         {
-            "event_id": pdf["event_id"],
-            "user_id": pdf["user_id"],
-            "zscore": z.where(np.isfinite(z), None),
+            "event_id": pdf["event_id"].to_numpy(),
+            "user_id": pdf["user_id"].to_numpy(),
+            "zscore": zcol,
         }
     )
-    return out
 
 
 @register(
@@ -116,8 +128,23 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-cents sufficient statistics (n, Σc, Σc²) with the same IEEE
     finish, so the 6dp rounding is immune to accumulation-order drift
     (pandas mean/std accumulate in partition-arrival order; a windowed
-    stddev_samp in segment-tree order)."""
+    stddev_samp in segment-tree order).
+
+    r9 optimization (guide §2.2 caveat + §4): AQE's byte-sized
+    partition coalescing priced the ~2 MB post-shuffle relation at ONE
+    partition, so every group ran through a single Python worker
+    sequentially (measured 2.2 s steady-state — identical with a
+    trivial kernel, i.e. pure serialization/dispatch wall). Bytes
+    misprice Python-bound stages; the explicit group-key repartition
+    pins the exchange at the session's configured shuffle parallelism
+    (not a local constant — the same conf a cluster deployment sizes),
+    which AQE respects instead of coalescing. groupBy reuses that
+    exchange, so the plan still carries exactly one shuffle. Values
+    are partitioning-invariant (per-group kernel)."""
+    from ..session import shuffle_partitions
+
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev = ev.repartition(shuffle_partitions(spark), "user_id")
     return ev.groupBy("user_id").applyInPandas(
         _zscore, "event_id long, user_id long, zscore double"
     )

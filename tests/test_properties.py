@@ -1425,3 +1425,71 @@ def test_pair_scoring_kernel_bit_identical_to_jvm_join(spark):
         .collect()
     }
     assert jvm_max == ker_max and len(ker_max) > 0
+
+
+def test_zscore_kernel_bit_identical_to_pandas_form():
+    """The r9 numpy z-score kernel vs the original pandas formulation
+    (Series construction + per-element `.where`): bit-identical doubles
+    and identical NULL classes on random and edge groups — the numpy
+    form only changes WHERE the work happens, not the IEEE expression
+    tree (np.round is what Series.round delegates to; z is finite iff
+    the group denom is finite and nonzero)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ruleset_analysis_spark.operators.udfs import _zscore
+
+    def reference(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(pdf["value"].to_numpy() * 100.0).astype(np.int64)
+        n = len(c)
+        s1 = int(c.sum())
+        s2 = int((c * c).sum())
+        if n >= 2:
+            var_c = (float(s2) - float(s1) * float(s1) / n) / (n - 1)
+            denom = np.sqrt(var_c)
+        else:
+            denom = float("nan")
+        z = pd.Series((c - float(s1) / n) / denom, index=pdf.index).round(6)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "zscore": z.where(np.isfinite(z), None),
+            }
+        )
+
+    def norm(col):
+        return [
+            None
+            if v is None or (isinstance(v, float) and math.isnan(v))
+            else v
+            for v in col.tolist()
+        ]
+
+    rng = np.random.default_rng(7)
+    groups = [
+        pd.DataFrame(
+            {
+                "event_id": np.arange(m, dtype=np.int64),
+                "user_id": np.full(m, i, dtype=np.int64),
+                "value": rng.random(m) * 10,
+            }
+        )
+        for i, m in enumerate([1, 2, 3, 7, 50] + [7] * 200)
+    ]
+    # zero-variance group: the denom == 0 NULL class
+    groups.append(
+        pd.DataFrame(
+            {
+                "event_id": np.array([1, 2, 3], dtype=np.int64),
+                "user_id": np.array([99, 99, 99], dtype=np.int64),
+                "value": [5.0, 5.0, 5.0],
+            }
+        )
+    )
+    for g in groups:
+        a, b = _zscore(g), reference(g)
+        assert norm(a["event_id"]) == norm(b["event_id"])
+        assert norm(a["zscore"]) == norm(b["zscore"]), g
