@@ -1466,9 +1466,6 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 16, 10) AS BIGINT) % k = 0"
     )
     exploded_full = _exploded_shingles(spark, sf_dir)
-    exploded = (
-        exploded_full.crossJoin(F.broadcast(krel)).filter(_gate).drop("k")
-    )
     per_doc_full = (
         exploded_full.groupBy("doc_id")
         .agg(
@@ -1533,7 +1530,17 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sup = cand_all.filter(F.col("cfg") == 0).select("doc_a", "doc_b")
-    tri = exploded.select("doc_id", "s")
+    # r9: the verify arm's shingle relation is gated by SEMI-JOINING
+    # the persisted (already-gated, sample-sized) sketch's doc set
+    # instead of re-evaluating the md5/conv gate expression on every
+    # exploded shingle ROW — the gate is a doc-level predicate, and
+    # per_doc holds exactly the gated docs (same groupBy domain), so
+    # the row sets are identical while the per-row hash work (×2
+    # references per run) disappears. The planner broadcasts the
+    # sample-sized build side from its exact cache stats.
+    tri = exploded_full.join(
+        per_doc.select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", "s")
     ta = tri.select(F.col("doc_id").alias("doc_a"), F.col("s"))
     tb = tri.select(F.col("doc_id").alias("doc_b"), F.col("s"))
     inter = (
