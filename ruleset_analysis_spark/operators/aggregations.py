@@ -1998,6 +1998,63 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _value_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared rank-test substrate: (event_type, v, cnt) count cells
+    over integer cents, persisted. Both nonparametric pair tests
+    (Mann–Whitney, KS) consume exactly this relation, and each used to
+    rebuild it 2-4× per query (column pruning makes the pruned
+    subtrees canonically different, so ReuseExchange never fires and
+    the events scan + groupBy re-ran per reference). Domain-bounded:
+    |v| ≤ 1e6 cents → ≤ 2,000,001 distinct values × the event-type
+    taxonomy — dimension-sized at ANY corpus scale, so the persist
+    budget is O(|types|·|values|), never O(corpus). With the cache the
+    corpus is touched once ACROSS both queries (r9, guide §2.4)."""
+    from pyspark import StorageLevel
+
+    c0 = cents("value")
+    b = (
+        load(spark, sf_dir, "events")
+        .select("event_type", c0.alias("v"))
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.abs("v") <= F.lit(1_000_000))
+        )
+    )
+    return (
+        b.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _value_grid_cum(cells: DataFrame) -> DataFrame:
+    """Dense (type × value) grid with INCLUSIVE cumulative counts
+    (cum_le), persisted — the ECDF substrate both rank tests window
+    over. KS reads cum_le directly; Mann–Whitney projects the
+    exclusive form as cum_le − cnt (the same BIGINTs the old inline
+    window produced — bit-identical). Same dimension-bounded budget as
+    `_value_cells`; the window partition is one type's value column
+    (≤ 2M rows), inside the repo's bounded-partition discipline."""
+    from pyspark import StorageLevel
+
+    types = cells.select("event_type").distinct()
+    values = cells.select("v").distinct()
+    grid = (
+        types.crossJoin(values)
+        .join(cells, ["event_type", "v"], "left")
+        .select("event_type", "v", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "event_type", "v", "cnt", F.sum("cnt").over(wcum).alias("cum_le")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 @register(
     "agg_mann_whitney_u",
     category="agg",
@@ -2060,39 +2117,16 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, no per-row ranks, no theta join — the only corpus-sized
     work is the (type, value) cell aggregation, and everything
     downstream is bounded by |types|·|distinct values|. All-integer,
-    so the cross-engine gate is exact."""
-    c0 = cents("value")
-    b = (
-        load(spark, sf_dir, "events")
-        .select("event_type", c0.alias("v"))
-        .filter(
-            F.col("event_type").isNotNull()
-            & F.col("v").isNotNull()
-            & (F.abs("v") <= F.lit(1_000_000))
-        )
-    )
-    cells = b.groupBy("event_type", "v").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    types = cells.select("event_type").distinct()
-    values = cells.select("v").distinct()
-    grid = (
-        types.crossJoin(values)
-        .join(cells, ["event_type", "v"], "left")
-        .select(
-            "event_type", "v", F.coalesce("cnt", F.lit(0)).alias("cnt")
-        )
-    )
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = grid.select(
+    so the cross-engine gate is exact. Substrate shared with
+    agg_ks_test via `_value_cells` / `_value_grid_cum` (r9): the
+    exclusive cumulative is the cached inclusive one minus cnt — the
+    same BIGINTs as before."""
+    cells = _value_cells(spark, sf_dir)
+    cum = _value_grid_cum(cells).select(
         "event_type",
         "v",
         "cnt",
-        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("cum_lt"),
+        (F.col("cum_le") - F.col("cnt")).alias("cum_lt"),
     )
     n_per = cells.groupBy("event_type").agg(
         F.sum("cnt").cast("long").alias("n")
@@ -2187,35 +2221,12 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine extremum can never flip on a float ULP; d_stat
     divides the integer extremum once at the end. Corpus touched
     once for the (type, value) cells; everything downstream is
-    bounded by |types|·|values| with an EQUI-join on value."""
-    c0 = cents("value")
-    b = (
-        load(spark, sf_dir, "events")
-        .select("event_type", c0.alias("v"))
-        .filter(
-            F.col("event_type").isNotNull()
-            & F.col("v").isNotNull()
-            & (F.abs("v") <= F.lit(1_000_000))
-        )
-    )
-    cells = b.groupBy("event_type", "v").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    types = cells.select("event_type").distinct()
-    values = cells.select("v").distinct()
-    grid = (
-        types.crossJoin(values)
-        .join(cells, ["event_type", "v"], "left")
-        .select("event_type", "v", F.coalesce("cnt", F.lit(0)).alias("cnt"))
-    )
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = grid.select(
-        "event_type", "v", F.sum("cnt").over(wcum).alias("cum_le")
-    )
+    bounded by |types|·|values| with an EQUI-join on value.
+    Substrate shared with agg_mann_whitney_u via `_value_cells` /
+    `_value_grid_cum` (r9) — one persisted cell relation and one
+    persisted grid-cumulative serve both tests."""
+    cells = _value_cells(spark, sf_dir)
+    cum = _value_grid_cum(cells).select("event_type", "v", "cum_le")
     n_per = cells.groupBy("event_type").agg(
         F.sum("cnt").cast("long").alias("n")
     )
