@@ -970,14 +970,18 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = tri.agg(
         F.countDistinct("doc_id").cast("double").alias("n_docs")
     )
-    # df and the per-doc weight total both ride WINDOWS over the one
-    # weighted-shingle relation instead of aggregate+rejoin (tri rows
-    # are distinct per (doc, shingle), so count-over-(tri) IS the
-    # document frequency): two keyed exchanges replace four and the
-    # pair join carries each side's total inline — no totals join at
-    # all (tw is functionally dependent on doc_id, so grouping by it
-    # is free). The relation is persisted because the self-join scans
-    # it twice; it is shingle-sized, same budget as the substrate.
+    # df rides a WINDOW over the weighted-shingle relation instead of
+    # aggregate+rejoin (tri rows are distinct per (doc, shingle), so
+    # count-over-(tri) IS the document frequency): one keyed exchange
+    # replaces two and the rows stay in hand for the pair join. The
+    # relation is persisted because the self-join scans it twice and
+    # the totals aggregate reads it once more; it is shingle-sized,
+    # same budget as the substrate. The per-doc weight total no longer
+    # rides a second corpus-sized window shuffle (r9, guide §2.3): it
+    # is a map-side-combined groupBy over the persisted relation (a
+    # doc-sized exchange of partial sums) joined onto the AGGREGATED
+    # pair relation at the end — the same sizes-join shape as
+    # dedup_near_minhash, and one full corpus shuffle fewer.
     wtri = (
         tri.crossJoin(F.broadcast(n_docs))
         .withColumn(
@@ -987,12 +991,10 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w",
             F.round(F.log(F.col("n_docs") / F.col("df")) * 1000).cast("long"),
         )
-        .withColumn(
-            "tw", F.sum("w").over(Window.partitionBy("doc_id"))
-        )
-        .select("doc_id", "source", "tri", "w", "tw")
+        .select("doc_id", "source", "tri", "w")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    totals = wtri.groupBy("doc_id").agg(F.sum("w").alias("tw"))
     a, b = wtri.alias("a"), wtri.alias("b")
     inter = (
         a.join(
@@ -1004,14 +1006,20 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.tw").alias("ta"),
-            F.col("b.tw").alias("tb"),
         )
         .agg(F.sum(F.col("a.w")).alias("iw"))
     )
     wj = F.col("iw").cast("double") / (F.col("ta") + F.col("tb") - F.col("iw"))
     return (
-        inter.filter((F.col("ta") + F.col("tb") > F.col("iw")) & (wj >= 0.02))
+        inter.join(
+            totals.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            totals.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("tb")),
+            "doc_b",
+        )
+        .filter((F.col("ta") + F.col("tb") > F.col("iw")) & (wj >= 0.02))
         .select("doc_a", "doc_b", F.round(wj, 6).alias("weighted_jaccard"))
     )
 
