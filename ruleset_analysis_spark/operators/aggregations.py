@@ -1327,7 +1327,18 @@ def _rank_pick_two_level(base, gcol, vcol, magg, picks):
     All integer algebra (cross-multiplied thresholds — no float rank
     arithmetic), identical answers to the one-window form the DuckDB
     oracles still use. Two corpus passes, zero corpus-sized shuffle
-    payloads, every window partition bounded."""
+    payloads, every window partition bounded.
+
+    The bucket-cumulative relation is PERSISTED (r9, guide §2.4):
+    `cross` references it twice (the crossing-bucket aggregation and
+    the `before` join) and the pruned subtrees are canonically
+    different, so without the cache the coarse corpus pass planned and
+    RAN twice — three corpus scans total where the design declares
+    two. The relation is value-domain-bounded (|domain|/4096 rows per
+    group), never corpus-sized, so the persist budget is O(buckets)
+    at any scale."""
+    from pyspark import StorageLevel
+
     b2 = base.withColumn("bkt", _bucket_col(vcol))
     wg = Window.partitionBy(gcol)
     rb = b2.groupBy(gcol, "bkt").agg(magg.alias("bm"))
@@ -1339,7 +1350,7 @@ def _rank_pick_two_level(base, gcol, vcol, magg, picks):
         .over(wg.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0))
         .alias("cum"),
         F.sum("bm").over(wg).alias("tw"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # all crossing buckets in ONE conditional aggregation over the
     # (tiny) bucket relation, melted to (group, pick) rows — one small
     # job instead of a filter+agg+join chain per pick
@@ -2375,11 +2386,19 @@ def _gini_moments(ev: DataFrame, gcol: str) -> DataFrame:
     the only corpus-wide pass, map-side combined; (2) within-bucket
     cumulative over ≤4096 distinct values; (3) broadcast bucket
     offsets from the domain-bounded bucket relation; one final
-    map-side-combined moment aggregation."""
+    map-side-combined moment aggregation.
+
+    The rollup is PERSISTED (r9, guide §2.4): both the bucket-offset
+    relation and the fine cumulative reference it, and without the
+    cache the corpus-wide pass planned and ran twice. It is
+    domain-bounded (|groups| × |distinct cents|), never corpus-sized."""
+    from pyspark import StorageLevel
+
     r1 = (
         ev.withColumn("bkt", _bucket_col("c"))
         .groupBy(gcol, "bkt", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rb = r1.groupBy(gcol, "bkt").agg(F.sum("m").alias("bm"))
     wg = Window.partitionBy(gcol)
