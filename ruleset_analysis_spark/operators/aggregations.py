@@ -2341,14 +2341,20 @@ def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one scan → 9-group map-side-combined count; the expected
     table is a 9-row literal dimension; the total is a 1-row
-    broadcast (allowlisted O(1) pattern)."""
+    broadcast (allowlisted O(1) pattern). The 9-row count relation is
+    PERSISTED (r9, guide §2.4): the total derives from it, and
+    unpersisted that second reference re-ran the corpus scan."""
+    from pyspark import StorageLevel
+
     ev = load(spark, sf_dir, "events").select(cents("value").alias("c"))
     pos = ev.filter(F.col("c").isNotNull() & (F.col("c") > 0))
     digits = pos.select(
         F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
     )
-    counts = digits.groupBy("digit").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    counts = (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     expected = spark.createDataFrame(
         [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)],

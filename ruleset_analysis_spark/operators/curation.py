@@ -562,12 +562,22 @@ def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     are BIGINTs; the rate is one division of exact integers rounded
     6dp. Scale shape: ONE corpus scan with a map-side-partial sum to
     source-cardinality rows; the cap is a 1-row broadcast onto that
-    dimension-sized relation."""
+    dimension-sized relation. The rollup is PERSISTED (r9, guide
+    §2.4): the cap aggregate and the allocation join both reference
+    it, and unpersisted the corpus-sized tokenize-and-sum scan planned
+    and ran twice (three times in curation_sample_apply, which builds
+    on this query). Source-cardinality rows — trivially bounded."""
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents")
-    per = d.groupBy("source").agg(
-        F.coalesce(F.sum(F.size(tokens("text"))), F.lit(0))
-        .cast("long")
-        .alias("tok_count")
+    per = (
+        d.groupBy("source")
+        .agg(
+            F.coalesce(F.sum(F.size(tokens("text"))), F.lit(0))
+            .cast("long")
+            .alias("tok_count")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mx = per.agg(F.expr("max(tok_count) * 4 div 5").alias("cap"))
     per = per.join(F.broadcast(mx))

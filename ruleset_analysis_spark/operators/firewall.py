@@ -367,7 +367,13 @@ def firewall_rule_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     report is deterministic cross-engine — no timestamp-type or
     timezone surface anywhere. Scale shape: parse is JVM regex in
     codegen, the rollup is one keyed exchange, the rule dimension and
-    the horizon scalar broadcast."""
+    the horizon scalar broadcast. r9 (guide §2.4): the horizon is the
+    max of the per-rule maxes (the null-parse group included), so it
+    now reads the PERSISTED per-rule rollup (bounded at |acls|×|rules|
+    rows) instead of re-running the regex parse over the whole corpus
+    a second time — one parse pass instead of two at any scale."""
+    from pyspark import StorageLevel
+
     ev = load(spark, sf_dir, "events")
     lines = ev.select(
         F.format_string(
@@ -383,11 +389,15 @@ def firewall_rule_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("line", _TS_LINE_RE, 2).try_cast("bigint").alias("rule_id"),
         F.regexp_extract("line", _TS_LINE_RE, 4).try_cast("bigint").alias("hit_epoch"),
     )
-    per_rule = parsed.groupBy("acl", "rule_id").agg(
-        F.count(F.lit(1)).alias("hits"),
-        F.max("hit_epoch").alias("last_hit_epoch"),
+    per_rule = (
+        parsed.groupBy("acl", "rule_id")
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            F.max("hit_epoch").alias("last_hit_epoch"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    horizon = parsed.agg(F.max("hit_epoch").alias("now_epoch"))
+    horizon = per_rule.agg(F.max("last_hit_epoch").alias("now_epoch"))
     rules = (
         spark.range(_N_RULESET)
         .select(F.col("id").cast("bigint").alias("rule_id"))

@@ -78,11 +78,20 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with idf = ln(N/df); top-3 terms per document.
 
     N is carried as a broadcast 1-row aggregate (no driver-side
-    ``collect`` — operators never act)."""
+    ``collect`` — operators never act). The TF matrix is PERSISTED
+    (r9, guide §2.4): the document-frequency aggregate and the scoring
+    join both consume it, and without the cache the token explode +
+    (doc, term) rollup planned and ran twice. Materializing the TF
+    matrix is the canonical TF-IDF pipeline decision — it is the
+    rolled-up token table (≈ distinct (doc, term) pairs), the same
+    budget class as the dedup family's shingle substrate."""
+    from pyspark import StorageLevel
+
     tf = (
         _tokens_exploded(spark, sf_dir)
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = load(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -640,11 +649,22 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational shape), then two joins against the unigram table. The
     unigram relation is vocabulary-sized → broadcast both probes; the
     corpus-total is a 1-row cross join. Support-10 prunes the pair
-    table before the joins."""
+    table before the joins. The unigram table is PERSISTED (r9, guide
+    §2.4): the two broadcast probes alias different columns, so their
+    subtrees are canonically different and each re-ran the token
+    explode; the corpus total is Σ n over the same cache (identical
+    integer by construction) instead of a third corpus pass — one
+    unigram pass + one bigram pass total, at any scale."""
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
-    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    tot = tok.agg(F.count(F.lit(1)).alias("big_n"))
+    uni = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = uni.agg(F.sum("n").cast("long").alias("big_n"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
         tok.select("doc_id", "term", F.lead("term", 1).over(w).alias("t1"))
@@ -858,7 +878,18 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-of-double-summation anywhere. Scale shape: bigram model
     counts are vocabulary²-bounded (not corpus-bounded) and partial-
     aggregate map-side; the scoring join keys the token stream once on
-    (w1, w2); the vocab scalar is a 1-row broadcast."""
+    (w1, w2); the vocab scalar is a 1-row broadcast.
+
+    r9 (guide §2.4): the bigram stream is PERSISTED — model training
+    (c2) and document scoring both read it, and unpersisted the
+    explode + per-doc window ran once per reference (three times).
+    Materializing the bigram stream is the train-then-score pipeline's
+    natural checkpoint, the same corpus-sized budget class as the
+    dedup shingle substrate. The left-context count c1 is Σ n2 per w1
+    over the vocabulary²-bounded c2 — the identical integers the third
+    corpus pass used to recompute."""
+    from pyspark import StorageLevel
+
     tok = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
@@ -871,9 +902,10 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("term", 1).over(w).alias("w2"),
         )
         .filter(F.col("w2").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").cast("long").alias("n1"))
     v = tok.agg(F.countDistinct("term").alias("vocab"))
     sc = (
         c2.join(c1, "w1")
@@ -982,9 +1014,24 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     second grouping level extends the recipe past 10^12 docs). The
     n < 10 degenerate case holds too: duplicate-rank boundaries
     collapse in the count-of-strictly-smaller expression."""
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    docs = toks.select("doc_id").distinct()
+    # Per-doc token counts, persisted (r9, guide §2.4): doc-sized (two
+    # longs per doc — ~1/1000 corpus budget class), and it DOUBLES as
+    # the distinct-doc relation (a doc appears iff it has ≥1 token,
+    # exactly the toks-distinct semantics) and as per_bucket's input —
+    # collapsing two of the query's four token-explode corpus passes.
+    # The remaining two explodes (this rollup + the term-keyed firsts)
+    # are the structural minimum without materializing the token table
+    # itself.
+    dtc = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docs = dtc.select("doc_id")
     # integer division, NOT floor(x/4096): the float quotient is exact
     # only for doc_id < 2^53, and the recipe claims the full BIGINT
     # doc_id domain — a misassigned coarse group would corrupt every
@@ -1013,9 +1060,11 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r"),
     )
     # target upper ranks U(b) = b*q + least(b, rem), b = 1..9 — exact
-    # ntile(10) boundaries from one corpus count (1-row relation)
+    # ntile(10) boundaries. n = Σ coarse-group counts (the BOUNDED
+    # relation — no second pass over the doc universe; identical to
+    # count(docs) by construction)
     targets = (
-        docs.agg(F.count(F.lit(1)).alias("n"))
+        gcounts.agg(F.sum("cnt").cast("long").alias("n"))
         .select(F.explode(F.sequence(F.lit(1), F.lit(9))).alias("b"), "n")
         .select(
             (
@@ -1036,9 +1085,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket")
 
     per_bucket = (
-        toks.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tok"))
-        .crossJoin(F.broadcast(barr))
+        dtc.crossJoin(F.broadcast(barr))
         .select(bucket_of("doc_id"), "n_tok")
         .groupBy("bucket")
         .agg(
