@@ -506,7 +506,13 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SMALL relation and broadcast back as a literal-sized join (never a
     window over an unpartitioned fact), so ties are kept exactly as
     Q15 demands. Integer cents make 'equals max' an exact predicate —
-    no float-equality trap."""
+    no float-equality trap. The revenue relation is PERSISTED (r9,
+    guide §2.4) — it is the spec's REVENUE view, referenced by both
+    the scalar max and the final join, and unpersisted each reference
+    re-ran the fact-table aggregate; supplier-cardinality rows, so the
+    cache is dimension-sized at any scale."""
+    from pyspark import StorageLevel
+
     li = (
         load(spark, sf_dir, "lineitem")
         .filter(
@@ -515,8 +521,10 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_suppkey", "l_extendedprice", "l_discount")
     )
-    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_revenue_cents()).alias("total_revenue_cents")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue_cents()).alias("total_revenue_cents"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mx = rev.agg(F.max("total_revenue_cents").alias("_mx"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -1208,7 +1216,14 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice broadcasts into the fact scan ONCE, the per-part average is
     a groupBy over that pre-shrunk relation, and the average joins
     back as a broadcast — the fact table is read once and never
-    window-sorted."""
+    window-sorted. The brand-slice relation is PERSISTED (r9, guide
+    §2.4): the per-part average and the final threshold join both
+    consume it, and unpersisted each reference re-ran the fact scan +
+    dimension join — two fact passes where the docstring promises one.
+    The cache holds only the one-brand slice (a small corpus
+    fraction), the standard materialize-the-slice decision."""
+    from pyspark import StorageLevel
+
     p = (
         load(spark, sf_dir, "part")
         .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 25))
@@ -1219,6 +1234,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_quantity", "l_extendedprice")
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pavg = pl.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.col("l_quantity").cast("long")).alias("qsum"),
@@ -1357,7 +1373,14 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-table probes; the DuckDB oracle keeps the textbook
     EXISTS/NOT-EXISTS form, so the hash match doubles as an
     equivalence proof of the rewrite. Supplier⋈nation⋈region is a
-    broadcast closing join on the (order, supplier) survivors."""
+    broadcast closing join on the (order, supplier) survivors.
+    The per-pair rollup is PERSISTED (r9, guide §2.4): the per-order
+    rollup and the survivor join both read it, and unpersisted each
+    reference re-ran the fact⋈orders join and its aggregate — two fact
+    passes. The cache holds one row per distinct (order, supplier)
+    pair — already the rolled-up relation, a fraction of the fact."""
+    from pyspark import StorageLevel
+
     o = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -1373,8 +1396,10 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
         ).cast("int"),
     )
-    per_pair = j.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("any_late")
+    per_pair = (
+        j.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("any_late"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     per_order = per_pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
