@@ -842,25 +842,60 @@ def _audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     many, typed Arrow schema both ways), with the codec decode replaced
     by deterministic byte values. All integer arithmetic: the energy of
     a 16-byte ASCII frame is < 16·127², so the BIGINT sums are exact
-    and the oracle can replay them byte-for-byte."""
+    and the oracle can replay them byte-for-byte.
+
+    r9 (guide §4.2): the per-frame reduction is vectorized — one
+    concatenated uint8 buffer per batch, squared in int64, and
+    ``np.add.reduceat`` over the frame-start offsets (frames tile the
+    concatenation contiguously, so segment i ends where segment i+1
+    starts). The previous form ran ``sum(b*b for b in frame)`` in
+    interpreted Python per frame — one bytecode round per BYTE of
+    corpus, exactly the per-row wall the guide's mapInArrow section
+    warns about. Same integers, same row order."""
+    import numpy as np
+
     for pdf in batches:
-        out_doc, out_idx, out_n, out_e = [], [], [], []
+        docs, bufs = [], []
         for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
             if content is None:
                 continue
-            n = len(content)
-            for fi in range((n + _AUDIO_FRAME - 1) // _AUDIO_FRAME):
-                frame = content[fi * _AUDIO_FRAME : (fi + 1) * _AUDIO_FRAME]
-                out_doc.append(doc_id)
-                out_idx.append(fi)
-                out_n.append(len(frame))
-                out_e.append(sum(b * b for b in frame))
+            docs.append(doc_id)
+            bufs.append(np.frombuffer(content, dtype=np.uint8))
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "frame_idx": pd.Series([], dtype="int64"),
+                "n_samples": pd.Series([], dtype="int64"),
+                "energy": pd.Series([], dtype="int64"),
+            }
+        )
+        if not docs:
+            yield empty
+            continue
+        lens = np.array([b.size for b in bufs], dtype=np.int64)
+        nf = (lens + _AUDIO_FRAME - 1) // _AUDIO_FRAME
+        total = int(nf.sum())
+        if total == 0:
+            yield empty
+            continue
+        sq = np.concatenate(bufs).astype(np.int64)
+        sq *= sq
+        doc_rep = np.repeat(np.arange(len(docs), dtype=np.int64), nf)
+        frame_idx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(nf) - nf, nf
+        )
+        fstart = (np.cumsum(lens) - lens)[doc_rep] + frame_idx * _AUDIO_FRAME
+        energy = np.add.reduceat(sq, fstart)
+        n_samples = np.minimum(lens[doc_rep] - frame_idx * _AUDIO_FRAME,
+                               _AUDIO_FRAME)
         yield pd.DataFrame(
             {
-                "doc_id": pd.Series(out_doc, dtype="int64"),
-                "frame_idx": pd.Series(out_idx, dtype="int64"),
-                "n_samples": pd.Series(out_n, dtype="int64"),
-                "energy": pd.Series(out_e, dtype="int64"),
+                "doc_id": pd.Series(
+                    np.asarray(docs, dtype=np.int64)[doc_rep], dtype="int64"
+                ),
+                "frame_idx": pd.Series(frame_idx, dtype="int64"),
+                "n_samples": pd.Series(n_samples, dtype="int64"),
+                "energy": pd.Series(energy, dtype="int64"),
             }
         )
 
@@ -927,18 +962,33 @@ def _dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     ``decode_image`` stub boundary) — bit i is set iff byte i > byte
     i+1, packed little-endian into a 60-bit BIGINT. The plumbing a real
     perceptual hash needs — per-row kernel, typed Arrow schema, exact
-    integer output a blocking join can key on — is all live."""
+    integer output a blocking join can key on — is all live.
+
+    r9 (guide §4.2): packing is vectorized — the first 61 bytes of
+    every surviving row stack into one (n, 61) uint8 matrix, the 60
+    adjacent-byte comparisons run as one elementwise compare, and the
+    bits pack via a single int64 matrix-vector product with the
+    power-of-two weights. The previous form looped 60 Python bytecode
+    rounds per row. Same integers, same row order."""
+    import numpy as np
+
+    weights = np.left_shift(
+        np.int64(1), np.arange(_DHASH_BITS, dtype=np.int64)
+    )
     for pdf in batches:
-        ids, hs = [], []
+        ids, rows = [], []
         for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
             if content is None or len(content) < _DHASH_BITS + 1:
                 continue  # too short to fingerprint; skip, never crash
-            h = 0
-            for i in range(_DHASH_BITS):
-                if content[i] > content[i + 1]:
-                    h |= 1 << i
             ids.append(doc_id)
-            hs.append(h)
+            rows.append(
+                np.frombuffer(content[: _DHASH_BITS + 1], dtype=np.uint8)
+            )
+        if rows:
+            a = np.stack(rows)
+            hs = (a[:, :_DHASH_BITS] > a[:, 1:]).astype(np.int64) @ weights
+        else:
+            hs = np.array([], dtype=np.int64)
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(ids, dtype="int64"),
