@@ -418,19 +418,27 @@ def date_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     both need the zeros). The fact side aggregates to days×types rows
     BEFORE the join and is the broadcast build side — the grid is the
     preserved (outer) side, which can never be broadcast (see inline
-    note)."""
+    note). The daily rollup is PERSISTED (r9, guide §2.4) and the day
+    bounds and type roster both derive from it — min/max over its day
+    column and its distinct types are exactly the corpus min/max and
+    distinct set (nulls group and are ignored by min/max identically)
+    — so the corpus is scanned once instead of three times."""
+    from pyspark import StorageLevel
+
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.date_trunc("day", "ts").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
-    bounds = ev.select(
-        F.min(F.date_trunc("day", "ts")).alias("lo"),
-        F.max(F.date_trunc("day", "ts")).alias("hi"),
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bounds = daily.select(
+        F.min("day").alias("lo"),
+        F.max("day").alias("hi"),
     )
     days = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
     )
-    types = ev.select("event_type").distinct()
+    types = daily.select("event_type").distinct()
     grid = days.crossJoin(types)
     # The preserved (outer) side of a join can never be the broadcast
     # build side — a hint there is silently ignored and both sides
@@ -465,11 +473,21 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per-day exact-ish estimates plus one 'ALL' row whose
     estimate comes from the union of the persisted daily sketches, with
     the true distinct count alongside (the corpus is small enough to
-    verify the estimate in-row)."""
+    verify the estimate in-row). The daily sketch relation is PERSISTED
+    (r9, guide §2.4) — the per-day report and the union row both read
+    it, and unpersisted the sketch-build corpus pass ran twice, which
+    is exactly what the materialize-the-daily-sketches pattern this
+    query demonstrates exists to avoid. Day-cardinality rows."""
+    from pyspark import StorageLevel
+
     ev = load(spark, sf_dir, "events")
-    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").alias("exact"),
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     per_day = daily.select(
         F.unix_timestamp("day").alias("day_epoch"),

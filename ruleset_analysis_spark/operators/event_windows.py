@@ -336,12 +336,18 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines truncate weeks to Monday (date_trunc('week')), and
     the offset divides an exact multiple of 7 days — integer, no
     rounding. At 100 TB each aggregation's shuffle carries user-week
-    pairs (bounded by users × weeks-active), not raw events."""
+    pairs (bounded by users × weeks-active), not raw events. The
+    cohort relation is PERSISTED (r9, guide §2.4): the size rollup and
+    the activity join both read it, and unpersisted the signup-filtered
+    corpus aggregation ran twice. User-cardinality rows."""
+    from pyspark import StorageLevel
+
     ev = load(spark, sf_dir, "events")
     cohort = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = cohort.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
     activity = ev.select(
@@ -1857,11 +1863,22 @@ def event_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct rollups ride the same keyed partitioning. The ratio is
     one double division of two exact BIGINTs (identical both
     engines). Report days restricted to days with activity; NULL
-    ts/user rows excluded identically on both sides."""
+    ts/user rows excluded identically on both sides. The (user, day)
+    relation is PERSISTED (r9, guide §2.4): the DAU rollup, the MAU
+    contributions and the day roster all read it, and unpersisted the
+    corpus-sized dedup exchange planned and ran three times — the
+    cache is what makes the docstring's touched-once claim true.
+    |user-days| rows of two narrow values."""
+    from pyspark import StorageLevel
+
     ev = load(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
-    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    ud = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dau = ud.groupBy(F.col("d").alias("report_day")).agg(
         F.countDistinct("user_id").alias("dau")
     )
