@@ -75,70 +75,71 @@ OPERATOR_MODULES = (
 # hand-ordering error fails loudly). 260 queries / 50 slots means the
 # full re-witness cycle is >= 5.2 rounds (SURVEY §5).
 #
-# ROUND-9 WINDOW (entries 1-50). CORRECTNESS_r08.json recorded the
-# round-8 window 50/50 green, so the rotation advances oldest-first
-# over the committed r1-r8 ledger exactly as the r8 verdict prescribed.
+# ROUND-10 WINDOW (entries 1-50). CORRECTNESS_r09.json recorded the
+# round-9 window 50/50 green, so the rotation advances oldest-first
+# over the committed r1-r9 ledger exactly as the r9 verdict prescribed.
 #   * FRONT: empty — no rows-only -> SQL oracle upgrades pending (the
 #     3 remaining rows-only entries are declared approximate sketches
 #     with no cross-engine twin) and the registry is frozen at 260.
-#   * REFRESH: the 13 rows whose latest record is r3 (agg/embed/
-#     setop/scalar/join/scan tails, in r3 witness order) + the 37
-#     oldest r4 rows (TPC-H composites, sketch/setop tails, LSH/
-#     simhash blocking, in r4 witness order).
+#   * REFRESH: the 12 rows whose latest record is r4 (event/stream/
+#     text tails, graph/multimodal singles, in r4 witness order) + the
+#     38 oldest r5 rows (the q12 re-witness + the r5 additions:
+#     scan roundtrips, sketch aggregates, IVF/MMR/kNN similarity,
+#     stream_exec engine probes, in r5 witness order).
 DRIVER_PRIORITY_FRONT: tuple[str, ...] = ()
 DRIVER_PRIORITY_REFRESH = (
-    # --- latest record r3 (6 rounds stale), r3 witness order ---
-    "agg_pareto_concentration",
-    "agg_rfm_segmentation",
-    "agg_unpivot_melt",
-    "dedup_containment",
-    "embed_knn_classify",
-    "embed_centroid_per_label",
-    "embed_quantize_int8",
-    "subquery_lateral_topn",
-    "setop_except",
-    "map_funcs",
-    "json_extract",
-    "join_asof_backward",
-    "scan_schema_validate",
-    # --- latest record r4 (5 rounds stale), r4 witness order ---
-    "stream_rollup_multires",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "sim_pairwise_bucketed",
-    "text_rolling_fingerprint",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_check",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_bracket_revenue",
-    "tpch_q20_promo_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_accounts",
-    "sort_multi_key",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_except_all",
-    "agg_bitmap_distinct",
-    "agg_bitmap_overlap",
-    "agg_countmin_sketch",
-    "agg_decimal_money",
-    "curation_mix_weights",
-    "dedup_cluster_representatives",
-    "dedup_minhash_estimate",
-    "dedup_weighted_jaccard",
+    # --- latest record r4 (6 rounds stale), r4 witness order ---
+    "event_concurrency_sweep",
+    "event_interpolate_linear",
+    "firewall_rule_staleness",
+    "graph_link_prediction",
+    "multimodal_audio_energy",
+    "sample_topk_reservoir",
+    "stream_late_data_policy",
+    "stream_lateness_histogram",
+    "text_bigram_surprisal",
+    "text_diversity_simpson",
+    "text_zipf_slope",
+    "window_ewma",
+    # --- latest record r5 (5 rounds stale), r5 witness order ---
+    "tpch_q12_late_shipments",
+    "join_asof_forward",
+    "agg_exact_percentiles_grouped",
+    "limit_topk",
+    "embed_kmeans_clusters",
+    "scan_partition_pruning",
+    "scan_csv_roundtrip",
+    "scan_jsonl_roundtrip",
+    "agg_linear_regression",
+    "doc_chunk_overlap",
+    "firewall_shadowed_rules",
+    "curation_sample_apply",
+    "funnel_conversion_lag",
+    "multimodal_dhash_fingerprint",
+    "agg_approx_count_distinct",
+    "agg_hll_mergeable",
+    "sim_ann_ivf",
+    "agg_quantiles_approx",
+    "multimodal_phash_radius_join",
+    "agg_weighted_median",
+    "join_interval_overlap",
+    "curation_pipeline_e2e",
+    "scan_syslog_gz",
+    "firewall_config_expansion",
+    "embed_mmr_rerank",
+    "scan_orc_roundtrip",
+    "scan_binary_files",
+    "event_attribution_utouch",
+    "event_wau_sliding_distinct",
+    "sim_knn_graph",
+    "scan_bucketed_join",
+    "stream_exec_tumbling",
+    "corpus_boilerplate_ngrams",
+    "sim_outlier_lowmax",
+    "graph_kcore_bounded",
+    "event_seasonality_hourweek",
+    "embed_recall_eval",
+    "stream_exec_stateful",
 )
 DRIVER_PRIORITY = DRIVER_PRIORITY_FRONT + DRIVER_PRIORITY_REFRESH
 

@@ -343,7 +343,7 @@ def test_refresh_block_is_oldest_first():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, tuple[int, int]] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         with open(os.path.join(root, f"CORRECTNESS_r0{r}.json")) as f:
             for pos, name in enumerate(json.load(f)):
                 latest[name] = (r, pos)
