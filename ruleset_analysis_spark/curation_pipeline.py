@@ -110,7 +110,13 @@ def run_curation_pipeline(
         "doc_id", "source", "lang", F.size(tokens("text")).alias("n_tokens")
     )
 
-    attrition = spark.createDataFrame(
+    # JVM VALUES literal (values_df): the createDataFrame form was a
+    # pickled-RDD local relation — Python workers on every run for 4
+    # constant rows (guide §4)
+    from .operators._util import values_df
+
+    attrition = values_df(
+        spark,
         [
             _stage("quality_gate", n0, n1),
             _stage("exact_dedup", n1, n2),

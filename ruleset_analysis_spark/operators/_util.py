@@ -108,6 +108,82 @@ def bounded_block(df, key: str, cap: int, what: str):
     )
 
 
+# Literal SQL rendering for values_df — flat primitive types only.
+_SQL_TYPES = {
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "int": "INT",
+    "integer": "INT",
+    "string": "STRING",
+    "boolean": "BOOLEAN",
+    "double": "DOUBLE",
+}
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        # repr is the shortest round-tripping decimal; the cast in
+        # values_df parses it back to the bit-identical double
+        return repr(v)
+    if isinstance(v, str):
+        # Spark string literals understand backslash escapes, so both
+        # the quote and the backslash must be doubled
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    raise TypeError(f"values_df: unsupported literal {type(v).__name__}")
+
+
+def values_df(spark: SparkSession, rows, ddl: str):
+    """A small literal relation as a pure-JVM ``LocalRelation`` — the
+    fast twin of ``spark.createDataFrame(rows, ddl)`` for driver-side
+    constant tables (guide §4: remove the Python boundary where no
+    data needs it).
+
+    ``createDataFrame`` from a Python list builds a *pickled-RDD*-
+    backed DataFrame: every materialization launches Python workers to
+    deserialize the rows (measured: ~1.2 s per noop run for a 94-row
+    relation on an idle 32-core session, up to several seconds under
+    load — for constant dimension tables that is pure overhead on
+    every run). A ``VALUES`` literal analyzes to a LocalRelation and
+    executes JVM-only.
+
+    Row/schema parity with ``createDataFrame`` is exact and pinned by
+    tests/test_plan_shape.py::test_values_df_matches_create_dataframe:
+    the ``if(true, CAST(..), NULL)`` projection keeps every output
+    attribute NULLABLE in the *analyzed* schema (matching
+    createDataFrame's all-nullable contract — a bare VALUES column of
+    non-null literals analyzes non-nullable, which would change the
+    driver-visible schema), while the optimizer folds the whole
+    projection back to a LocalRelation, so nothing survives at
+    execution.
+
+    ``ddl``: flat ``name type`` pairs (optionally ``name: type``),
+    primitive types only — exactly the shapes the registry's constant
+    dims use. Empty ``rows`` is not supported (VALUES needs >= 1 row);
+    the callers' empty-corpus fallbacks keep createDataFrame."""
+    if not rows:
+        raise ValueError("values_df: empty rows — use createDataFrame")
+    fields = []
+    for part in ddl.split(","):
+        part = part.strip().replace(":", " ")
+        name, typ = part.split(None, 1)
+        fields.append((name, _SQL_TYPES[typ.strip().lower()]))
+    cols = ", ".join(
+        f"if(true, CAST(c{i} AS {t}), NULL) AS {name}"
+        for i, (name, t) in enumerate(fields)
+    )
+    vals = ", ".join(
+        "(" + ", ".join(_sql_literal(v) for v in row) + ")" for row in rows
+    )
+    names = ", ".join(f"c{i}" for i in range(len(fields)))
+    return spark.sql(f"SELECT {cols} FROM VALUES {vals} AS t({names})")
+
+
 def _view(spark: SparkSession, sf_dir: str, table: str) -> str:
     """Register table as a query-local temp view, return the view name.
 

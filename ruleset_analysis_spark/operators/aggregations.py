@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..plans.registry import register
 from ..sources.parquet import load
-from ._util import cents
+from ._util import cents, values_df
 
 
 @register(
@@ -1049,7 +1049,14 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .persist()
     )
-    depths = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("d"))
+    # r10 (guide §2.4): the depth dimension is generated INLINE with
+    # explode(sequence(0, depth-1)) instead of
+    # crossJoin(broadcast(spark.range(depth))) — the crossJoin form
+    # planned a BroadcastNestedLoopJoin + BroadcastExchange + Range
+    # stage on EACH of the two consumers (4 extra stages of pure
+    # fixed overhead per run for a 4-row constant). Same rows: every
+    # input row fans out to the identical d = 0..3 INT values.
+    d_seq = F.explode(F.expr(f"sequence(0, {_CMS_DEPTH - 1})")).alias("d")
     bucket = (
         F.expr(
             "CAST(conv(substring(md5(concat(d, ':', user_id)), 1, 15),"
@@ -1058,14 +1065,14 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _CMS_WIDTH
     )
     cms = (
-        exact.crossJoin(F.broadcast(depths))
+        exact.select("user_id", "n", d_seq)
         .select("d", bucket.alias("bucket"), "n")
         .groupBy("d", "bucket")
         .agg(F.sum("n").alias("cnt"))
     )
     top10 = exact.orderBy(F.desc("n"), F.asc("user_id")).limit(10)
     return (
-        top10.crossJoin(F.broadcast(depths))
+        top10.select("user_id", "n", d_seq)
         .select("user_id", F.col("n").alias("exact_n"), "d", bucket.alias("bucket"))
         .join(cms, ["d", "bucket"])
         .groupBy("user_id", "exact_n")
@@ -2374,7 +2381,11 @@ def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    expected = spark.createDataFrame(
+    # JVM VALUES literal (values_df): the createDataFrame form was a
+    # pickled-RDD local relation — Python workers on every run for 9
+    # constant rows (guide §4)
+    expected = values_df(
+        spark,
         [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)],
         "digit: long, exp_ppm: long",
     )

@@ -278,8 +278,13 @@ def firewall_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
          (0xFFFFFFFF << (32 - int(net.split("/")[1]))) & 0xFFFFFFFF)
         for acl, rid, net in _CIDR_RULES
     ]
-    rules = spark.createDataFrame(
-        rule_rows, "acl string, rule_id int, net bigint, mask bigint"
+    # JVM VALUES literal (values_df): the createDataFrame form was a
+    # pickled-RDD local relation — Python workers on every run for a
+    # constant rule dim (guide §4)
+    from ._util import values_df
+
+    rules = values_df(
+        spark, rule_rows, "acl string, rule_id int, net bigint, mask bigint"
     )
     cond = F.col("addr").bitwiseAND(F.col("mask")) == F.col("net").bitwiseAND(
         F.col("mask")

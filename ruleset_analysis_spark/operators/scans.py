@@ -275,8 +275,15 @@ def scan_schema_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         for col in actual:
             if col not in declared:
                 rows.append((name, col, "<undeclared>", actual[col], False))
-    return spark.createDataFrame(
-        rows, "table_name string, column_name string, declared string, actual string, ok boolean"
+    # JVM VALUES literal, not createDataFrame: a pickled-RDD-backed
+    # local relation launches Python workers on EVERY materialization
+    # (~1.2 s/run measured for these ~90 rows) — values_df analyzes to
+    # a LocalRelation with the identical schema and rows (guide §4)
+    from ._util import values_df
+
+    return values_df(
+        spark, rows,
+        "table_name string, column_name string, declared string, actual string, ok boolean",
     )
 
 @register(

