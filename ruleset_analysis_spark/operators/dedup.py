@@ -121,6 +121,25 @@ def _mh_expr(seed: int) -> F.Column:
     )
 
 
+def _mh_agg_cols() -> list:
+    """The 16 per-seed min() sketch aggregates + the shingle count,
+    each as ONE F.expr (r10, guide §1.2 driver overhead: the
+    F.min(_mh_expr(..)).alias(..) form cost 3 py4j round-trips per
+    seed on every build). Shared verbatim by _minhash_sketch and
+    dedup_lsh_band_tuning so their sketch plans stay canonically
+    identical and cache-unify (pinned by
+    test_band_tuning_sketch_unifies_with_neardup_cache)."""
+    cols = [
+        F.expr(
+            f"min(CAST(conv(substring(md5(concat('{seed}:', s)), 1, 15),"
+            f" 16, 10) AS BIGINT)) AS mh_{i}"
+        )
+        for i, seed in enumerate(_MH_SEEDS)
+    ]
+    cols.append(F.expr("count(1) AS n"))
+    return cols
+
+
 def _minhash_base_cte() -> str:
     """Shared oracle CTE chain: shingles → per-doc signature → bands →
     band candidates → exact intersection counts. Both MinHash queries
@@ -211,13 +230,7 @@ def _minhash_sketch(spark: SparkSession, sf_dir: str):
     exploded = _exploded_shingles(spark, sf_dir)
     per_doc = (
         exploded.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(_mh_expr(seed)).alias(f"mh_{i}")
-                for i, seed in enumerate(_MH_SEEDS)
-            ],
-            F.count(F.lit(1)).alias("n"),
-        )
+        .agg(*_mh_agg_cols())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return exploded, per_doc
@@ -455,18 +468,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("h"),
     )
+    # r10 (guide §1.2 driver overhead): one F.expr per bit-sum and ONE
+    # expr for the 60-term pack, instead of ~6 py4j Column calls per
+    # bit (~0.6 s of every build for identical expression trees —
+    # CASE WHEN is the same CaseWhen node F.when built).
     bitsums = exploded.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b_{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+                f" THEN 1 ELSE -1 END) AS b_{i}"
+            )
             for i in range(_SIMHASH_BITS)
         ]
     )
-    pack = None
-    for i in range(_SIMHASH_BITS):
-        term = F.expr(f"IF(b_{i} > 0, shiftleft(1L, {i}), 0L)")
-        pack = term if pack is None else pack + term
+    pack = F.expr(
+        " + ".join(
+            f"IF(b_{i} > 0, shiftleft(1L, {i}), 0L)"
+            for i in range(_SIMHASH_BITS)
+        )
+    )
     from pyspark import StorageLevel
 
     # persisted: the band self-join references the sketch relation twice
@@ -1489,13 +1509,7 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded_full = _exploded_shingles(spark, sf_dir)
     per_doc_full = (
         exploded_full.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(_mh_expr(seed)).alias(f"mh_{i}")
-                for i, seed in enumerate(_MH_SEEDS)
-            ],
-            F.count(F.lit(1)).alias("n"),
-        )
+        .agg(*_mh_agg_cols())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # The gated (sample) sketch is persisted in its own right: 6
@@ -1709,13 +1723,7 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-ran the 16 min-aggregates).
     per_doc = (
         exploded.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(_mh_expr(seed)).alias(f"mh_{i}")
-                for i, seed in enumerate(_MH_SEEDS)
-            ],
-            F.count(F.lit(1)).alias("n"),
-        )
+        .agg(*_mh_agg_cols())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands = per_doc.select(

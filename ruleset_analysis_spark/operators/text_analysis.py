@@ -645,8 +645,7 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes nothing about the ranking and keeps the differential
     hash-exact).
 
-    One bigram pipeline (posexplode + window lead — the measured-fast
-    relational shape), then two joins against the unigram table. The
+    One bigram pipeline, then two joins against the unigram table. The
     unigram relation is vocabulary-sized → broadcast both probes; the
     corpus-total is a 1-row cross join. Support-10 prunes the pair
     table before the joins. The unigram table is PERSISTED (r9, guide
@@ -654,22 +653,41 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtrees are canonically different and each re-ran the token
     explode; the corpus total is Σ n over the same cache (identical
     integer by construction) instead of a third corpus pass — one
-    unigram pass + one bigram pass total, at any scale."""
+    unigram pass + one bigram pass total, at any scale.
+
+    r10 (guide §2.4, VERDICT item 5 — the one touched-query r9
+    regression): the bigram stream is generated by ZIPPING THE TOKEN
+    ARRAY WITH ITSELF SHIFTED ONE (explode of
+    arrays_zip(slice(tk,1,n-1), slice(tk,2,n-1))) instead of
+    posexplode + a doc-keyed window lead. Adjacent-pair formation is a
+    per-row array operation — it never needed the corpus-wide
+    hash-partition + SORT the window form paid before the pair count
+    could even start (2 exchanges + 1 sort → 1 exchange in the bigram
+    arm). Same pairs by construction: slice(tk,1,n-1)[i] = tk[i],
+    slice(tk,2,n-1)[i] = tk[i+1]; docs with < 2 tokens (and NULL text,
+    whose size() is NULL) produce no bigram either way."""
     from pyspark import StorageLevel
 
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+    toked = d.select(tokens("text").alias("tk"))
     uni = (
-        tok.groupBy("term")
+        toked.select(F.explode("tk").alias("term"))
+        .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = uni.agg(F.sum("n").cast("long").alias("big_n"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
-        tok.select("doc_id", "term", F.lead("term", 1).over(w).alias("t1"))
-        .filter(F.col("t1").isNotNull())
-        .groupBy(F.col("term").alias("w1"), F.col("t1").alias("w2"))
+        toked.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "arrays_zip(slice(tk, 1, size(tk) - 1),"
+                    " slice(tk, 2, size(tk) - 1))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 10)
     )
