@@ -905,6 +905,13 @@ def _audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frame_idx = np.arange(total, dtype=np.int64) - np.repeat(
             np.cumsum(nf) - nf, nf
         )
+        # reduceat PRECONDITION (round-9 ADVICE): fstart must be
+        # strictly increasing — equal adjacent offsets would make
+        # reduceat return a single element instead of a zero-length
+        # sum. It holds because zero-length payloads contribute ZERO
+        # frames (nf = 0 rows in doc_rep, not an empty frame), every
+        # frame is at least 1 byte, and docs are laid out
+        # consecutively in the concatenation.
         fstart = (np.cumsum(lens) - lens)[doc_rep] + frame_idx * _AUDIO_FRAME
         energy = np.add.reduceat(sq, fstart)
         n_samples = np.minimum(lens[doc_rep] - frame_idx * _AUDIO_FRAME,
